@@ -1,0 +1,173 @@
+"""Pipeline configuration with the reference's normalization semantics.
+
+Mirrors every observable knob of the reference config
+(/root/reference/duplicate_finder/duplicate_finder_config.py:14-199 and
+the CLI surface cli_args.py:18-129), re-targeted from a filesystem root to
+a Parquet dataset URI, and extended with the near-duplicate parameters
+(shingling / MinHash / SimHash / LSH / clustering) that BASELINE.json's
+north_rule mandates.
+
+Normalization conformance (tests pin these against the reference's own
+accept/reject matrices):
+
+* size strings go through the strict config-layer grammar then the loose
+  parser — ``"10M"`` raises, ``"10MB"``/``"100KiB"``/``"10"`` pass
+  (reference duplicate_finder_config.py:159-184);
+* patterns are stripped, empties dropped, ``None`` passes through
+  (reference :149-157);
+* parallelism ``None``/``<=0`` → ``min(32, os.cpu_count() or 8)``; values
+  over 32 warn but are honored (reference :186-199);
+* directory paths resolve and must exist; plain file paths resolve without
+  an existence check (reference :129-147).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from duplicate_finder_ray.functions.globs import globs_to_regex
+from duplicate_finder_ray.functions.sizes import validate_size_string
+
+
+def normalize_dir_path(folder_path: str, must_exist: bool = True) -> str:
+    """Resolve a directory path; raise ValueError when missing (reference
+    duplicate_finder_config.py:129-140)."""
+    path = Path(folder_path).expanduser().resolve()
+    if must_exist and not path.is_dir():
+        raise ValueError(f"Provided path '{folder_path}' is not a directory.")
+    return str(path)
+
+
+def normalize_file_path(file_path: str | None) -> str | None:
+    """Resolve an output-file path; None passes through (reference :142-147)."""
+    if file_path is None:
+        return None
+    return str(Path(file_path).expanduser().resolve())
+
+
+def normalize_patterns(patterns: list[str] | None) -> list[str] | None:
+    """Strip whitespace, drop empties, None passes through (reference :149-157)."""
+    if patterns is None:
+        return None
+    return [p.strip() for p in patterns if p.strip()]
+
+
+def normalize_parallelism(value: int | None) -> int:
+    """Reference thread-count rule (reference :186-199), reused as the
+    default actor-pool ``concurrency`` / task parallelism hint."""
+    if value is None or value <= 0:
+        return min(32, os.cpu_count() or 8)
+    if value > 32:
+        warnings.warn(
+            f"Using {value} parallel workers, more than the recommended maximum of 32.",
+            stacklevel=2,
+        )
+    return value
+
+
+@dataclass
+class PipelineConfig:
+    """All knobs for the dedup engine. Field-for-field superset of the
+    reference's ``DuplicateFinderConfig`` (§2.6 of SURVEY.md)."""
+
+    # ---- input --------------------------------------------------------
+    #: Parquet dataset path/URI of the code table (repo, path, commit,
+    #: lang, content). Analogue of the reference's scan_folder_path.
+    input_path: str | None = None
+    #: Validate that input_path exists at config time (like the
+    #: reference's dir check). Off when the Dataset is handed in directly.
+    validate_input_path: bool = False
+
+    # ---- reference filter/sort/report knobs ---------------------------
+    exclude_patterns: list[str] | None = None
+    include_patterns: list[str] | None = None
+    max_file_size_str: str | None = None
+    max_file_size: int | None = None
+    min_file_size_str: str | None = None
+    min_file_size: int | None = None
+    output_path: str | None = None          # report sink (parquet dir or .txt)
+    sort_by_group_size: bool = False        # mutually exclusive with next
+    sort_by_file_size: bool = False
+    parallelism: int = 0                    # reference threads_count semantics
+    verify_content: bool = False            # byte-exact refinement of hash groups
+    delete_duplicates: bool = False         # non-destructive: emit decisions / filter keepers
+    delete_report_path: str | None = None
+    interactive_mode: bool = False
+    dry_run: bool = False
+
+    # ---- exact-dedup execution knobs ----------------------------------
+    #: "fused": one pass computes size+sha256, size-prefilter trims the
+    #: shuffle. "two_pass": pass 1 sizes only, broadcast candidate sizes,
+    #: pass 2 hashes only candidates (reference's hash-work-avoidance,
+    #: duplicate_finder.py:42-48,186-189 — pays a second content read).
+    prefilter_mode: str = "fused"
+    #: map_batches batch size for content-heavy derivations.
+    derive_batch_size: int = 1024
+
+    # ---- near-dup (north_rule extension) ------------------------------
+    shingle_k: int = 5                      # tokens per shingle
+    shingle_mode: str = "token"             # "token" | "char" | "line"
+    minhash_perms: int = 128                # signature length K
+    lsh_bands: int = 16                     # b; rows r = K // b
+    minhash_seed: int = 42
+    jaccard_threshold: float = 0.8          # verify threshold τ
+    simhash_bits: int = 64
+    #: candidate cap per LSH bucket; overflow is sampled + logged, never
+    #: silently dropped (SURVEY.md §7.3 hot-key skew).
+    band_bucket_cap: int = 200
+    cc_max_rounds: int = 50                 # union-find fixpoint guard
+
+    # ---- checkpointing ------------------------------------------------
+    checkpoint_dir: str | None = None
+
+    # ---- derived (filled in __post_init__) ----------------------------
+    include_regex: str | None = field(default=None, repr=False)
+    exclude_regex: str | None = field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.sort_by_group_size and self.sort_by_file_size:
+            # CLI enforces exclusivity (reference cli_args.py:27-38).
+            raise ValueError(
+                "sort_by_group_size and sort_by_file_size are mutually exclusive"
+            )
+        if self.input_path is not None and self.validate_input_path:
+            self.input_path = normalize_dir_path(self.input_path)
+        self.exclude_patterns = normalize_patterns(self.exclude_patterns)
+        self.include_patterns = normalize_patterns(self.include_patterns)
+        self.max_file_size = validate_size_string(self.max_file_size_str)
+        self.min_file_size = validate_size_string(self.min_file_size_str)
+        self.output_path = normalize_file_path(self.output_path)
+        self.delete_report_path = normalize_file_path(self.delete_report_path)
+        self.parallelism = normalize_parallelism(self.parallelism)
+        if self.prefilter_mode not in ("fused", "two_pass", "off"):
+            raise ValueError(f"invalid prefilter_mode: {self.prefilter_mode}")
+        if self.minhash_perms % self.lsh_bands != 0:
+            raise ValueError(
+                f"minhash_perms ({self.minhash_perms}) must be divisible by "
+                f"lsh_bands ({self.lsh_bands})"
+            )
+        self.include_regex = globs_to_regex(self.include_patterns)
+        self.exclude_regex = globs_to_regex(self.exclude_patterns)
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        return self.minhash_perms // self.lsh_bands
+
+    def config_hash(self) -> str:
+        """Stable hash of the semantic fields, used to key checkpoint
+        manifests so a resume only reuses stages built with an identical
+        config."""
+        import hashlib
+        import json
+
+        payload = {
+            k: v
+            for k, v in sorted(self.__dict__.items())
+            if k not in ("output_path", "delete_report_path", "checkpoint_dir")
+        }
+        return hashlib.sha256(
+            json.dumps(payload, default=str, sort_keys=True).encode()
+        ).hexdigest()[:16]

@@ -1,0 +1,157 @@
+"""The exact-dedup pipeline — Ray-Data-native analogue of the reference's
+``DuplicateFinder.run`` (/root/reference/duplicate_finder/duplicate_finder.py:21-110).
+
+Lifecycle (SURVEY.md §3.4): read → derive identity/size/sha256 (stateless
+map_batches, zero-copy Arrow) → glob + size filters → size-prefilter
+broadcast semi-join → groupby(size, sha256) → membership/groups/decisions
+tables → optional sorts → parquet sinks + text report renderer.
+
+Everything stays lazy/streaming until a sink or a small driver-side
+collect; ``content`` is projected away before any shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.functions.sizes import format_size
+from duplicate_finder_ray.sources.code_table import read_code_table
+from duplicate_finder_ray.stages import exact
+from duplicate_finder_ray.stages.derive import (
+    add_identity,
+    add_identity_and_sha256,
+    add_sha256,
+    drop_content,
+)
+from duplicate_finder_ray.stages.filters import make_glob_filter, make_size_filter
+
+
+@dataclass
+class DedupResult:
+    """Handles to the pipeline's output tables (all lazy Datasets)."""
+
+    members: ray.data.Dataset          # exploded membership w/ keeper flags
+    groups: ray.data.Dataset           # one row per duplicate group
+    metrics: dict = field(default_factory=dict)
+
+    def keepers(self) -> ray.data.Dataset:
+        return exact.keepers_only(self.members)
+
+    def tally(self) -> dict:
+        return exact.deletion_tally(self.members)
+
+
+class DedupPipeline:
+    """Compose and run the exact-dedup pipeline over a code table."""
+
+    def __init__(self, cfg: PipelineConfig | None = None) -> None:
+        self.cfg = cfg or PipelineConfig()
+
+    # -- stage composition -------------------------------------------
+
+    def prepare(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Filters + identity/size/sha256 derivation (pre-shuffle half).
+
+        Stage order mirrors the reference: glob/size filters trim rows
+        BEFORE hashing (duplicate_finder.py:30-53). In fused mode sha256
+        is computed in the same single pass over content; in two_pass
+        mode hashing happens after the size prefilter so size-unique rows
+        are never hashed (the reference's work-avoidance, at the cost of
+        a second content read)."""
+        cfg = self.cfg
+        ds = ds.map_batches(
+            add_identity, batch_format="pyarrow", batch_size=cfg.derive_batch_size
+        )
+        ds = ds.map_batches(make_glob_filter(cfg), batch_format="pyarrow")
+        ds = ds.map_batches(
+            make_size_filter(cfg.min_file_size, cfg.max_file_size),
+            batch_format="pyarrow",
+        )
+        return ds
+
+    def run_on(self, ds: ray.data.Dataset) -> DedupResult:
+        """Run over an already-loaded code table Dataset."""
+        cfg = self.cfg
+        metrics: dict = {"prefilter_mode": cfg.prefilter_mode}
+        ds = self.prepare(ds)
+
+        if cfg.prefilter_mode == "two_pass":
+            sizes = exact.candidate_sizes(ds)
+            metrics["candidate_sizes"] = int(len(sizes))
+            if len(sizes) == 0:
+                return self._empty_result(metrics)
+            ds = exact.apply_size_prefilter(ds, sizes)
+            ds = ds.map_batches(
+                add_sha256, batch_format="pyarrow", batch_size=cfg.derive_batch_size
+            )
+        else:
+            ds = ds.map_batches(
+                add_sha256, batch_format="pyarrow", batch_size=cfg.derive_batch_size
+            )
+            if cfg.prefilter_mode == "fused":
+                sizes = exact.candidate_sizes(ds)
+                metrics["candidate_sizes"] = int(len(sizes))
+                if len(sizes) == 0:
+                    return self._empty_result(metrics)
+                ds = exact.apply_size_prefilter(ds, sizes)
+
+        if not cfg.verify_content:
+            ds = ds.map_batches(drop_content, batch_format="pyarrow")
+
+        members = exact.duplicate_members(ds, cfg)
+        if cfg.sort_by_group_size:
+            members = members.sort(["n_files", "group_id", "rank"], descending=[True, False, False])
+        elif cfg.sort_by_file_size:
+            members = members.sort(["size", "group_id", "rank"], descending=[True, False, False])
+        groups = exact.groups_from_members(members)
+        return DedupResult(members=members, groups=groups, metrics=metrics)
+
+    @staticmethod
+    def _empty_result(metrics: dict) -> DedupResult:
+        """Schema-stable empty result for inputs with no duplicate sizes —
+        a prefilter that empties the stream must not erase the output
+        schema (an empty groupby block otherwise loses it)."""
+        members = ray.data.from_arrow(exact.MEMBERS_SCHEMA.empty_table())
+        groups = ray.data.from_arrow(
+            pa.schema(
+                [("group_id", pa.string()), ("size", pa.int64()), ("n_files", pa.int64())]
+            ).empty_table()
+        )
+        return DedupResult(members=members, groups=groups, metrics=metrics)
+
+    def run(self, input_path: str | None = None) -> DedupResult:
+        """Read the Parquet code table and run. Only the columns the
+        pipeline uses are read (column pruning at the source)."""
+        path = input_path or self.cfg.input_path
+        if path is None:
+            raise ValueError("no input_path configured")
+        ds = read_code_table(path, columns=["repo", "path", "commit", "lang", "content"])
+        return self.run_on(ds)
+
+
+def render_text_report(members_df: pd.DataFrame) -> str:
+    """Reference-parity duplicates report
+    (format: duplicate_finder.py:276-295): ``Group i/N (k file(s),
+    size: B bytes):`` followed by member paths (our file_ids), blank line
+    between groups. Driver-side, for collected (small) results only.
+    """
+    if len(members_df) == 0:
+        return "No duplicate files found.\n"
+    lines: list[str] = ["Duplicate files report", "=" * 22, ""]
+    groups = list(members_df.groupby("group_id", sort=True))
+    for i, (_gid, sub) in enumerate(groups, start=1):
+        sub = sub.sort_values("rank")
+        size = int(sub["size"].iloc[0])
+        lines.append(
+            f"Group {i}/{len(groups)} ({len(sub)} file(s), "
+            f"size: {format_size(size)}):"
+        )
+        lines.extend(f"  {fid}" for fid in sub["file_id"])
+        lines.append("")
+    return "\n".join(lines)

@@ -1,0 +1,220 @@
+"""Driver-contract queries: Ray pipeline per operator + DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` is a callable ``(sf_dir) -> Dataset | DataFrame``
+exercising one operator family from SURVEY.md §2 over the deterministic
+``code_files`` table derived from ``{sf_dir}/documents.parquet`` (see
+sources/code_table.py — the Python and SQL derivations are twins).
+``ORACLE_SQL`` holds the equivalent ANSI SQL for DuckDB over the driver's
+pre-registered views. Column names match exactly on both sides; the
+driver compares row count + schema + order-insensitive value hash.
+Entries without SQL (sketches, LSH, clustering) get a rows-only check
+from the driver and full oracles in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.pipelines.dedup import DedupPipeline
+from duplicate_finder_ray.sources.code_table import (
+    CODE_FILES_SQL,
+    code_files_from_documents,
+)
+from duplicate_finder_ray.stages import exact
+from duplicate_finder_ray.stages.derive import add_identity, add_sha256, drop_content
+from duplicate_finder_ray.stages.filters import make_glob_filter, make_size_filter
+
+# Shared SQL prelude: code_files + identity/size/sha256 derivation.
+_D_SQL = f"""
+WITH code_files AS ({CODE_FILES_SQL}),
+d AS (
+  SELECT repo, path, "commit", lang, content,
+         repo || ':' || path || '@' || "commit" AS file_id,
+         octet_length(encode(content)) AS size,
+         sha256(content) AS sha256
+  FROM code_files
+)
+"""
+
+_MEMBER_SQL = f"""
+{_D_SQL},
+members AS (
+  SELECT file_id, repo, path, "commit", lang, size, sha256,
+         sha256 AS group_id,
+         count(*) OVER (PARTITION BY size, sha256) AS n_files,
+         row_number() OVER (PARTITION BY size, sha256 ORDER BY file_id) - 1 AS "rank",
+         (row_number() OVER (PARTITION BY size, sha256 ORDER BY file_id) - 1) = 0 AS is_keeper
+  FROM d
+)
+"""
+
+
+def _derived(sf_dir: str) -> ray.data.Dataset:
+    ds = code_files_from_documents(sf_dir)
+    ds = ds.map_batches(add_identity, batch_format="pyarrow")
+    ds = ds.map_batches(add_sha256, batch_format="pyarrow")
+    return ds.map_batches(drop_content, batch_format="pyarrow")
+
+
+def q_code_files_derive(sf_dir: str) -> ray.data.Dataset:
+    """F5/F7: identity + size + sha256 derivation over the code table."""
+    return _derived(sf_dir).select_columns(
+        ["file_id", "repo", "path", "commit", "lang", "size", "sha256"]
+    )
+
+
+def q_exact_dup_groups(sf_dir: str) -> ray.data.Dataset:
+    """G1–G4: duplicate groups (group_id, size, n_files)."""
+    res = DedupPipeline(PipelineConfig()).run_on(code_files_from_documents(sf_dir))
+    return res.groups
+
+
+def q_exact_dup_members(sf_dir: str) -> ray.data.Dataset:
+    """G4/G8: exploded membership with lexicographic rank + keeper flag."""
+    res = DedupPipeline(PipelineConfig()).run_on(code_files_from_documents(sf_dir))
+    return res.members
+
+
+def q_exact_dup_members_verified(sf_dir: str) -> ray.data.Dataset:
+    """G7: verify_content=True — byte-exact refinement; on collision-free
+    input the assignments equal the hash-only ones (SURVEY.md §2.4)."""
+    cfg = PipelineConfig(verify_content=True)
+    res = DedupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
+    return res.members
+
+
+def q_dedup_keepers(sf_dir: str) -> ray.data.Dataset:
+    """S5 (non-destructive deletion): keepers of duplicate groups only."""
+    res = DedupPipeline(PipelineConfig()).run_on(code_files_from_documents(sf_dir))
+    return res.keepers().select_columns(["file_id", "size", "group_id"])
+
+
+def q_deletion_tally(sf_dir: str) -> Any:
+    """G10: deletion summary (count + freed bytes) as a 1-row table."""
+    import pandas as pd
+
+    res = DedupPipeline(PipelineConfig()).run_on(code_files_from_documents(sf_dir))
+    return pd.DataFrame([res.tally()])
+
+
+def q_filter_globs(sf_dir: str) -> ray.data.Dataset:
+    """F3/F4: include ['*.py','*.log'] then exclude ['*temp*','*.git/*']."""
+    cfg = PipelineConfig(
+        include_patterns=["*.py", "*.log"], exclude_patterns=["*temp*", "*.git/*"]
+    )
+    ds = code_files_from_documents(sf_dir)
+    ds = ds.map_batches(add_identity, batch_format="pyarrow")
+    ds = ds.map_batches(make_glob_filter(cfg), batch_format="pyarrow")
+    return ds.select_columns(["file_id", "size"])
+
+
+def q_filter_size_range(sf_dir: str) -> ray.data.Dataset:
+    """F2: min '100', max '1 KiB' (truthy-gated bounds)."""
+    cfg = PipelineConfig(min_file_size_str="100", max_file_size_str="1 KiB")
+    ds = code_files_from_documents(sf_dir)
+    ds = ds.map_batches(add_identity, batch_format="pyarrow")
+    ds = ds.map_batches(
+        make_size_filter(cfg.min_file_size, cfg.max_file_size), batch_format="pyarrow"
+    )
+    return ds.select_columns(["file_id", "size"])
+
+
+def q_size_prefilter(sf_dir: str) -> ray.data.Dataset:
+    """G2: rows surviving the size prefilter (size observed ≥2 times)."""
+    ds = _derived(sf_dir)
+    sizes = exact.candidate_sizes(ds)
+    return exact.apply_size_prefilter(ds, sizes).select_columns(["file_id", "size"])
+
+
+def q_group_sort_by_n(sf_dir: str) -> ray.data.Dataset:
+    """G5: groups ordered by group size desc (order itself is checked by
+    tests; the driver hash is order-insensitive)."""
+    res = DedupPipeline(PipelineConfig(sort_by_group_size=True)).run_on(
+        code_files_from_documents(sf_dir)
+    )
+    return res.groups.sort(["n_files", "group_id"], descending=[True, False])
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Text analysis: whitespace token count per document."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        n_tokens = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n_tokens = pc.if_else(
+            pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n_tokens
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n_tokens, pa.int64())}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(count_tokens, batch_format="pyarrow")
+
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "code_files_derive": q_code_files_derive,
+    "exact_dup_groups": q_exact_dup_groups,
+    "exact_dup_members": q_exact_dup_members,
+    "exact_dup_members_verified": q_exact_dup_members_verified,
+    "dedup_keepers": q_dedup_keepers,
+    "deletion_tally": q_deletion_tally,
+    "filter_globs": q_filter_globs,
+    "filter_size_range": q_filter_size_range,
+    "size_prefilter": q_size_prefilter,
+    "group_sort_by_n": q_group_sort_by_n,
+    "token_counts": q_token_counts,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "code_files_derive": _D_SQL
+    + 'SELECT file_id, repo, path, "commit", lang, size, sha256 FROM d',
+    "exact_dup_groups": _D_SQL
+    + """
+    SELECT sha256 AS group_id, size, count(*) AS n_files
+    FROM d GROUP BY sha256, size HAVING count(*) > 1
+    """,
+    "exact_dup_members": _MEMBER_SQL + "SELECT * FROM members WHERE n_files > 1",
+    "exact_dup_members_verified": _MEMBER_SQL + "SELECT * FROM members WHERE n_files > 1",
+    "dedup_keepers": _MEMBER_SQL
+    + "SELECT file_id, size, group_id FROM members WHERE n_files > 1 AND is_keeper",
+    "deletion_tally": _MEMBER_SQL
+    + """
+    SELECT count(*) AS n_deleted, coalesce(sum(size), 0) AS bytes_freed
+    FROM members WHERE n_files > 1 AND NOT is_keeper
+    """,
+    "filter_globs": _D_SQL
+    + """
+    SELECT file_id, size FROM d
+    WHERE ((repo || '/' || path) LIKE '%.py' OR (repo || '/' || path) LIKE '%.log')
+      AND NOT ((repo || '/' || path) LIKE '%temp%' OR (repo || '/' || path) LIKE '%.git/%')
+    """,
+    "filter_size_range": _D_SQL
+    + "SELECT file_id, size FROM d WHERE size >= 100 AND size <= 1024",
+    "size_prefilter": _D_SQL
+    + """
+    SELECT file_id, size FROM d
+    WHERE size IN (SELECT size FROM d GROUP BY size HAVING count(*) > 1)
+    """,
+    "group_sort_by_n": _D_SQL
+    + """
+    SELECT sha256 AS group_id, size, count(*) AS n_files
+    FROM d GROUP BY sha256, size HAVING count(*) > 1
+    ORDER BY n_files DESC, group_id
+    """,
+    "token_counts": """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+           ::BIGINT AS n_tokens
+    FROM documents
+    """,
+}

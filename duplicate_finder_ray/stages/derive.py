@@ -1,0 +1,51 @@
+"""Identity/size/hash derivation stages (stateless map_batches).
+
+Replaces the reference's driver-side scan loop + per-file thread futures
+(/root/reference/duplicate_finder/duplicate_finder.py:116-174,198-239)
+with vectorized zero-copy Arrow batch transforms. Each function is a
+plain callable → Ray schedules it as elastic stateless tasks.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from duplicate_finder_ray.functions.hashing import (
+    file_id_array,
+    sha256_hex_array,
+    utf8_byte_length,
+)
+
+
+def add_identity(batch: pa.Table) -> pa.Table:
+    """Append ``file_id`` and ``size`` (content byte length).
+
+    ``file_id = repo + ":" + path + "@" + commit`` is the engine's sort/
+    keeper key (reference keeps ``sorted(group)[0]``,
+    duplicate_finder.py:246-250,309).
+    """
+    batch = batch.append_column("file_id", file_id_array(batch))
+    return batch.append_column("size", utf8_byte_length(batch["content"]))
+
+
+def add_sha256(batch: pa.Table) -> pa.Table:
+    """Append the ``sha256`` hex column (the reference's content digest,
+    utils.py:10-16). This is the per-row invariant vs the input: identical
+    bytes ⇒ identical digest."""
+    return batch.append_column("sha256", sha256_hex_array(batch["content"]))
+
+
+def add_identity_and_sha256(batch: pa.Table) -> pa.Table:
+    """Fused single-pass derivation (prefilter_mode="fused"): one read of
+    the content column yields size AND sha256, so the size prefilter can
+    trim the groupby shuffle without a second pass over 100 TB of input."""
+    return add_sha256(add_identity(batch))
+
+
+def drop_content(batch: pa.Table) -> pa.Table:
+    """Project the heavy ``content`` column away as soon as a stage no
+    longer needs it — blocks entering the shuffle carry only identities,
+    sizes and digests (SURVEY.md §7.3 'very wide rows')."""
+    if "content" in batch.column_names:
+        return batch.drop_columns(["content"])
+    return batch

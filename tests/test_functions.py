@@ -1,0 +1,163 @@
+"""Unit tests: hashing, glob translation, config normalization."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from duplicate_finder_ray.config import PipelineConfig, normalize_parallelism
+from duplicate_finder_ray.functions.globs import (
+    fnmatch_path,
+    glob_mask,
+    globs_to_regex,
+    include_exclude_mask,
+)
+from duplicate_finder_ray.functions.hashing import (
+    file_id_array,
+    sha256_hex_array,
+    utf8_byte_length,
+)
+
+
+class TestSha256:
+    def test_known_vector(self):
+        arr = pa.array(["abc"], pa.string())
+        assert sha256_hex_array(arr).to_pylist() == [
+            hashlib.sha256(b"abc").hexdigest()
+        ]
+
+    def test_empty_string(self):
+        # reference: hashing an empty file yields the empty-input digest
+        # (test_utils.py:24-30)
+        assert sha256_hex_array(pa.array([""], pa.string())).to_pylist() == [
+            hashlib.sha256(b"").hexdigest()
+        ]
+
+    def test_multi_block_equivalence(self):
+        # content larger than the reference's 64 KiB streaming block must
+        # hash identically (test_utils.py:33-41)
+        content = "Z" * (64 * 1024 * 3 + 123)
+        out = sha256_hex_array(pa.array([content], pa.string()))
+        assert out.to_pylist() == [hashlib.sha256(content.encode()).hexdigest()]
+
+    def test_nulls_and_slices(self):
+        arr = pa.array(["a", None, "b"], pa.string())
+        out = sha256_hex_array(arr)
+        assert out[1].as_py() is None
+        assert out[0].as_py() == hashlib.sha256(b"a").hexdigest()
+        # sliced arrays (non-zero offset) must hash the right cells
+        sliced = arr.slice(2)
+        assert sha256_hex_array(sliced).to_pylist() == [
+            hashlib.sha256(b"b").hexdigest()
+        ]
+
+    def test_large_string(self):
+        arr = pa.array(["abc", "def"], pa.large_string())
+        assert sha256_hex_array(arr).to_pylist() == [
+            hashlib.sha256(b"abc").hexdigest(),
+            hashlib.sha256(b"def").hexdigest(),
+        ]
+
+    def test_unicode_bytes_not_chars(self):
+        s = "héllo 世界"
+        assert sha256_hex_array(pa.array([s])).to_pylist() == [
+            hashlib.sha256(s.encode("utf-8")).hexdigest()
+        ]
+
+
+class TestByteLength:
+    def test_utf8_bytes(self):
+        arr = pa.array(["abc", "世界", ""])
+        assert utf8_byte_length(arr).to_pylist() == [3, 6, 0]
+
+
+class TestFileId:
+    def test_format(self):
+        t = pa.table(
+            {"repo": ["o/r"], "path": ["src/a.py"], "commit": ["deadbeef"]}
+        )
+        assert file_id_array(t).to_pylist() == ["o/r:src/a.py@deadbeef"]
+
+
+class TestGlobs:
+    @pytest.mark.parametrize(
+        "pattern,path,expected",
+        [
+            ("*.py", "org/repo/src/a.py", True),
+            ("*.py", "org/repo/src/a.pyc", False),
+            ("*temp*", "org/temp/file.txt", True),
+            ("*.git/*", "org/.git/objects/ab", True),
+            ("?.txt", "a.txt", True),
+            ("?.txt", "ab.txt", False),
+            ("[ab].txt", "a.txt", True),
+            ("[!ab].txt", "c.txt", True),
+            ("[!ab].txt", "a.txt", False),
+            ("src/*.c", "src/main.c", True),
+            ("src/*.c", "other/main.c", False),
+        ],
+    )
+    def test_matches_fnmatch(self, pattern, path, expected):
+        """Our RE2 translation agrees with stdlib fnmatch (the reference's
+        matcher, duplicate_finder.py:150-164) on every case."""
+        regex = globs_to_regex([pattern])
+        got = glob_mask(pa.array([path]), regex, default=False).to_pylist()[0]
+        assert got == expected
+        assert got == fnmatch_path(path, [pattern])
+
+    def test_none_patterns_keep_all(self):
+        paths = pa.array(["a", "b"])
+        assert glob_mask(paths, globs_to_regex(None), default=True).to_pylist() == [
+            True,
+            True,
+        ]
+
+    def test_include_then_exclude(self):
+        paths = pa.array(["a.py", "a_temp.py", "b.log", "c.md"])
+        mask = include_exclude_mask(
+            paths, globs_to_regex(["*.py", "*.log"]), globs_to_regex(["*temp*"])
+        )
+        assert mask.to_pylist() == [True, False, True, False]
+
+
+class TestConfig:
+    def test_sort_exclusivity(self):
+        with pytest.raises(ValueError):
+            PipelineConfig(sort_by_group_size=True, sort_by_file_size=True)
+
+    def test_pattern_cleanup(self):
+        cfg = PipelineConfig(include_patterns=["  *.py  ", "", "   ", "*.md"])
+        assert cfg.include_patterns == ["*.py", "*.md"]
+
+    def test_none_patterns_pass_through(self):
+        cfg = PipelineConfig()
+        assert cfg.include_patterns is None and cfg.exclude_patterns is None
+
+    def test_size_normalization(self):
+        cfg = PipelineConfig(min_file_size_str="100KiB", max_file_size_str="2.5GB")
+        assert cfg.min_file_size == 102_400
+        assert cfg.max_file_size == 2_500_000_000
+
+    def test_size_rejects_config_layer(self):
+        with pytest.raises(ValueError):
+            PipelineConfig(min_file_size_str="10M")
+
+    def test_parallelism_defaults(self):
+        import os
+
+        expected = min(32, os.cpu_count() or 8)
+        assert normalize_parallelism(None) == expected
+        assert normalize_parallelism(0) == expected
+        assert normalize_parallelism(-3) == expected
+        assert normalize_parallelism(16) == 16
+        with pytest.warns(UserWarning):
+            assert normalize_parallelism(64) == 64
+
+    def test_lsh_divisibility(self):
+        with pytest.raises(ValueError):
+            PipelineConfig(minhash_perms=100, lsh_bands=16)
+
+    def test_config_hash_stable(self):
+        a = PipelineConfig(min_file_size_str="1KB")
+        b = PipelineConfig(min_file_size_str="1KB")
+        c = PipelineConfig(min_file_size_str="2KB")
+        assert a.config_hash() == b.config_hash() != c.config_hash()
