@@ -1,0 +1,165 @@
+"""Benchmark harness (SURVEY.md §7.1 M8).
+
+Runs the headline pipelines and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries":
+{name: sec}, "sf": ..., "num_cpus": N, "files_per_sec": ...}``.
+
+Inputs: a deterministic synthetic code corpus (seeded — no external
+data) cached as Parquet under /tmp, sized by $GRAFT_BENCH_ROWS
+(default 50_000), plus the driver tables in $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) for the documents-derived pipelines.
+
+``--scaling``: runs the same bench in FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input (cluster-size
+proxy per BASELINE.md) and reports both throughputs + scaling
+efficiency = (throughput_32 / throughput_8) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
+CORPUS_SEED = 42
+
+
+def corpus_path() -> str:
+    """Build (once) and cache the deterministic bench corpus."""
+    path = f"/tmp/graft_bench/corpus_{BENCH_ROWS}_{CORPUS_SEED}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from duplicate_finder_ray.sources.code_table import synthetic_code_corpus
+
+        df = synthetic_code_corpus(BENCH_ROWS, seed=CORPUS_SEED)
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.rename(tmp, path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from duplicate_finder_ray.config import PipelineConfig
+    from duplicate_finder_ray.pipelines.dedup import DedupPipeline
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+    from duplicate_finder_ray.pipelines.queries import QUERIES
+
+    corpus = corpus_path()
+    # warm the page cache so we measure compute + shuffle, not first I/O
+    ray.data.read_parquet(corpus).count()
+
+    queries: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = int(fn())
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    cfg = PipelineConfig()
+
+    def exact_dedup():
+        res = DedupPipeline(cfg).run_on(ray.data.read_parquet(corpus))
+        return res.members.count()
+
+    def near_dup():
+        res = NearDupPipeline(cfg).run_on(ray.data.read_parquet(corpus))
+        return res.pairs.count() + res.labels.count()
+
+    def exact_dedup_sfdocs():
+        return QUERIES["exact_dup_members"](SF_DIR).count()
+
+    def token_counts_sf():
+        return QUERIES["token_counts"](SF_DIR).count()
+
+    timed("exact_dedup", exact_dedup)
+    timed("near_dup", near_dup)
+    timed("exact_dedup_sfdocs", exact_dedup_sfdocs)
+    timed("token_counts_sfdocs", token_counts_sf)
+
+    total = round(sum(queries.values()), 3)
+    dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)
+    result = {
+        "metric": "dedup+neardup pipeline wall time (synthetic code corpus "
+        f"n={BENCH_ROWS} + {os.path.basename(SF_DIR)} documents)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "counts": counts,
+        "sf": os.path.basename(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+        "files_per_sec_exact": dedup_files_per_sec,
+        "files_per_sec_neardup": round(BENCH_ROWS / queries["near_dup"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs on the same input — the
+    sandbox proxy for the N→4N cluster-scaling criterion."""
+    corpus_path()  # ensure the corpus exists before timing anything
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = child(8), child(32)
+    tp_lo = lo["bench_rows"] / (lo["queries"]["exact_dedup"] + lo["queries"]["near_dup"])
+    tp_hi = hi["bench_rows"] / (hi["queries"]["exact_dedup"] + hi["queries"]["near_dup"])
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": round(
+                    lo["queries"]["exact_dedup"] + lo["queries"]["near_dup"], 3
+                ),
+                "sec_32": round(
+                    hi["queries"]["exact_dedup"] + hi["queries"]["near_dup"], 3
+                ),
+                "files_per_sec_8": round(tp_lo, 1),
+                "files_per_sec_32": round(tp_hi, 1),
+                "scaling_efficiency": round(eff, 3),
+                "bench_rows": lo["bench_rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -111,9 +111,20 @@ class PipelineConfig:
     shingle_k: int = 5                      # tokens per shingle
     shingle_mode: str = "token"             # "token" | "char" | "line"
     minhash_perms: int = 128                # signature length K
-    lsh_bands: int = 16                     # b; rows r = K // b
+    #: b bands of r = K // b rows. Default (32, 4): detection prob for
+    #: Jaccard 0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8 — recall is set by the
+    #: verify tier, not banding.
+    lsh_bands: int = 32
     minhash_seed: int = 42
     jaccard_threshold: float = 0.8          # verify threshold τ
+    #: "exact": candidates re-shingled (broadcast semi-join on pair
+    #: endpoints, no content shuffle) and kept iff true Jaccard ≥ τ.
+    #: "estimate": cheap MinHash-agreement filter at τ (σ ≈ 0.035 at
+    #: K=128 — borderline pairs can flip; recall/precision tradeoff).
+    verify_mode: str = "exact"
+    #: endpoint-count threshold below which exact verification broadcasts
+    #: the shingle sets instead of hash-joining them (small-side rule).
+    broadcast_verify_limit: int = 100_000
     simhash_bits: int = 64
     #: candidate cap per LSH bucket; overflow is sampled + logged, never
     #: silently dropped (SURVEY.md §7.3 hot-key skew).
@@ -144,6 +155,8 @@ class PipelineConfig:
         self.parallelism = normalize_parallelism(self.parallelism)
         if self.prefilter_mode not in ("fused", "two_pass", "off"):
             raise ValueError(f"invalid prefilter_mode: {self.prefilter_mode}")
+        if self.verify_mode not in ("exact", "estimate"):
+            raise ValueError(f"invalid verify_mode: {self.verify_mode}")
         if self.minhash_perms % self.lsh_bands != 0:
             raise ValueError(
                 f"minhash_perms ({self.minhash_perms}) must be divisible by "

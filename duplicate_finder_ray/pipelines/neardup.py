@@ -1,0 +1,68 @@
+"""Near-duplicate pipeline: signatures → LSH → verified pairs → clusters.
+
+North_rule flagship extension (SURVEY.md §3.4 lower half). Composition:
+
+    code table ──map_batches(add_identity)──┐
+                                            ├─ SignatureStage actor pool
+                                            │  (MinHash K perms + SimHash)
+                  explode band rows ────────┤   [stateless, vectorized]
+                  groupby(band, band_hash) ─┤   [THE skewed shuffle: capped]
+                  distinct pairs ───────────┤
+                  verify (2 hash joins) ────┤
+                  connected components ─────┘   [iterative groupby-min]
+
+Returns lazy Datasets for signatures, candidate/verified pairs and
+cluster labels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data
+
+from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.stages import cc, neardup
+from duplicate_finder_ray.stages.derive import add_identity
+
+
+@dataclass
+class NearDupResult:
+    signatures: ray.data.Dataset   # file_id, minhash, simhash, n_shingles
+    #: a, b, n_bands, jaccard — exact Jaccard in verify_mode="exact",
+    #: MinHash estimate in "estimate" mode
+    pairs: ray.data.Dataset
+    labels: ray.data.Dataset       # file_id, component
+    metrics: dict = field(default_factory=dict)
+
+    def clusters(self) -> ray.data.Dataset:
+        return cc.clusters_table(self.labels)
+
+
+class NearDupPipeline:
+    def __init__(self, cfg: PipelineConfig | None = None) -> None:
+        self.cfg = cfg or PipelineConfig()
+
+    def signatures_for(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        """(repo,path,commit,lang,content) → signature table. Content is
+        dropped inside the actor stage; only (file_id, sigs) flow on."""
+        ds = ds.map_batches(add_identity, batch_format="pyarrow")
+        ds = ds.select_columns(["file_id", "content"])
+        return neardup.signatures(ds, self.cfg)
+
+    def run_on(self, ds: ray.data.Dataset) -> NearDupResult:
+        cfg = self.cfg
+        with_id = ds.map_batches(add_identity, batch_format="pyarrow")
+        sigs = neardup.signatures(
+            with_id.select_columns(["file_id", "content"]), cfg
+        ).materialize()  # reused: bands + (estimate-mode) joins
+        band_rows = neardup.explode_bands(sigs, cfg)
+        candidates = neardup.candidate_pairs(band_rows, cfg)
+        if cfg.verify_mode == "exact":
+            verified = neardup.verify_pairs_exact(
+                candidates.materialize(), with_id, cfg
+            ).materialize()
+        else:
+            verified = neardup.verify_pairs(candidates, sigs, cfg).materialize()
+        labels = cc.connected_components(verified, cfg)
+        return NearDupResult(signatures=sigs, pairs=verified, labels=labels)

@@ -160,6 +160,48 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(count_tokens, batch_format="pyarrow")
 
 
+def q_minhash_signatures(sf_dir: str) -> ray.data.Dataset:
+    """M3: MinHash/SimHash signature table (rows-only driver check; full
+    determinism + estimator oracles live in tests/test_shingles.py)."""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+
+    cfg = PipelineConfig()
+    sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
+    return sigs.select_columns(["file_id", "simhash", "n_shingles"])
+
+
+def q_lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
+    """M4: LSH candidate pairs (rows-only; recall oracle in
+    tests/test_neardup.py)."""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+    from duplicate_finder_ray.stages import neardup
+
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
+    bands = neardup.explode_bands(sigs, cfg)
+    return neardup.candidate_pairs(bands, cfg)
+
+
+def q_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """M4/M5: verified near-dup pairs at τ=0.5 over the documents-derived
+    code table (word-salad texts need a low τ to produce pairs)."""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
+    return res.pairs
+
+
+def q_near_dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """M5: connected-component labels over verified pairs (rows-only;
+    union-find oracle in tests/test_neardup.py)."""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
+    return res.labels
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "exact_dup_groups": q_exact_dup_groups,
@@ -172,6 +214,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "size_prefilter": q_size_prefilter,
     "group_sort_by_n": q_group_sort_by_n,
     "token_counts": q_token_counts,
+    # near-dup family (non-SQL-expressible → rows-only driver checks;
+    # exact oracles live in tests/)
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
 }
 
 ORACLE_SQL: dict[str, str] = {

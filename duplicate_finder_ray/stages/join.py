@@ -1,0 +1,165 @@
+"""Portable bucketed hash join + grouped aggregation built on the
+sort-based ``groupby().map_groups`` path.
+
+WHY NOT ``Dataset.join`` / hash-shuffle ``aggregate``: in Ray 2.49 the
+hash-shuffle operators emit ZERO-COLUMN pandas blocks for empty
+partitions; those blocks are invisible to map_batches (the UDF is never
+called on them) and make any downstream ``Dataset.join`` fail with
+'No match or multiple matches for key field reference'. The sort-based
+groupby path has no such issue, so this module implements the
+ray_guide's portable pattern — "add ``bucket = hash(key) % B`` to both
+sides, groupby(bucket), join matching buckets pairwise inside
+map_groups" — entirely on that path.
+
+Scale shape: one sort shuffle keyed by the (uniform, crc-derived)
+bucket id; within each bucket a pandas C merge. B should be a small
+multiple of cluster parallelism.
+"""
+
+from __future__ import annotations
+
+from zlib import crc32
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _pa_type(t) -> pa.DataType:
+    """Ray's Schema.types yields pyarrow types for Arrow blocks but numpy
+    dtypes / Python classes for pandas blocks — normalize to pyarrow."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    vals = col.to_pylist()
+    out = np.empty(len(vals), dtype=np.int32)
+    for i, v in enumerate(vals):
+        out[i] = crc32(v.encode() if isinstance(v, str) else bytes(v)) % num_buckets
+    return pa.array(out, pa.int32())
+
+
+def bucketed_inner_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    num_buckets: int,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Inner equi-join. Output columns: left columns + right columns
+    minus the right key (matching ``Dataset.join`` semantics we used).
+    Both sides are tagged, union'ed under one aligned schema, shuffled
+    once by bucket, and merged per bucket with pandas."""
+    lschema = left.schema()   # ray.data Schema wrapper: .names / .types
+    rschema = right.schema()
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    lcols = left_cols or list(lschema.names)
+    rcols = right_cols or list(rschema.names)
+    if left_key not in lcols:
+        lcols = [left_key, *lcols]
+    if right_key not in rcols:
+        rcols = [right_key, *rcols]
+    rpayload = [c for c in rcols if c != right_key]
+    overlap = set(lcols) & set(rpayload)
+    if overlap:
+        raise ValueError(f"join column collision: {sorted(overlap)}")
+
+    larrow = {n: ltypes[n] for n in lcols}
+    rarrow = {n: rtypes[n] for n in rpayload}
+    combined = pa.schema(
+        [("__key", pa.string()), ("__side", pa.int8())]
+        + [(n, larrow[n]) for n in lcols if n != left_key]
+        + [(n, rarrow[n]) for n in rpayload]
+    )
+
+    def tag(side: int, key: str, keep: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            names.append("__key")
+            arrays.append(batch.column(key).cast(pa.string()))
+            names.append("__side")
+            arrays.append(pa.array(np.full(len(batch), side, dtype=np.int8)))
+            for field in combined:
+                if field.name in ("__key", "__side"):
+                    continue
+                if field.name in batch.column_names and field.name in keep:
+                    arrays.append(batch.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(len(batch), field.type))
+                names.append(field.name)
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    lt = left.map_batches(
+        tag(0, left_key, [c for c in lcols if c != left_key]), batch_format="pyarrow"
+    )
+    rt = right.map_batches(tag(1, right_key, rpayload), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _bucket_of(batch["__key"], num_buckets))
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    lpayload = [c for c in lcols if c != left_key]
+    out_schema = pa.schema(
+        [(left_key, larrow[left_key])]
+        + [(n, larrow[n]) for n in lpayload]
+        + [(n, rarrow[n]) for n in rpayload]
+    )
+
+    def merge(part: pd.DataFrame) -> pa.Table:
+        lp = part[part["__side"] == 0]
+        rp = part[part["__side"] == 1]
+        if len(lp) == 0 or len(rp) == 0:
+            return out_schema.empty_table()
+        lf = lp[["__key", *lpayload]]
+        rf = rp[["__key", *rpayload]]
+        merged = lf.merge(rf, on="__key", how="inner")
+        merged = merged.rename(columns={"__key": left_key})
+        return pa.Table.from_pandas(
+            merged[[left_key, *lpayload, *rpayload]], schema=out_schema,
+            preserve_index=False,
+        )
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def grouped_min(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    out_value: str,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """groupby(key).min(value) via the two-level bucket pattern (sort
+    path + pandas C agg) — avoids the hash-shuffle aggregate's empty
+    zero-column blocks."""
+    schema = ds.schema()
+    types = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
+    out_schema = pa.schema([(key, types[key]), (out_value, types[value])])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _bucket_of(batch[key], num_buckets))
+
+    def agg(part: pd.DataFrame) -> pa.Table:
+        g = part.groupby(key, sort=False)[value].min().reset_index()
+        g = g.rename(columns={value: out_value})
+        return pa.Table.from_pandas(g, schema=out_schema, preserve_index=False)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(agg, batch_format="pandas")
+    )

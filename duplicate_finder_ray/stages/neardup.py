@@ -1,0 +1,552 @@
+"""Near-duplicate detection stages: signatures → LSH bands → candidate
+pairs → verified pairs.
+
+North_rule extension (no counterpart in the reference, which is
+exact-only — SURVEY.md §2.5): MinHash shingle signatures and SimHash
+fingerprints per file, LSH banding to generate candidate pairs, and
+signature-based verification at threshold τ.
+
+Execution shape:
+
+* ``SignatureStage`` is a CALLABLE CLASS → Ray actor pool. The shingler
+  vocab cache and the (a, b) permutation tables are built once per actor
+  (``__init__``), then every batch reuses them (stateful-stage rule,
+  ray_guide 'Stateful stages = actor pools').
+* Band explosion is a stateless vectorized map_batches (n_docs × bands
+  rows out).
+* Candidate generation is ONE shuffle on ``(band, band_hash)`` — the
+  skewed shuffle of this engine. Hot buckets (license headers,
+  generated code) are CAPPED at ``band_bucket_cap`` members per bucket:
+  pairs are emitted only among the first cap members (by file_id) and
+  every emitted pair carries ``bucket_size`` so truncation is
+  observable, never silent (SURVEY.md §7.3). Multiple bands keep recall
+  up for capped buckets.
+* Pair verification joins signatures back to pair endpoints with Ray's
+  hash-partitioned ``Dataset.join`` (two shuffles on file_id) and
+  filters on the MinHash Jaccard estimate ≥ τ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.functions.shingles import (
+    Shingler,
+    band_keys,
+    estimated_jaccard,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    simhash_band_keys,
+)
+
+PAIRS_SCHEMA = pa.schema(
+    [
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("bucket_size", pa.int64()),
+    ]
+)
+
+_EMPTY_PAIRS = PAIRS_SCHEMA.empty_table()
+
+
+def effective_parallelism(cfg: PipelineConfig) -> int:
+    """cfg.parallelism clamped to the CPUs the current Ray session
+    actually has — a fixed pool/partition count larger than the session
+    starves or deadlocks small sessions."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", cfg.parallelism))
+    except Exception:
+        cpus = cfg.parallelism
+    return max(2, min(cfg.parallelism, cpus))
+
+
+class SignatureStage:
+    """Actor-pool stage: content → (minhash list<uint64>[K], simhash
+    uint64, n_shingles). Shingler vocab + permutation tables persist
+    across batches."""
+
+    def __init__(self, cfg: PipelineConfig) -> None:
+        self.shingler = Shingler(k=cfg.shingle_k, mode=cfg.shingle_mode)
+        self.a, self.b = minhash_params(cfg.minhash_perms, cfg.minhash_seed)
+        self.num_perms = cfg.minhash_perms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch.column("content").to_pylist()
+        n = len(contents)
+        sigs = np.empty((n, self.num_perms), dtype=np.uint64)
+        simhashes = np.empty(n, dtype=np.uint64)
+        n_shingles = np.empty(n, dtype=np.int64)
+        for i, text in enumerate(contents):
+            sh = self.shingler.shingle_hashes(text if text is not None else "")
+            sigs[i] = minhash_signature(sh, self.a, self.b)
+            simhashes[i] = simhash64(sh)
+            n_shingles[i] = len(sh)
+        out = batch.drop_columns(["content"])
+        out = out.append_column(
+            "minhash",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perms
+            ),
+        )
+        out = out.append_column("simhash", pa.array(simhashes, type=pa.uint64()))
+        return out.append_column("n_shingles", pa.array(n_shingles, type=pa.int64()))
+
+
+def signatures(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+    """Run the signature actor pool over a dataset bearing
+    (file_id, content)."""
+    # autoscaling pool (1, N): a fixed-size pool of N would deadlock on
+    # sessions with fewer than N CPUs while waiting for all actors
+    return ds.map_batches(
+        SignatureStage,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.derive_batch_size,
+        concurrency=(1, cfg.parallelism),
+        num_cpus=1,
+    )
+
+
+def _minhash_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("minhash")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return flat.reshape(len(batch), -1)
+
+
+def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+    """(file_id, minhash) → (band, band_hash, file_id) × num_bands rows.
+    Docs with zero shingles are excluded — the empty-set sentinel
+    signature would otherwise bucket all short docs together."""
+    num_bands = cfg.lsh_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                    "file_id": pa.array([], pa.string()),
+                }
+            )
+        sigs = _minhash_matrix(batch)
+        keys = band_keys(sigs, num_bands)  # (n, bands)
+        n = len(batch)
+        band_ids = np.tile(np.arange(num_bands, dtype=np.int32), n)
+        file_ids = np.repeat(np.arange(n), num_bands)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
+                "file_id": batch.column("file_id").take(pa.array(file_ids)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def candidate_pairs(
+    band_rows: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """Band buckets → unordered candidate pairs (a < b), deduped across
+    bands with a band-collision count (``n_bands`` — a free similarity
+    signal).
+
+    TWO-LEVEL grouping: the shuffle key is a coarse partition id
+    (``band_hash % P``), and the real (band, band_hash) bucketing runs
+    VECTORIZED (pandas C groupby) inside each partition. A naive
+    ``groupby(band, band_hash).map_groups`` pays a Python call per
+    bucket — ~3 ms × millions of buckets; this pays P calls total.
+    band_hash is uniform (mixed uint64), so partitions balance; hot
+    BUCKETS inside a partition are capped at ``band_bucket_cap`` with
+    the true bucket size recorded on every emitted pair (never silent).
+    """
+    cap = cfg.band_bucket_cap
+    num_parts = effective_parallelism(cfg) * 4
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pkey = (
+            batch.column("band_hash").to_numpy().astype(np.uint64)
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+        return batch.append_column("pkey", pa.array(pkey, pa.int32()))
+
+    def emit_partition(part: pd.DataFrame) -> pa.Table:
+        # keep only buckets with ≥2 members (vectorized prefilter)
+        part = part[part.duplicated(["band", "band_hash"], keep=False)]
+        if len(part) == 0:
+            return _EMPTY_PAIRS
+        part = part.sort_values(["band", "band_hash", "file_id"], kind="mergesort")
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_sz: list[np.ndarray] = []
+        for _, sub in part.groupby(["band", "band_hash"], sort=False):
+            m = len(sub)
+            ids = sub["file_id"].to_numpy()[:cap]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_sz.append(np.full(len(ia), m, dtype=np.int64))
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.string()),
+                "b": pa.array(np.concatenate(out_b), pa.string()),
+                "bucket_size": pa.array(np.concatenate(out_sz)),
+            }
+        )
+
+    pairs = (
+        band_rows.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(emit_partition, batch_format="pandas")
+    )
+
+    # dedupe pairs across bands — same two-level trick, pandas agg inside
+    def dedupe_partition(part: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            part.groupby(["a", "b"], sort=False)
+            .agg(n_bands=("bucket_size", "size"), bucket_size=("bucket_size", "max"))
+            .reset_index()
+        )
+        agg["n_bands"] = agg["n_bands"].astype("int64")
+        return agg
+
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        # crc32, NOT builtin hash(): str hashing is salted per process,
+        # which would scatter identical pairs across partitions
+        from zlib import crc32
+
+        h = np.array(
+            [crc32(x.encode()) for x in batch.column("a").to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.append_column(
+            "pkey", pa.array((h % num_parts).astype(np.int32), pa.int32())
+        )
+
+    deduped = (
+        pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(dedupe_partition, batch_format="pandas")
+    )
+    return deduped.select_columns(["a", "b", "n_bands", "bucket_size"])
+
+
+def verify_pairs(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Attach both endpoints' signatures (two hash-partitioned joins on
+    file_id) and keep pairs whose MinHash Jaccard estimate ≥ τ.
+
+    Output: (a, b, n_bands, jaccard) — jaccard here is the MinHash
+    ESTIMATE (σ ≈ 0.035 at K=128). The join is Ray's built-in
+    hash join — each side is partitioned on the key, so only the
+    (small) pair table and the signature table shuffle, never content.
+    """
+    num_partitions = effective_parallelism(cfg)
+
+    def serialize(batch: pa.Table) -> pa.Table:
+        # binary payload: pyarrow hash join rejects list columns
+        sig = _minhash_matrix(batch)
+        return pa.table(
+            {
+                "file_id": batch["file_id"],
+                "sig": pa.array([row.tobytes() for row in sig], pa.large_binary()),
+            }
+        )
+
+    sig_cols = sigs.map_batches(serialize, batch_format="pyarrow")
+
+    from duplicate_finder_ray.stages.join import bucketed_inner_join
+    from duplicate_finder_ray.stages.util import rename_cols
+
+    joined = rename_cols(
+        bucketed_inner_join(pairs, sig_cols, "a", "file_id", num_partitions),
+        {"sig": "minhash_a"},
+    )
+    joined = rename_cols(
+        bucketed_inner_join(joined, sig_cols, "b", "file_id", num_partitions),
+        {"sig": "minhash_b"},
+    )
+
+    threshold = cfg.jaccard_threshold
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n_bands": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = np.stack(
+            [np.frombuffer(x, np.uint64) for x in batch.column("minhash_a").to_pylist()]
+        )
+        sb = np.stack(
+            [np.frombuffer(x, np.uint64) for x in batch.column("minhash_b").to_pylist()]
+        )
+        est = (sa == sb).mean(axis=1)
+        out = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "n_bands": pa.compute.cast(batch["n_bands"], pa.int64()),
+                "jaccard": pa.array(est, pa.float64()),
+            }
+        )
+        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def _matrix_from(batch: pa.Table, col_name: str) -> np.ndarray:
+    col = batch.column(col_name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return flat.reshape(len(batch), -1)
+
+
+class ShingleSetStage:
+    """Actor-pool stage: (file_id, content) → (file_id, shingles
+    list<uint64>) for exact-Jaccard verification of candidate endpoints
+    only (never run over the full corpus)."""
+
+    def __init__(self, cfg: PipelineConfig) -> None:
+        self.shingler = Shingler(k=cfg.shingle_k, mode=cfg.shingle_mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch.column("content").to_pylist()
+        arrays = [
+            self.shingler.shingle_hashes(t if t is not None else "")
+            for t in contents
+        ]
+        # serialized as binary (uint64 little-endian bytes): pyarrow's
+        # hash join rejects list-typed payload columns
+        shingle_col = pa.array([a.tobytes() for a in arrays], pa.large_binary())
+        return pa.table(
+            {"file_id": batch["file_id"], "shingles": shingle_col}
+        )
+
+
+def verify_pairs_exact(
+    pairs: ray.data.Dataset,
+    code_with_id: ray.data.Dataset,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification: keep pairs with true shingle Jaccard
+    ≥ τ. Scale shape:
+
+    1. collect the distinct pair endpoints (small vs corpus) and
+       broadcast them with ``ray.put``;
+    2. semi-join: filter the code table to endpoint rows inside
+       map_batches (``np.isin`` probe — content does NOT shuffle);
+    3. re-shingle only those rows (actor pool), join the shingle sets
+       onto both pair endpoints (hash joins on the small side);
+    4. vectorized-per-pair exact Jaccard, filter ≥ τ.
+
+    Output: (a, b, n_bands, jaccard).
+
+    When the endpoint set is small (≤ ``broadcast_limit``) the shingle
+    sets are instead broadcast as one dict and pairs are scored in a
+    single map_batches — no joins at all (ray_guide: broadcast the small
+    side). The join path remains the 10^12-scale shape.
+    """
+    import pyarrow.compute as pc
+
+    endpoint_df = pairs.select_columns(["a", "b"]).to_pandas()
+    endpoints = np.unique(
+        np.concatenate([endpoint_df["a"].to_numpy(), endpoint_df["b"].to_numpy()])
+        if len(endpoint_df)
+        else np.empty(0, dtype=object)
+    )
+    endpoints_ref = ray.put(endpoints)
+    broadcast_limit = cfg.broadcast_verify_limit
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keep = np.isin(batch.column("file_id").to_numpy(), ray.get(endpoints_ref))
+        return batch.filter(pa.array(keep))
+
+    cand = code_with_id.select_columns(["file_id", "content"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+    shingle_sets = cand.map_batches(
+        ShingleSetStage,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.derive_batch_size,
+        concurrency=(1, effective_parallelism(cfg)),
+        num_cpus=1,
+    )
+
+    threshold = cfg.jaccard_threshold
+
+    if len(endpoints) <= broadcast_limit:
+        # broadcast path: one dict of endpoint shingle sets via ray.put
+        sets_df = shingle_sets.to_pandas()
+        sets_ref = ray.put(dict(zip(sets_df["file_id"], sets_df["shingles"])))
+
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            out_schema = pa.schema(
+                [
+                    ("a", pa.string()),
+                    ("b", pa.string()),
+                    ("n_bands", pa.int64()),
+                    ("jaccard", pa.float64()),
+                ]
+            )
+            if len(batch) == 0:
+                return out_schema.empty_table()
+            sets = ray.get(sets_ref)
+            aa = batch.column("a").to_pylist()
+            bb = batch.column("b").to_pylist()
+            jac = np.empty(len(batch), dtype=np.float64)
+            for i, (ka, kb) in enumerate(zip(aa, bb)):
+                jac[i] = _jaccard_bytes(sets.get(ka, b""), sets.get(kb, b""))
+            out = pa.table(
+                {
+                    "a": batch["a"],
+                    "b": batch["b"],
+                    "n_bands": pc.cast(batch["n_bands"], pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+        return pairs.map_batches(score_broadcast, batch_format="pyarrow")
+
+    num_partitions = effective_parallelism(cfg)
+    from duplicate_finder_ray.stages.join import bucketed_inner_join
+    from duplicate_finder_ray.stages.util import rename_cols
+
+    joined = rename_cols(
+        bucketed_inner_join(pairs, shingle_sets, "a", "file_id", num_partitions),
+        {"shingles": "shingles_a"},
+    )
+    joined = rename_cols(
+        bucketed_inner_join(joined, shingle_sets, "b", "file_id", num_partitions),
+        {"shingles": "shingles_b"},
+    )
+
+    threshold = cfg.jaccard_threshold
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("a", pa.string()),
+                ("b", pa.string()),
+                ("n_bands", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        )
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        sa = batch.column("shingles_a").to_pylist()
+        sb = batch.column("shingles_b").to_pylist()
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(sa, sb)):
+            jac[i] = _jaccard_bytes(ba, bb)
+        out = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "n_bands": pc.cast(batch["n_bands"], pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def _jaccard_bytes(ba: bytes, bb: bytes) -> float:
+    """Exact Jaccard of two uint64-serialized shingle sets."""
+    xa = np.frombuffer(ba, dtype=np.uint64)
+    xb = np.frombuffer(bb, dtype=np.uint64)
+    na, nb = len(xa), len(xb)
+    if na == 0 and nb == 0:
+        return 1.0
+    if na == 0 or nb == 0:
+        return 0.0
+    inter = len(np.intersect1d(xa, xb, assume_unique=True))
+    return inter / (na + nb - inter)
+
+
+def simhash_candidate_pairs(
+    sigs: ray.data.Dataset, cfg: PipelineConfig, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """SimHash near-dup: block the 64-bit fingerprint into
+    ``max_hamming + 1`` bit-blocks (pigeonhole: any pair within the
+    Hamming radius shares ≥1 exact block), groupby block value to get
+    candidates, verify exact Hamming ≤ radius. Same skew cap as LSH."""
+    num_blocks = max_hamming + 1
+    cap = cfg.band_bucket_cap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                    "file_id": pa.array([], pa.string()),
+                    "simhash": pa.array([], pa.uint64()),
+                }
+            )
+        fps = batch.column("simhash").to_numpy().astype(np.uint64)
+        keys = simhash_band_keys(fps, num_blocks)
+        n = len(batch)
+        band_ids = np.tile(np.arange(num_blocks, dtype=np.int32), n)
+        row_idx = np.repeat(np.arange(n), num_blocks)
+        take = pa.array(row_idx)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
+                "file_id": batch.column("file_id").take(take),
+                "simhash": batch.column("simhash").take(take),
+            }
+        )
+
+    def emit_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("file_id")
+        m = len(g)
+        if m < 2:
+            return pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int64())]
+            ).empty_table()
+        g = g.head(cap)
+        ids = g["file_id"].to_numpy()
+        fps = g["simhash"].to_numpy().astype(np.uint64)
+        idx_a, idx_b = np.triu_indices(len(g), k=1)
+        x = np.bitwise_xor(fps[idx_a], fps[idx_b])
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[idx_a][keep], pa.string()),
+                "b": pa.array(ids[idx_b][keep], pa.string()),
+                "hamming": pa.array(ham[keep].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -1,0 +1,216 @@
+"""E2E near-dup pipeline tests: LSH recall vs a brute-force Jaccard
+oracle, verification modes, SimHash candidates, connected components."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.functions.shingles import Shingler, exact_jaccard
+from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+from duplicate_finder_ray.sources.code_table import synthetic_code_corpus
+from duplicate_finder_ray.stages import cc, neardup
+
+
+def brute_force_pairs(df: pd.DataFrame, cfg: PipelineConfig) -> set[tuple[str, str]]:
+    """All unordered pairs with exact shingle Jaccard ≥ τ at the same
+    shingle config — the reference-equivalent ground truth
+    (SURVEY.md §5: 'brute-force Jaccard over shingle sets')."""
+    sh = Shingler(k=cfg.shingle_k, mode=cfg.shingle_mode)
+    fid = (df["repo"] + ":" + df["path"] + "@" + df["commit"]).tolist()
+    sets = [sh.shingle_hashes(c) for c in df["content"]]
+    truth = set()
+    for i in range(len(df)):
+        if len(sets[i]) == 0:
+            continue
+        for j in range(i + 1, len(df)):
+            if len(sets[j]) == 0:
+                continue
+            if exact_jaccard(sets[i], sets[j]) >= cfg.jaccard_threshold:
+                truth.add(tuple(sorted((fid[i], fid[j]))))
+    return truth
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synthetic_code_corpus(300, seed=11)
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session, corpus):
+    return ray_session.data.from_pandas(corpus)
+
+
+class TestNearDupPipeline:
+    def test_recall_and_precision_exact_mode(self, corpus, corpus_ds):
+        cfg = PipelineConfig(jaccard_threshold=0.8)
+        res = NearDupPipeline(cfg).run_on(corpus_ds)
+        got = set(
+            map(tuple, np.sort(res.pairs.to_pandas()[["a", "b"]].to_numpy(), axis=1))
+        )
+        truth = brute_force_pairs(corpus, cfg)
+        assert truth, "fixture must contain near-dup pairs"
+        recall = len(truth & got) / len(truth)
+        precision = len(truth & got) / max(1, len(got))
+        assert recall >= 0.99, f"recall {recall}"
+        assert precision == 1.0, f"precision {precision} (exact verify ⇒ no FPs)"
+
+    def test_join_path_matches_broadcast_path(self, corpus, corpus_ds):
+        base = PipelineConfig(jaccard_threshold=0.8)
+        joiny = PipelineConfig(jaccard_threshold=0.8, broadcast_verify_limit=0)
+        p1 = NearDupPipeline(base).run_on(corpus_ds).pairs.to_pandas()
+        p2 = NearDupPipeline(joiny).run_on(corpus_ds).pairs.to_pandas()
+        k1 = set(map(tuple, np.sort(p1[["a", "b"]].to_numpy(), axis=1)))
+        k2 = set(map(tuple, np.sort(p2[["a", "b"]].to_numpy(), axis=1)))
+        assert k1 == k2
+
+    def test_estimate_mode_high_recall_on_clear_pairs(self, corpus, corpus_ds):
+        """Estimate mode is noisy at the boundary; on pairs with true
+        J ≥ τ + 3σ it must agree with exact mode."""
+        cfg_ex = PipelineConfig(jaccard_threshold=0.8)
+        cfg_est = PipelineConfig(jaccard_threshold=0.8, verify_mode="estimate")
+        exact_pairs = NearDupPipeline(cfg_ex).run_on(corpus_ds).pairs.to_pandas()
+        est = NearDupPipeline(cfg_est).run_on(corpus_ds).pairs.to_pandas()
+        est_keys = set(map(tuple, np.sort(est[["a", "b"]].to_numpy(), axis=1)))
+        clear = exact_pairs[exact_pairs["jaccard"] >= 0.91]
+        clear_keys = set(map(tuple, np.sort(clear[["a", "b"]].to_numpy(), axis=1)))
+        missed = clear_keys - est_keys
+        assert not missed, f"estimate mode missed clear pairs: {missed}"
+
+    def test_exact_dups_are_near_dups(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "repo": ["o/a", "o/b", "o/c"],
+                "path": ["f1.py", "f2.py", "g.py"],
+                "commit": ["1" * 40, "2" * 40, "3" * 40],
+                "lang": ["python"] * 3,
+                "content": [
+                    "def f(): return alpha beta gamma delta epsilon zeta",
+                    "def f(): return alpha beta gamma delta epsilon zeta",
+                    "completely different words entirely here now okay fine",
+                ],
+            }
+        )
+        cfg = PipelineConfig(jaccard_threshold=0.8)
+        res = NearDupPipeline(cfg).run_on(ray_session.data.from_pandas(df))
+        pairs = res.pairs.to_pandas()
+        assert len(pairs) == 1
+        assert pairs["jaccard"].iloc[0] == 1.0
+        labels = res.labels.to_pandas()
+        assert labels["component"].nunique() == 1
+        assert len(labels) == 2  # the unrelated doc is not in the pair graph
+
+    def test_signature_table_shape(self, corpus_ds):
+        cfg = PipelineConfig()
+        sigs = NearDupPipeline(cfg).signatures_for(corpus_ds).to_pandas()
+        assert {"file_id", "minhash", "simhash", "n_shingles"} <= set(sigs.columns)
+        assert all(len(m) == cfg.minhash_perms for m in sigs["minhash"][:5])
+
+
+class TestBucketCap:
+    def test_hot_bucket_capped_but_observable(self, ray_session):
+        """A bucket above the cap emits at most cap members' pairs, and
+        every emitted pair records the TRUE bucket size (no silent
+        truncation)."""
+        n = 30
+        df = pd.DataFrame(
+            {
+                "repo": [f"o/r{i}" for i in range(n)],
+                "path": [f"f{i}.py" for i in range(n)],
+                "commit": [f"{i:040d}" for i in range(n)],
+                "lang": ["python"] * n,
+                "content": ["identical content words one two three four five"] * n,
+            }
+        )
+        cfg = PipelineConfig(jaccard_threshold=0.8, band_bucket_cap=10)
+        ds = ray_session.data.from_pandas(df)
+        with_id = ds.map_batches(
+            __import__(
+                "duplicate_finder_ray.stages.derive", fromlist=["add_identity"]
+            ).add_identity,
+            batch_format="pyarrow",
+        )
+        sigs = neardup.signatures(
+            with_id.select_columns(["file_id", "content"]), cfg
+        )
+        bands = neardup.explode_bands(sigs, cfg)
+        pairs = neardup.candidate_pairs(bands, cfg).to_pandas()
+        # cap=10 → 45 pairs max per bucket, not C(30,2)=435
+        assert len(pairs) == 45
+        assert (pairs["bucket_size"] == n).all()
+
+
+class TestConnectedComponents:
+    def test_chain_converges_to_one_component(self, ray_session):
+        # path graph a-b-c-d-e: hash-to-min needs multiple rounds
+        edges = pd.DataFrame(
+            {"a": ["n1", "n2", "n3", "n4"], "b": ["n2", "n3", "n4", "n5"]}
+        )
+        cfg = PipelineConfig()
+        labels = cc.connected_components(
+            ray_session.data.from_pandas(edges), cfg
+        ).to_pandas()
+        assert labels["component"].nunique() == 1
+        assert set(labels["file_id"]) == {"n1", "n2", "n3", "n4", "n5"}
+        assert (labels["component"] == "n1").all()
+
+    def test_two_components(self, ray_session):
+        edges = pd.DataFrame({"a": ["x1", "x2", "y1"], "b": ["x2", "x3", "y2"]})
+        cfg = PipelineConfig()
+        labels = cc.connected_components(
+            ray_session.data.from_pandas(edges), cfg
+        ).to_pandas()
+        comp = dict(zip(labels["file_id"], labels["component"]))
+        assert comp["x1"] == comp["x2"] == comp["x3"] == "x1"
+        assert comp["y1"] == comp["y2"] == "y1"
+
+    def test_matches_networkx_free_oracle(self, ray_session):
+        # random graph vs a simple driver-side union-find oracle
+        rng = np.random.default_rng(9)
+        n_nodes, n_edges = 60, 50
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        mask = a != b
+        edges = pd.DataFrame(
+            {"a": [f"v{int(x):03d}" for x in a[mask]], "b": [f"v{int(x):03d}" for x in b[mask]]}
+        )
+        parent: dict[str, str] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for _, r in edges.iterrows():
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        oracle = {v: find(v) for v in parent}
+
+        cfg = PipelineConfig()
+        labels = cc.connected_components(
+            ray_session.data.from_pandas(edges), cfg
+        ).to_pandas()
+        got = dict(zip(labels["file_id"], labels["component"]))
+        assert got == oracle
+
+
+class TestSimHashPairs:
+    def test_identical_zero_hamming(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "repo": ["o/a", "o/b"],
+                "path": ["f1.py", "f2.py"],
+                "commit": ["1" * 40, "2" * 40],
+                "lang": ["python"] * 2,
+                "content": ["alpha beta gamma delta epsilon zeta eta theta"] * 2,
+            }
+        )
+        cfg = PipelineConfig()
+        ds = ray_session.data.from_pandas(df)
+        sigs = NearDupPipeline(cfg).signatures_for(ds)
+        pairs = neardup.simhash_candidate_pairs(sigs, cfg, max_hamming=3).to_pandas()
+        assert len(pairs) == 1
+        assert pairs["hamming"].iloc[0] == 0

@@ -1,0 +1,142 @@
+"""Unit tests for shingling / MinHash / SimHash primitives."""
+
+import numpy as np
+import pytest
+
+from duplicate_finder_ray.functions.shingles import (
+    Shingler,
+    band_keys,
+    estimated_jaccard,
+    exact_jaccard,
+    hamming64,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    simhash_band_keys,
+    token_id,
+)
+
+
+class TestShingler:
+    def test_deterministic(self):
+        a = Shingler(k=3).shingle_hashes("the quick brown fox jumps")
+        b = Shingler(k=3).shingle_hashes("the quick brown fox jumps")
+        np.testing.assert_array_equal(a, b)
+
+    def test_count(self):
+        # n tokens, k=3 → n-k+1 shingles (all distinct here)
+        sh = Shingler(k=3).shingle_hashes("a b c d e f")
+        assert len(sh) == 4
+
+    def test_short_doc_empty(self):
+        assert len(Shingler(k=5).shingle_hashes("one two")) == 0
+        assert len(Shingler(k=5).shingle_hashes("")) == 0
+
+    def test_order_sensitivity(self):
+        a = Shingler(k=2).shingle_hashes("x y z")
+        b = Shingler(k=2).shingle_hashes("z y x")
+        assert set(a.tolist()) != set(b.tolist())
+
+    def test_modes(self):
+        line = Shingler(k=2, mode="line")
+        assert len(line.shingle_hashes("a\nb\nc\n")) == 2
+        char = Shingler(k=4, mode="char")
+        assert len(char.shingle_hashes("abcde")) == 2
+        with pytest.raises(ValueError):
+            Shingler(mode="bogus")
+
+    def test_vocab_cache_consistency(self):
+        sh = Shingler(k=2)
+        first = sh.shingle_hashes("alpha beta gamma")
+        again = sh.shingle_hashes("alpha beta gamma")
+        np.testing.assert_array_equal(first, again)
+        assert token_id("alpha") == sh._vocab["alpha"]
+
+
+class TestMinHash:
+    def test_identical_sets_identical_sigs(self):
+        a, b = minhash_params(64, seed=1)
+        s = Shingler(k=3).shingle_hashes("one two three four five six")
+        np.testing.assert_array_equal(
+            minhash_signature(s, a, b), minhash_signature(s.copy(), a, b)
+        )
+
+    def test_estimator_tracks_true_jaccard(self):
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 2**63, 1000, dtype=np.uint64)
+        # overlap 80%: replace 200 elements
+        other = base.copy()
+        other[:200] = rng.integers(0, 2**63, 200, dtype=np.uint64)
+        sa = np.unique(base)
+        sb = np.unique(other)
+        true_j = exact_jaccard(sa, sb)
+        a, b = minhash_params(256, seed=3)
+        est = estimated_jaccard(
+            minhash_signature(sa, a, b), minhash_signature(sb, a, b)
+        )
+        assert abs(est - true_j) < 0.1
+
+    def test_empty_set_sentinel(self):
+        a, b = minhash_params(16, seed=0)
+        sig = minhash_signature(np.empty(0, dtype=np.uint64), a, b)
+        assert (sig == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+    def test_seed_changes_sigs(self):
+        s = Shingler(k=2).shingle_hashes("p q r s t")
+        a1, b1 = minhash_params(32, seed=1)
+        a2, b2 = minhash_params(32, seed=2)
+        assert not np.array_equal(
+            minhash_signature(s, a1, b1), minhash_signature(s, a2, b2)
+        )
+
+
+class TestSimHash:
+    def test_identical(self):
+        s = Shingler(k=2).shingle_hashes("m n o p q")
+        assert simhash64(s) == simhash64(s.copy())
+
+    def test_similar_docs_close_different_docs_far(self):
+        sh = Shingler(k=3)
+        base = "def compute total for item in values return total " * 10
+        near = base.replace("item", "entry", 1)
+        far = "completely unrelated words about seventeen ducks on a pond " * 10
+        f_base = np.array([simhash64(sh.shingle_hashes(base))], dtype=np.uint64)
+        f_near = np.array([simhash64(sh.shingle_hashes(near))], dtype=np.uint64)
+        f_far = np.array([simhash64(sh.shingle_hashes(far))], dtype=np.uint64)
+        assert hamming64(f_base, f_near)[0] < hamming64(f_base, f_far)[0]
+
+    def test_empty_zero(self):
+        assert simhash64(np.empty(0, dtype=np.uint64)) == 0
+
+
+class TestBanding:
+    def test_band_keys_shape_and_determinism(self):
+        rng = np.random.default_rng(5)
+        sigs = rng.integers(0, 2**63, (10, 128), dtype=np.uint64)
+        k1 = band_keys(sigs, 32)
+        k2 = band_keys(sigs.copy(), 32)
+        assert k1.shape == (10, 32)
+        np.testing.assert_array_equal(k1, k2)
+
+    def test_identical_band_block_same_key(self):
+        rng = np.random.default_rng(6)
+        s1 = rng.integers(0, 2**63, (1, 128), dtype=np.uint64)
+        s2 = s1.copy()
+        s2[0, 4:] = rng.integers(0, 2**63, 124, dtype=np.uint64)
+        k1, k2 = band_keys(s1, 32)[0], band_keys(s2, 32)[0]
+        assert k1[0] == k2[0]           # first band (rows 0-3) identical
+        assert (k1[1:] != k2[1:]).any()  # later bands differ
+
+    def test_same_rows_different_band_differ(self):
+        # identical row-block content in different band positions must
+        # not collide (band index folded into the key)
+        sigs = np.tile(
+            np.arange(4, dtype=np.uint64), (1, 32)
+        ).reshape(1, 128)
+        keys = band_keys(sigs, 32)[0]
+        assert len(np.unique(keys)) == 32
+
+    def test_simhash_blocks(self):
+        fps = np.array([0x0123456789ABCDEF], dtype=np.uint64)
+        blocks = simhash_band_keys(fps, 4)[0]
+        assert blocks.tolist() == [0xCDEF, 0x89AB, 0x4567, 0x0123]
