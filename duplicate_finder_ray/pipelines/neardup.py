@@ -66,3 +66,55 @@ class NearDupPipeline:
             verified = neardup.verify_pairs(candidates, sigs, cfg).materialize()
         labels = cc.connected_components(verified, cfg)
         return NearDupResult(signatures=sigs, pairs=verified, labels=labels)
+
+    def run_checkpointed(
+        self,
+        ds: ray.data.Dataset,
+        checkpoint_root: str,
+        resume: bool = True,
+    ) -> NearDupResult:
+        """Checkpointed/resumable run (north_rule M7): every shuffle-
+        stage boundary (signatures → candidate pairs → verified pairs →
+        labels) commits partitioned Parquet + a lineage manifest; a
+        rerun with the same config resumes from the last completed
+        boundary instead of recomputing (the reference restarts from
+        zero — SURVEY.md §4.1 'Checkpoint / resume: none')."""
+        from duplicate_finder_ray.state.checkpoint import CheckpointManager
+
+        cfg = self.cfg
+        mgr = CheckpointManager(checkpoint_root, cfg)
+        with_id = ds.map_batches(add_identity, batch_format="pyarrow")
+
+        sigs = mgr.run_stage(
+            "signatures",
+            lambda: neardup.signatures(
+                with_id.select_columns(["file_id", "content"]), cfg
+            ),
+            resume=resume,
+        )
+        candidates = mgr.run_stage(
+            "candidates",
+            lambda: neardup.candidate_pairs(neardup.explode_bands(sigs, cfg), cfg),
+            resume=resume,
+        )
+        if cfg.verify_mode == "exact":
+            verified = mgr.run_stage(
+                "verified",
+                lambda: neardup.verify_pairs_exact(candidates, with_id, cfg),
+                resume=resume,
+            )
+        else:
+            verified = mgr.run_stage(
+                "verified",
+                lambda: neardup.verify_pairs(candidates, sigs, cfg),
+                resume=resume,
+            )
+        labels = mgr.run_stage(
+            "labels",
+            lambda: cc.connected_components(verified, cfg),
+            resume=resume,
+        )
+        metrics = {"checkpoints": mgr.manifests(), "config_hash": mgr.cfg_hash}
+        return NearDupResult(
+            signatures=sigs, pairs=verified, labels=labels, metrics=metrics
+        )

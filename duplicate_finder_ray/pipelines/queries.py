@@ -202,6 +202,100 @@ def q_near_dup_clusters(sf_dir: str) -> ray.data.Dataset:
     return res.labels
 
 
+def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
+    """ANN baseline: brute-force cosine top-10 for query vecs 0..7
+    (broadcast query matrix, per-batch local top-k, tiny global reduce)."""
+    from duplicate_finder_ray.stages import similarity
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    topk = similarity.topk_neighbors(emb, query_ids=list(range(8)), k=10)
+
+    def round_score(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("score"),
+            "score",
+            pc.round(batch["score"], ndigits=6),
+        )
+
+    return topk.map_batches(round_score, batch_format="pyarrow")
+
+
+def q_embedding_cosine_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Embedding near-dup: all pairs with cosine ≥ 0.4 (brute-force
+    distributed baseline; the corpus matrix is broadcast once)."""
+    from duplicate_finder_ray.stages import similarity
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = similarity.cosine_pairs(emb, threshold=0.4)
+
+    def round_score(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("score"),
+            "score",
+            pc.round(batch["score"], ndigits=6),
+        )
+
+    return pairs.map_batches(round_score, batch_format="pyarrow")
+
+
+def q_embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Scale-path ANN pairs: random-hyperplane LSH buckets + exact
+    verify (rows-only driver check; recall oracle in
+    tests/test_similarity.py)."""
+    from duplicate_finder_ray.stages import similarity
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return similarity.lsh_cosine_pairs(emb, threshold=0.4, n_tables=8, n_bits=8)
+
+
+def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Text quality metrics (prose-ness heuristics) per document."""
+    from duplicate_finder_ray.stages import textstats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(textstats.quality_scores, batch_format="pyarrow")
+
+
+def q_language_id(sf_dir: str) -> ray.data.Dataset:
+    """Marker-word language ID (rows-only; python oracle in
+    tests/test_textstats.py)."""
+    from duplicate_finder_ray.stages import textstats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(textstats.language_id, batch_format="pyarrow")
+
+
+def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing fingerprints (rows-only; rolling-hash oracle in
+    tests/test_textstats.py)."""
+    from duplicate_finder_ray.stages import textstats
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(textstats.fingerprint_docs, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_fingerprints"])
+    )
+
+
+def q_token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace + BPE-ish token counts per document."""
+    from duplicate_finder_ray.stages import textstats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(textstats.token_counts, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "exact_dup_groups": q_exact_dup_groups,
@@ -220,6 +314,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    # similarity search over embeddings
+    "ann_topk": q_ann_topk,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    # text analysis
+    "quality_scores": q_quality_scores,
+    "language_id": q_language_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "token_counts_bpe": q_token_counts_bpe,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -263,6 +366,75 @@ ORACLE_SQL: dict[str, str] = {
            CASE WHEN trim(text) = '' THEN 0
                 ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
            ::BIGINT AS n_tokens
+    FROM documents
+    """,
+    "ann_topk": """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])) AS raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS "rank"
+      FROM s
+    )
+    SELECT query_id, vec_id, round(raw, 6) AS score, "rank"
+    FROM r WHERE "rank" <= 10
+    """,
+    "embedding_cosine_pairs": """
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                 CAST(y.embedding AS DOUBLE[])) >= 0.4
+    """,
+    # quality_scores: the SQL evaluates the SAME IEEE-754 expression
+    # tree over the same integer counts as stages/textstats.py, so the
+    # unrounded doubles match bit-for-bit (both engines run RE2).
+    "quality_scores": f"""
+    WITH c AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+              END)::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))::BIGINT AS n_punct,
+             len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+             len(regexp_extract_all(text,
+                 '(?i)\\b({"|".join(__import__("duplicate_finder_ray.stages.textstats", fromlist=["STOPWORDS"]).STOPWORDS)})\\b'
+             ))::BIGINT AS n_stopwords
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+        CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+        CAST(n_digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+        CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
+        CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len
+      FROM c
+    )
+    SELECT doc_id, n_chars, n_words, n_punct, n_digits, n_stopwords,
+           punct_ratio, digit_ratio, stopword_ratio, mean_word_len,
+           least(stopword_ratio * 2.5, 1.0) *
+             (greatest(1.0 - punct_ratio * 2.0, 0.0) *
+              greatest(1.0 - digit_ratio * 2.0, 0.0)) AS quality_score
+    FROM r
+    """,
+    "token_counts_bpe": """
+    SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+            END)::BIGINT AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]'))::BIGINT
+             AS n_tokens_bpe
     FROM documents
     """,
 }

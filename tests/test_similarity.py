@@ -1,0 +1,126 @@
+"""Similarity-search tests: brute-force top-k vs numpy oracle, cosine
+pairs vs O(n²) oracle, LSH recall on planted near-dup clusters."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from duplicate_finder_ray.stages import similarity
+
+
+def make_embeddings(n: int, d: int = 32, seed: int = 7, planted_groups: int = 0):
+    """Random unit-ish vectors; optionally plant groups of 3 near-dup
+    vectors (cosine ≥ ~0.95) at the end."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, d))
+    rows = [base]
+    for g in range(planted_groups):
+        v = rng.standard_normal(d)
+        for _ in range(3):
+            rows.append((v + 0.12 * rng.standard_normal(d))[None, :])
+    mat = np.vstack(rows)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in mat],
+        }
+    )
+
+
+def brute_force_topk(df: pd.DataFrame, qids, k: int):
+    m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    out = {}
+    for q in qids:
+        qi = int(np.nonzero(ids == q)[0][0])
+        scores = m @ m[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-scores[i], ids[i]),
+        )[:k]
+        out[q] = [(int(ids[i]), scores[i]) for i in order]
+    return out
+
+
+def brute_force_pairs(df: pd.DataFrame, tau: float) -> set[tuple[int, int]]:
+    m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    ids = df["vec_id"].to_numpy()
+    ia, ib = np.nonzero(np.triu(s >= tau, k=1))
+    return {(int(ids[i]), int(ids[j])) for i, j in zip(ia, ib)}
+
+
+@pytest.fixture(scope="module")
+def emb_df():
+    return make_embeddings(120, planted_groups=6)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, emb_df):
+    # several blocks so local-topk + global reduce actually compose
+    return ray_session.data.from_pandas(emb_df).repartition(4)
+
+
+class TestTopK:
+    def test_matches_numpy_oracle(self, emb_df, emb_ds):
+        qids = [0, 5, 17]
+        got = similarity.topk_neighbors(emb_ds, qids, k=8).to_pandas()
+        want = brute_force_topk(emb_df, qids, 8)
+        for q in qids:
+            sub = got[got["query_id"] == q].sort_values("rank")
+            assert sub["vec_id"].tolist() == [v for v, _ in want[q]]
+            np.testing.assert_allclose(
+                sub["score"].to_numpy(), [s for _, s in want[q]], atol=1e-12
+            )
+            assert sub["rank"].tolist() == list(range(1, 9))
+
+    def test_excludes_self(self, emb_ds):
+        got = similarity.topk_neighbors(emb_ds, [3], k=5).to_pandas()
+        assert 3 not in got["vec_id"].tolist()
+
+    def test_zero_vector_safe(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "vec_id": np.array([0, 1, 2], dtype=np.int64),
+                "embedding": [
+                    np.zeros(8, np.float32),
+                    np.ones(8, np.float32),
+                    -np.ones(8, np.float32),
+                ],
+            }
+        )
+        ds = ray_session.data.from_pandas(df)
+        got = similarity.topk_neighbors(ds, [1], k=2).to_pandas()
+        assert len(got) == 2  # no NaN blowup from the zero vector
+
+
+class TestCosinePairs:
+    def test_matches_oracle(self, emb_df, emb_ds):
+        tau = 0.9
+        got = similarity.cosine_pairs(emb_ds, tau).to_pandas()
+        keys = set(zip(got["a"].astype(int), got["b"].astype(int)))
+        want = brute_force_pairs(emb_df, tau)
+        assert want, "fixture must plant near-dup pairs"
+        assert keys == want
+        assert (got["a"] < got["b"]).all()
+        assert (got["score"] >= tau).all()
+
+    def test_lsh_high_precision_and_recall_on_planted(self, emb_df, emb_ds):
+        tau = 0.9
+        got = similarity.lsh_cosine_pairs(
+            emb_ds, tau, n_tables=12, n_bits=8, seed=3
+        ).to_pandas()
+        keys = set(zip(got["a"].astype(int), got["b"].astype(int)))
+        want = brute_force_pairs(emb_df, tau)
+        assert keys <= want, "exact verify ⇒ no false positives"
+        recall = len(keys & want) / len(want)
+        assert recall >= 0.95, f"recall {recall} over {len(want)} planted pairs"
+
+    def test_lsh_deterministic(self, emb_ds):
+        a = similarity.lsh_cosine_pairs(emb_ds, 0.9, seed=5).to_pandas()
+        b = similarity.lsh_cosine_pairs(emb_ds, 0.9, seed=5).to_pandas()
+        ka = sorted(zip(a["a"], a["b"]))
+        kb = sorted(zip(b["a"], b["b"]))
+        assert ka == kb

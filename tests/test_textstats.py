@@ -1,0 +1,131 @@
+"""Text-analysis tests: quality metrics vs a pure-python oracle,
+language-ID behavior, winnowing fingerprint guarantees."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from duplicate_finder_ray.stages import textstats
+
+DOCS = [
+    "The quick brown fox jumps over the lazy dog. It is a fine day!",
+    "der hund und die katze sind in den garten von dem haus",
+    "le chat et le chien sont dans la maison avec les enfants",
+    "en la casa de el perro y el gato con una luz para todos",
+    "",
+    "   \n\t  ",
+    "x" * 50,
+    "1234567890 !!! ??? ### $$$ 42 17",
+    "naturally the text of a long document is that it has stopwords "
+    "and it is for the most part prose with a few marks.",
+]
+
+
+def batch_of(texts) -> pa.Table:
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+class TestQualityScores:
+    def test_counts_match_python_oracle(self):
+        out = textstats.quality_scores(batch_of(DOCS)).to_pandas()
+        for i, t in enumerate(DOCS):
+            row = out.iloc[i]
+            assert row["n_chars"] == len(t)
+            words = t.split()
+            assert row["n_words"] == len(words)
+            assert row["n_punct"] == len(re.findall(r"[!-/:-@\[-`{-~]", t))
+            assert row["n_digits"] == len(re.findall(r"[0-9]", t))
+            stop = len(
+                re.findall(textstats.STOPWORD_REGEX.replace("(?i)", ""), t, re.I)
+            )
+            assert row["n_stopwords"] == stop
+
+    def test_score_ranges_and_ordering(self):
+        out = textstats.quality_scores(batch_of(DOCS)).to_pandas()
+        assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+        # prose beats digit/punct walls and letter runs
+        prose = out.iloc[8]["quality_score"]
+        assert prose > out.iloc[7]["quality_score"]
+        assert prose > out.iloc[6]["quality_score"]
+
+    def test_empty_doc_is_zero(self):
+        out = textstats.quality_scores(batch_of(DOCS)).to_pandas()
+        assert out.iloc[4]["n_words"] == 0
+        assert out.iloc[4]["quality_score"] == 0.0
+
+
+class TestLanguageId:
+    def test_marker_languages_detected(self):
+        out = textstats.language_id(batch_of(DOCS)).to_pandas()
+        assert out.iloc[0]["lang_pred"] == "en"
+        assert out.iloc[1]["lang_pred"] == "de"
+        assert out.iloc[2]["lang_pred"] == "fr"
+        assert out.iloc[3]["lang_pred"] == "es"
+
+    def test_empty_and_junk_unknown(self):
+        out = textstats.language_id(batch_of(DOCS)).to_pandas()
+        assert out.iloc[4]["lang_pred"] == "unknown"
+        assert out.iloc[5]["lang_pred"] == "unknown"
+        assert out.iloc[6]["lang_pred"] == "unknown"
+
+    def test_deterministic(self):
+        a = textstats.language_id(batch_of(DOCS)).to_pandas()
+        b = textstats.language_id(batch_of(DOCS)).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprint(self):
+        # winnowing guarantee: common substring of length ≥ k+w-1 ⇒
+        # at least one common fingerprint
+        k, w = 8, 4
+        shared = "this exact span is long enough to be fingerprinted"
+        a = "prefix junk AAA " + shared + " suffix one"
+        b = "totally different BBB " + shared + " other tail"
+        fa = set(textstats.winnow_fingerprints(a, k, w).tolist())
+        fb = set(textstats.winnow_fingerprints(b, k, w).tolist())
+        assert fa & fb
+
+    def test_disjoint_texts_disjoint_fingerprints(self):
+        fa = set(textstats.winnow_fingerprints("abcdefghijklmnop" * 3).tolist())
+        fb = set(textstats.winnow_fingerprints("QRSTUVWXYZ012345" * 3).tolist())
+        assert not (fa & fb)
+
+    def test_short_and_empty(self):
+        assert len(textstats.winnow_fingerprints("", 8, 4)) == 0
+        assert len(textstats.winnow_fingerprints("short", 8, 4)) == 0
+        assert len(textstats.winnow_fingerprints("exactly8", 8, 4)) == 1
+
+    def test_batch_stage_shapes(self):
+        out = textstats.fingerprint_docs(batch_of(DOCS)).to_pandas()
+        assert len(out) == len(DOCS)
+        assert (out["n_fingerprints"] >= 0).all()
+        assert out.iloc[4]["n_fingerprints"] == 0  # empty doc
+
+    def test_rolling_hash_equals_naive(self):
+        # the vectorized rolling hash must equal a per-gram recompute
+        text = "rolling hash check 12345"
+        k = 8
+        got = textstats._kgram_hashes(text, k)
+        base, mod = int(textstats._FP_BASE), int(textstats._FP_MOD)
+        data = text.encode()
+        for i in range(len(data) - k + 1):
+            h = 0
+            for c in data[i : i + k]:
+                h = (h * base + c) % mod
+            assert got[i] == h
+
+
+class TestTokenCounts:
+    def test_ws_and_bpe_counts(self):
+        out = textstats.token_counts(batch_of(DOCS)).to_pandas()
+        assert out.iloc[0]["n_tokens_ws"] == len(DOCS[0].split())
+        assert out.iloc[4]["n_tokens_ws"] == 0
+        # 50 'x' chars → 13 chunks of ≤4 letters
+        assert out.iloc[6]["n_tokens_bpe"] == 13
+        oracle = len(re.findall(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]", DOCS[8]))
+        assert out.iloc[8]["n_tokens_bpe"] == oracle
