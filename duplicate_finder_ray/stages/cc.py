@@ -85,6 +85,7 @@ def connected_components(
     labels = grouped_min(init, "file_id", "candidate", "component", num_buckets)
     labels = labels.materialize()
 
+    prev_sum = _label_checksum(labels)
     for _ in range(cfg.cc_max_rounds):
         # propose: neighbor labels travel along edges (join on src)
         proposals = rename_cols(
@@ -96,11 +97,28 @@ def connected_components(
         own = rename_cols(labels, {"component": "candidate"})
         new_labels = grouped_min(
             proposals.union(own), "file_id", "candidate", "component", num_buckets
-        ).materialize()
-        changed = _count_changed(labels, new_labels, num_buckets)
-        labels = new_labels
-        if changed == 0:
+        ).materialize()  # feeds BOTH sides of the jump join — never recompute
+        # pointer jumping: component ← label(component). Every component
+        # id is itself a node of the graph (a min file_id), so the self-
+        # join is total. Halves the remaining path length each round ⇒
+        # O(log diameter) rounds instead of O(diameter).
+        jumped = bucketed_inner_join(
+            rename_cols(new_labels, {"component": "mid"}),
+            rename_cols(new_labels, {"file_id": "mid"}),
+            "mid",
+            "mid",
+            num_buckets,
+        ).select_columns(["file_id", "component"])
+        # CRITICAL: union+sort emit O(input blocks) output blocks, which
+        # compounds ~4× per iteration — without this repartition the
+        # block count (and per-round wall time) grows EXPONENTIALLY
+        labels = jumped.repartition(num_buckets).materialize()
+        # convergence: order/partition-insensitive checksum — one cheap
+        # map + driver sum, no join shuffle (the driver reads one scalar)
+        cur_sum = _label_checksum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
@@ -110,27 +128,22 @@ def _chunks(col: pa.ChunkedArray | pa.Array) -> list[pa.Array]:
     return [col]
 
 
-def _count_changed(
-    old: ray.data.Dataset, new: ray.data.Dataset, num_buckets: int
-) -> int:
-    """Number of nodes whose label changed this round (bucketed join +
-    vectorized compare; the driver reads one scalar)."""
-    joined = bucketed_inner_join(
-        new,
-        rename_cols(old, {"component": "old_component"}),
-        "file_id",
-        "file_id",
-        num_buckets,
-    )
+def _label_checksum(labels: ray.data.Dataset) -> int:
+    """Order- and partition-insensitive checksum of the label table
+    (sum of crc32(file_id→component) per row). Equal checksums across
+    rounds ⇒ fixpoint (collision odds ~2^-60 at any realistic size)."""
+    from zlib import crc32
 
-    def ne(batch: pa.Table) -> pa.Table:
-        n = pc.sum(
-            pc.cast(pc.not_equal(batch["component"], batch["old_component"]), pa.int64())
-        )
-        return pa.table({"changed": pa.array([n.as_py() or 0], pa.int64())})
+    def fold(batch: pa.Table) -> pa.Table:
+        fids = batch.column("file_id").to_pylist()
+        comps = batch.column("component").to_pylist()
+        acc = 0
+        for f, c in zip(fids, comps):
+            acc += crc32(f"{f}\x00{c}".encode())
+        return pa.table({"s": pa.array([acc], pa.int64())})
 
-    parts = joined.map_batches(ne, batch_format="pyarrow").to_pandas()
-    return int(parts["changed"].sum())
+    parts = labels.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return int(parts["s"].sum())
 
 
 def clusters_table(labels: ray.data.Dataset) -> ray.data.Dataset:
