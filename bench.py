@@ -120,13 +120,21 @@ def run_bench() -> dict:
     return result
 
 
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "300000"))
+
+
 def run_scaling() -> None:
     """Fresh-process runs at 8 and 32 CPUs on the same input — the
-    sandbox proxy for the N→4N cluster-scaling criterion."""
-    corpus_path()  # ensure the corpus exists before timing anything
+    sandbox proxy for the N→4N cluster-scaling criterion. Uses a larger
+    corpus than the default bench so per-stage fixed overhead (actor
+    pool spin-up, shuffle rounds) does not mask compute scaling."""
 
     def child(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

@@ -53,14 +53,18 @@ class NearDupPipeline:
     def run_on(self, ds: ray.data.Dataset) -> NearDupResult:
         cfg = self.cfg
         with_id = ds.map_batches(add_identity, batch_format="pyarrow")
+        # exact mode carries the shingle sets through the signature pass
+        # so verification never re-reads or re-shingles content
         sigs = neardup.signatures(
-            with_id.select_columns(["file_id", "content"]), cfg
-        ).materialize()  # reused: bands + (estimate-mode) joins
+            with_id.select_columns(["file_id", "content"]),
+            cfg,
+            emit_shingles=(cfg.verify_mode == "exact"),
+        ).materialize()  # reused: bands + verify endpoint lookups
         band_rows = neardup.explode_bands(sigs, cfg)
         candidates = neardup.candidate_pairs(band_rows, cfg)
         if cfg.verify_mode == "exact":
             verified = neardup.verify_pairs_exact(
-                candidates.materialize(), with_id, cfg
+                candidates.materialize(), sigs, cfg
             ).materialize()
         else:
             verified = neardup.verify_pairs(candidates, sigs, cfg).materialize()
@@ -88,7 +92,9 @@ class NearDupPipeline:
         sigs = mgr.run_stage(
             "signatures",
             lambda: neardup.signatures(
-                with_id.select_columns(["file_id", "content"]), cfg
+                with_id.select_columns(["file_id", "content"]),
+                cfg,
+                emit_shingles=(cfg.verify_mode == "exact"),
             ),
             resume=resume,
         )
@@ -100,7 +106,7 @@ class NearDupPipeline:
         if cfg.verify_mode == "exact":
             verified = mgr.run_stage(
                 "verified",
-                lambda: neardup.verify_pairs_exact(candidates, with_id, cfg),
+                lambda: neardup.verify_pairs_exact(candidates, sigs, cfg),
                 resume=resume,
             )
         else:

@@ -1,149 +1,187 @@
-"""Distributed connected components via iterative hash-to-min label
-propagation (north_rule's "distributed union-find ... driven by
+"""Distributed connected components via iterated partition-local
+contraction (north_rule's "distributed union-find ... driven by
 groupby-aggregate shuffles").
 
-Algorithm (public: "hash-to-min", Rastogi et al. 2013 "Finding
-Connected Components in MapReduce"; load-balancing concerns per BTS,
-ICDE 2024 — see PAPERS.md):
+Algorithm — iterated double-bucket local contraction (the hash-to-min
+family of Rastogi et al. 2013 "Finding Connected Components in
+MapReduce", with the per-reducer merge strengthened to a full
+union-find; load-balancing concerns per Kiveris et al. 2014):
 
-    label(v) ← v
+    edges ← input pair edges (a, b)
     repeat:
-        every edge (u,v) proposes label(u) to v and label(v) to u
-        label(v) ← min(label(v), proposals)
-    until no label changes
+        send every edge to BOTH endpoints' buckets
+        (bucket = crc(node) % B)                       [ONE shuffle]
+        per bucket: in-memory union-find over received edges,
+        union-by-lexicographic-min; emit star edges
+        (node → bucket-local root) for every node seen
+    until the edge multiset is unchanged (checksum fixpoint)
+    dedupe (node, root) rows                           [one shuffle]
 
-Each round is: one bucketed hash join (labels onto edge sources) + one
-bucketed groupby-min — all expressed on Ray's sort-based groupby path
-(see stages/join.py for why the built-in hash-join/aggregate operators
-are avoided here). Convergence in O(diameter) rounds; near-dup
-components are star-like (diameter ≤ ~4), so 3-5 rounds in practice.
-The per-round label table is materialized (it is small: candidate nodes
-only — nodes untouched by any pair are singletons by definition and
-never enter the loop).
+Because a node's complete incident edge set co-locates in its own
+bucket every round, min labels propagate transitively within every
+bucket per round — chains contract in O(log diameter) rounds, not
+O(diameter). At the fixpoint no (x→y, y→z) chain can exist (bucket(y)
+would merge it), so every component is a single star rooted at its
+lexicographically-smallest node — consistent with the engine-wide
+keep-first rule — and the edge set IS the label table.
 
-The driver only orchestrates rounds and reads one scalar (changed
-count) per round; labels and edges stay distributed.
+Each round is exactly one groupby shuffle over ≤ 2·|V| star edges plus
+one cheap checksum aggregate (map + driver sum of one scalar). No
+joins anywhere. The driver only orchestrates rounds and reads one
+scalar per round; edges stay distributed throughout.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
 from duplicate_finder_ray.config import PipelineConfig
-from duplicate_finder_ray.stages.join import bucketed_inner_join, grouped_min
-from duplicate_finder_ray.stages.util import rename_cols
 
 _LABELS_SCHEMA = pa.schema([("file_id", pa.string()), ("component", pa.string())])
+
+
+def _local_contract(part: pd.DataFrame) -> pa.Table:
+    """In-memory union-find over one bucket's edges; emits one star
+    edge (node → local root) per distinct node seen."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(part["a"].to_numpy(), part["b"].to_numpy()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = list(parent)
+    roots = [find(n) for n in nodes]
+    return pa.table(
+        {"a": pa.array(nodes, pa.string()), "b": pa.array(roots, pa.string())}
+    )
+
+
+def _crc_buckets(vals: list[str], num_buckets: int) -> np.ndarray:
+    from zlib import crc32
+
+    out = np.empty(len(vals), dtype=np.int32)
+    for i, v in enumerate(vals):
+        out[i] = crc32(v.encode()) % num_buckets
+    return out
+
+
+def _contract_round(
+    edges: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
+    """One contraction round: every edge lands in BOTH endpoints'
+    buckets (so each node's whole neighborhood is visible to one
+    union-find), then per-bucket contraction. ONE shuffle."""
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        ba = _crc_buckets(a, num_buckets)
+        bb = _crc_buckets(b, num_buckets)
+        # second copy only where the buckets differ (self-bucket edges
+        # would otherwise double inside one reducer — harmless for the
+        # DSU but wasted shuffle bytes)
+        diff = ba != bb
+        out_a = a + [x for x, d in zip(a, diff) if d]
+        out_b = b + [x for x, d in zip(b, diff) if d]
+        out_bucket = np.concatenate([ba, bb[diff]])
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "__bucket": pa.array(out_bucket, pa.int32()),
+            }
+        )
+
+    return (
+        edges.map_batches(add_buckets, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_local_contract, batch_format="pandas")
+    )
+
+
+def _edge_checksum(edges: ray.data.Dataset) -> int:
+    """Order/partition-insensitive multiset checksum (sum of crc32 per
+    edge; the driver reads one scalar). Stable checksum across rounds ⇒
+    fixpoint (collision odds ~2^-60)."""
+    from zlib import crc32
+
+    def fold(batch: pa.Table) -> pa.Table:
+        acc = 0
+        for a, b in zip(
+            batch.column("a").to_pylist(), batch.column("b").to_pylist()
+        ):
+            acc += crc32(f"{a}\x00{b}".encode())
+        return pa.table({"s": pa.array([acc], pa.int64())})
+
+    parts = edges.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return int(parts["s"].sum())
 
 
 def connected_components(
     pairs: ray.data.Dataset, cfg: PipelineConfig
 ) -> ray.data.Dataset:
     """Label every node in the pair graph with its component id (the
-    lexicographically smallest file_id in the component — consistent
-    with the engine-wide keep-first rule).
+    lexicographically smallest file_id in the component).
 
     pairs: Dataset with string columns (a, b). Returns (file_id,
-    component).
+    component). Nodes not touched by any pair are singletons by
+    definition and never enter the computation.
     """
     from duplicate_finder_ray.stages.neardup import effective_parallelism
 
-    num_buckets = effective_parallelism(cfg) * 2
     edges = pairs.select_columns(["a", "b"]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(_LABELS_SCHEMA.empty_table())
+    # shuffle width: enough buckets to spread real data, few enough
+    # that per-round task overhead stays small on small graphs
+    num_buckets = max(4, min(effective_parallelism(cfg) * 2, n_edges // 2_000))
 
-    # symmetric edge list: src -> dst both ways
-    def symmetrize(batch: pa.Table) -> pa.Table:
+    prev = None
+    for _ in range(cfg.cc_max_rounds):
+        edges = _contract_round(edges, num_buckets).materialize()
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # a node's star edge is emitted by up to two buckets (its own and
+    # its root's) — identical rows at the fixpoint; dedupe + rename
+    def dedupe(part: pd.DataFrame) -> pa.Table:
+        part = part.drop_duplicates(subset=["a"])
         return pa.table(
             {
-                "src": pa.concat_arrays(
-                    [c for col in (batch["a"], batch["b"]) for c in _chunks(col)]
-                ),
-                "dst": pa.concat_arrays(
-                    [c for col in (batch["b"], batch["a"]) for c in _chunks(col)]
-                ),
+                "file_id": pa.array(part["a"].to_numpy(), pa.string()),
+                "component": pa.array(part["b"].to_numpy(), pa.string()),
             }
         )
 
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(
+                _crc_buckets(batch.column("a").to_pylist(), num_buckets), pa.int32()
+            ),
+        )
 
-    # initial labels: label(v) = min(v, min neighbor) — one round for free
-    init = sym.map_batches(
-        lambda t: pa.table(
-            {
-                "file_id": t["src"],
-                "candidate": pc.min_element_wise(t["src"], t["dst"]),
-            }
-        ),
-        batch_format="pyarrow",
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedupe, batch_format="pandas")
     )
-    labels = grouped_min(init, "file_id", "candidate", "component", num_buckets)
-    labels = labels.materialize()
-
-    prev_sum = _label_checksum(labels)
-    for _ in range(cfg.cc_max_rounds):
-        # propose: neighbor labels travel along edges (join on src)
-        proposals = rename_cols(
-            bucketed_inner_join(
-                sym, labels, "src", "file_id", num_buckets
-            ).select_columns(["dst", "component"]),
-            {"dst": "file_id", "component": "candidate"},
-        )
-        own = rename_cols(labels, {"component": "candidate"})
-        new_labels = grouped_min(
-            proposals.union(own), "file_id", "candidate", "component", num_buckets
-        ).materialize()  # feeds BOTH sides of the jump join — never recompute
-        # pointer jumping: component ← label(component). Every component
-        # id is itself a node of the graph (a min file_id), so the self-
-        # join is total. Halves the remaining path length each round ⇒
-        # O(log diameter) rounds instead of O(diameter).
-        jumped = bucketed_inner_join(
-            rename_cols(new_labels, {"component": "mid"}),
-            rename_cols(new_labels, {"file_id": "mid"}),
-            "mid",
-            "mid",
-            num_buckets,
-        ).select_columns(["file_id", "component"])
-        # CRITICAL: union+sort emit O(input blocks) output blocks, which
-        # compounds ~4× per iteration — without this repartition the
-        # block count (and per-round wall time) grows EXPONENTIALLY
-        labels = jumped.repartition(num_buckets).materialize()
-        # convergence: order/partition-insensitive checksum — one cheap
-        # map + driver sum, no join shuffle (the driver reads one scalar)
-        cur_sum = _label_checksum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels
-
-
-def _chunks(col: pa.ChunkedArray | pa.Array) -> list[pa.Array]:
-    if isinstance(col, pa.ChunkedArray):
-        return col.chunks
-    return [col]
-
-
-def _label_checksum(labels: ray.data.Dataset) -> int:
-    """Order- and partition-insensitive checksum of the label table
-    (sum of crc32(file_id→component) per row). Equal checksums across
-    rounds ⇒ fixpoint (collision odds ~2^-60 at any realistic size)."""
-    from zlib import crc32
-
-    def fold(batch: pa.Table) -> pa.Table:
-        fids = batch.column("file_id").to_pylist()
-        comps = batch.column("component").to_pylist()
-        acc = 0
-        for f, c in zip(fids, comps):
-            acc += crc32(f"{f}\x00{c}".encode())
-        return pa.table({"s": pa.array([acc], pa.int64())})
-
-    parts = labels.map_batches(fold, batch_format="pyarrow").to_pandas()
-    return int(parts["s"].sum())
 
 
 def clusters_table(labels: ray.data.Dataset) -> ray.data.Dataset:

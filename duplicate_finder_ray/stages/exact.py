@@ -74,13 +74,27 @@ def candidate_sizes(ds: ray.data.Dataset) -> np.ndarray:
             {"size": pa.array(values, pa.int64()), "partial": pa.array(counts, pa.int64())}
         )
 
-    counts = (
-        ds.select_columns(["size"])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("size")
-        .aggregate(Sum("partial", alias_name="n"))
+    partials = ds.select_columns(["size"]).map_batches(
+        partial_counts, batch_format="pyarrow"
     )
-    pdf = counts.to_pandas()
+    # final reduce: per-batch partials are tiny (one row per distinct
+    # size per batch). Up to a few hundred blocks, summing them on the
+    # driver skips a whole shuffle barrier; past that, the volume
+    # (blocks × distinct sizes) warrants the distributed aggregate.
+    try:
+        many_blocks = ds.num_blocks() > 256
+    except Exception:
+        many_blocks = True
+    if many_blocks:
+        counts = partials.groupby("size").aggregate(Sum("partial", alias_name="n"))
+        pdf = counts.to_pandas()
+    else:
+        pdf = (
+            partials.to_pandas()
+            .groupby("size", sort=False)["partial"]
+            .sum()
+            .reset_index(name="n")
+        )
     dup_sizes = pdf.loc[pdf["n"] > 1, "size"].to_numpy(dtype=np.int64)
     return np.sort(dup_sizes)
 
@@ -123,6 +137,47 @@ def duplicate_members(
     """
     keys = ["size", "sha256"] if group_on_size else ["sha256"]
     verify = cfg.verify_content
+
+    if not verify:
+        # fast path: ONE coarse shuffle on pkey = crc32(sha256) % P, then
+        # fully vectorized pandas group kernels inside each partition —
+        # a naive groupby(size, sha).map_groups pays a Python call per
+        # GROUP (milliseconds × thousands of groups); this pays P calls.
+        from zlib import crc32
+
+        num_parts = max(8, cfg.parallelism)
+
+        def add_pkey(batch: pa.Table) -> pa.Table:
+            out = np.empty(len(batch), dtype=np.int32)
+            for i, s in enumerate(batch.column("sha256").to_pylist()):
+                out[i] = crc32(s.encode()) % num_parts
+            return batch.append_column("pkey", pa.array(out, pa.int32()))
+
+        def emit_partition(part: pd.DataFrame) -> pa.Table:
+            part = part.sort_values([*keys, "file_id"], kind="mergesort")
+            grp = part.groupby(keys, sort=False)
+            n = grp["file_id"].transform("size").astype("int64")
+            part = part.assign(n_files=n)
+            part = part[part["n_files"] >= 2]
+            if len(part) == 0:
+                return _EMPTY_MEMBERS
+            grp2 = part.groupby(keys, sort=False)
+            part = part.assign(
+                rank=grp2.cumcount().astype("int64"),
+                group_id=part["sha256"],
+            )
+            part = part.assign(is_keeper=part["rank"] == 0)
+            return pa.Table.from_pandas(
+                part[[f.name for f in MEMBERS_SCHEMA]],
+                schema=MEMBERS_SCHEMA,
+                preserve_index=False,
+            )
+
+        return (
+            ds.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(emit_partition, batch_format="pandas")
+        )
 
     def finalize(sub: pd.DataFrame, group_id: str) -> pd.DataFrame:
         sub = sub.copy()

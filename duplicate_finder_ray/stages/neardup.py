@@ -72,10 +72,14 @@ class SignatureStage:
     uint64, n_shingles). Shingler vocab + permutation tables persist
     across batches."""
 
-    def __init__(self, cfg: PipelineConfig) -> None:
+    def __init__(self, cfg: PipelineConfig, emit_shingles: bool = False) -> None:
         self.shingler = Shingler(k=cfg.shingle_k, mode=cfg.shingle_mode)
         self.a, self.b = minhash_params(cfg.minhash_perms, cfg.minhash_seed)
         self.num_perms = cfg.minhash_perms
+        #: also emit the deduped shingle set (uint64-LE bytes) per row —
+        #: shingling is the expensive part, so exact-verify reuses these
+        #: instead of a SECOND full content read+shingle pass
+        self.emit_shingles = emit_shingles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch.column("content").to_pylist()
@@ -83,11 +87,14 @@ class SignatureStage:
         sigs = np.empty((n, self.num_perms), dtype=np.uint64)
         simhashes = np.empty(n, dtype=np.uint64)
         n_shingles = np.empty(n, dtype=np.int64)
+        shingle_bytes: list[bytes] = []
         for i, text in enumerate(contents):
             sh = self.shingler.shingle_hashes(text if text is not None else "")
             sigs[i] = minhash_signature(sh, self.a, self.b)
             simhashes[i] = simhash64(sh)
             n_shingles[i] = len(sh)
+            if self.emit_shingles:
+                shingle_bytes.append(sh.tobytes())
         out = batch.drop_columns(["content"])
         out = out.append_column(
             "minhash",
@@ -96,17 +103,24 @@ class SignatureStage:
             ),
         )
         out = out.append_column("simhash", pa.array(simhashes, type=pa.uint64()))
-        return out.append_column("n_shingles", pa.array(n_shingles, type=pa.int64()))
+        out = out.append_column("n_shingles", pa.array(n_shingles, type=pa.int64()))
+        if self.emit_shingles:
+            out = out.append_column(
+                "shingles", pa.array(shingle_bytes, pa.large_binary())
+            )
+        return out
 
 
-def signatures(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+def signatures(
+    ds: ray.data.Dataset, cfg: PipelineConfig, emit_shingles: bool = False
+) -> ray.data.Dataset:
     """Run the signature actor pool over a dataset bearing
     (file_id, content)."""
     # autoscaling pool (1, N): a fixed-size pool of N would deadlock on
     # sessions with fewer than N CPUs while waiting for all actors
     return ds.map_batches(
         SignatureStage,
-        fn_constructor_args=(cfg,),
+        fn_constructor_args=(cfg, emit_shingles),
         batch_format="pyarrow",
         batch_size=cfg.derive_batch_size,
         concurrency=(1, cfg.parallelism),
@@ -171,7 +185,7 @@ def candidate_pairs(
     the true bucket size recorded on every emitted pair (never silent).
     """
     cap = cfg.band_bucket_cap
-    num_parts = effective_parallelism(cfg) * 4
+    num_parts = effective_parallelism(cfg) * 2
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         pkey = (
@@ -186,21 +200,32 @@ def candidate_pairs(
         if len(part) == 0:
             return _EMPTY_PAIRS
         part = part.sort_values(["band", "band_hash", "file_id"], kind="mergesort")
+        ids = part["file_id"].to_numpy()
+        sizes = (
+            part.groupby(["band", "band_hash"], sort=False).size().to_numpy()
+        )  # run-lengths in sorted order
+        starts = np.zeros(len(sizes), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        capped = np.minimum(sizes, cap)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_sz: list[np.ndarray] = []
-        for _, sub in part.groupby(["band", "band_hash"], sort=False):
-            m = len(sub)
-            ids = sub["file_id"].to_numpy()[:cap]
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-            out_sz.append(np.full(len(ia), m, dtype=np.int64))
+        # vectorize per DISTINCT capped size (few distinct values), not
+        # per bucket — a python iteration per bucket is ~100µs × 10^5+
+        for m in np.unique(capped):
+            if m < 2:
+                continue
+            sel = capped == m
+            st = starts[sel]
+            ia, ib = np.triu_indices(int(m), k=1)
+            out_a.append(ids[(st[:, None] + ia[None, :]).ravel()])
+            out_b.append(ids[(st[:, None] + ib[None, :]).ravel()])
+            out_sz.append(np.repeat(sizes[sel], len(ia)))
         return pa.table(
             {
                 "a": pa.array(np.concatenate(out_a), pa.string()),
                 "b": pa.array(np.concatenate(out_b), pa.string()),
-                "bucket_size": pa.array(np.concatenate(out_sz)),
+                "bucket_size": pa.array(np.concatenate(out_sz).astype(np.int64)),
             }
         )
 
@@ -221,16 +246,13 @@ def candidate_pairs(
         return agg
 
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        # crc32, NOT builtin hash(): str hashing is salted per process,
-        # which would scatter identical pairs across partitions
-        from zlib import crc32
-
-        h = np.array(
-            [crc32(x.encode()) for x in batch.column("a").to_pylist()],
-            dtype=np.int64,
-        )
+        # pd.util.hash_array (fixed-key siphash), NOT builtin hash():
+        # str hashing is salted per process, which would scatter
+        # identical pairs across partitions. Vectorized C kernel.
+        h = pd.util.hash_array(batch.column("a").to_numpy(zero_copy_only=False))
         return batch.append_column(
-            "pkey", pa.array((h % num_parts).astype(np.int32), pa.int32())
+            "pkey",
+            pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),
         )
 
     deduped = (
@@ -380,24 +402,47 @@ def verify_pairs_exact(
         keep = np.isin(batch.column("file_id").to_numpy(), ray.get(endpoints_ref))
         return batch.filter(pa.array(keep))
 
-    cand = code_with_id.select_columns(["file_id", "content"]).map_batches(
-        probe, batch_format="pyarrow"
-    )
-    shingle_sets = cand.map_batches(
-        ShingleSetStage,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=cfg.derive_batch_size,
-        concurrency=(1, effective_parallelism(cfg)),
-        num_cpus=1,
-    )
+    source_cols = code_with_id.schema().names
+    if "shingles" in source_cols:
+        # the signature pass already carried the shingle sets — filter to
+        # the endpoints; content is never re-read or re-shingled
+        shingle_sets = code_with_id.select_columns(
+            ["file_id", "shingles"]
+        ).map_batches(probe, batch_format="pyarrow")
+    else:
+        cand = code_with_id.select_columns(["file_id", "content"]).map_batches(
+            probe, batch_format="pyarrow"
+        )
+        shingle_sets = cand.map_batches(
+            ShingleSetStage,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.derive_batch_size,
+            concurrency=(1, effective_parallelism(cfg)),
+            num_cpus=1,
+        )
 
     threshold = cfg.jaccard_threshold
 
     if len(endpoints) <= broadcast_limit:
-        # broadcast path: one dict of endpoint shingle sets via ray.put
-        sets_df = shingle_sets.to_pandas()
-        sets_ref = ray.put(dict(zip(sets_df["file_id"], sets_df["shingles"])))
+        # broadcast path: CSR-style numpy triple (sorted ids, offsets,
+        # flat uint64 values) via ONE ray.put. The heavy flat array is
+        # zero-copy out of the object store — a dict of bytes would be
+        # re-pickled/deserialized by every task (hundreds of MB × tasks)
+        sets_df = shingle_sets.to_pandas().sort_values("file_id")
+        sorted_ids = sets_df["file_id"].to_numpy()
+        lens = np.fromiter(
+            (len(s) // 8 for s in sets_df["shingles"]), dtype=np.int64,
+            count=len(sets_df),
+        )
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = (
+            np.frombuffer(b"".join(sets_df["shingles"]), dtype=np.uint64)
+            if len(sets_df)
+            else np.empty(0, dtype=np.uint64)
+        )
+        sets_ref = ray.put((sorted_ids, offsets, flat))
 
         def score_broadcast(batch: pa.Table) -> pa.Table:
             out_schema = pa.schema(
@@ -410,12 +455,17 @@ def verify_pairs_exact(
             )
             if len(batch) == 0:
                 return out_schema.empty_table()
-            sets = ray.get(sets_ref)
-            aa = batch.column("a").to_pylist()
-            bb = batch.column("b").to_pylist()
+            ids, offs, flat = ray.get(sets_ref)
+            aa = batch.column("a").to_numpy(zero_copy_only=False)
+            bb = batch.column("b").to_numpy(zero_copy_only=False)
+            pa_idx = np.searchsorted(ids, aa)
+            pb_idx = np.searchsorted(ids, bb)
             jac = np.empty(len(batch), dtype=np.float64)
-            for i, (ka, kb) in enumerate(zip(aa, bb)):
-                jac[i] = _jaccard_bytes(sets.get(ka, b""), sets.get(kb, b""))
+            for i in range(len(batch)):
+                ia, ib = pa_idx[i], pb_idx[i]
+                xa = flat[offs[ia] : offs[ia + 1]] if ia < len(ids) and ids[ia] == aa[i] else flat[:0]
+                xb = flat[offs[ib] : offs[ib + 1]] if ib < len(ids) and ids[ib] == bb[i] else flat[:0]
+                jac[i] = _jaccard_arrays(xa, xb)
             out = pa.table(
                 {
                     "a": batch["a"],
@@ -470,6 +520,17 @@ def verify_pairs_exact(
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def _jaccard_arrays(xa: np.ndarray, xb: np.ndarray) -> float:
+    """Exact Jaccard of two deduped uint64 shingle arrays."""
+    na, nb = len(xa), len(xb)
+    if na == 0 and nb == 0:
+        return 1.0
+    if na == 0 or nb == 0:
+        return 0.0
+    inter = len(np.intersect1d(xa, xb, assume_unique=True))
+    return inter / (na + nb - inter)
 
 
 def _jaccard_bytes(ba: bytes, bb: bytes) -> float:
