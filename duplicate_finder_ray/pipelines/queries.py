@@ -202,6 +202,32 @@ def q_near_dup_clusters(sf_dir: str) -> ray.data.Dataset:
     return res.labels
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """n-gram Jaccard near-dup baseline: ALL pairs with exact 5-gram
+    Jaccard ≥ 0.5 under ASCII tokenization (inverted-index broadcast
+    brute force — the oracle-checkable baseline; LSH is the scale
+    path)."""
+    from duplicate_finder_ray.stages.derive import add_identity
+    from duplicate_finder_ray.stages.neardup import ngram_jaccard_pairs
+
+    ds = code_files_from_documents(sf_dir).map_batches(
+        add_identity, batch_format="pyarrow"
+    )
+    return ngram_jaccard_pairs(ds, "file_id", "content", k=5, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """SimHash near-dup: Hamming ≤ 3 pairs via bit-block pigeonhole
+    banding (rows-only driver check; hamming oracle in
+    tests/test_neardup.py)."""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+    from duplicate_finder_ray.stages.neardup import simhash_candidate_pairs
+
+    cfg = PipelineConfig()
+    sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
+    return simhash_candidate_pairs(sigs, cfg, max_hamming=3)
+
+
 def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
     """ANN baseline: brute-force cosine top-10 for query vecs 0..7
     (broadcast query matrix, per-batch local top-k, tiny global reduce)."""
@@ -314,6 +340,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_pairs": q_simhash_pairs,
     # similarity search over embeddings
     "ann_topk": q_ann_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -367,6 +395,36 @@ ORACLE_SQL: dict[str, str] = {
                 ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
            ::BIGINT AS n_tokens
     FROM documents
+    """,
+    # exact same tokenizer class on both engines (RE2 '[A-Za-z0-9_]+');
+    # shingle identity differs (blake2b-64 vs the string itself) but
+    # Jaccard over the two representations is equal absent 64-bit hash
+    # collisions, so the rounded values match bit-for-bit.
+    "ngram_jaccard_pairs": f"""
+    WITH code_files AS ({CODE_FILES_SQL}),
+    tok AS (
+      SELECT repo || ':' || path || '@' || "commit" AS doc_key,
+             regexp_extract_all(content, '[A-Za-z0-9_]+') AS w
+      FROM code_files
+    ),
+    idx AS (
+      SELECT doc_key, w, unnest(generate_series(1, len(w) - 4)) AS i
+      FROM tok WHERE len(w) >= 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_key, array_to_string(w[i:i+4], chr(31)) AS s FROM idx
+    ),
+    n AS (SELECT doc_key, count(*) AS n FROM sh GROUP BY doc_key),
+    inter AS (
+      SELECT x.doc_key AS a, y.doc_key AS b, count(*) AS c
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_key < y.doc_key
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_key = inter.a
+    JOIN n nb ON nb.doc_key = inter.b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     """,
     "ann_topk": """
     WITH q AS (

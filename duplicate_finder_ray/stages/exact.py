@@ -89,12 +89,12 @@ def candidate_sizes(ds: ray.data.Dataset) -> np.ndarray:
         counts = partials.groupby("size").aggregate(Sum("partial", alias_name="n"))
         pdf = counts.to_pandas()
     else:
-        pdf = (
-            partials.to_pandas()
-            .groupby("size", sort=False)["partial"]
-            .sum()
-            .reset_index(name="n")
-        )
+        pdf = partials.to_pandas()
+        # to_pandas() on an empty Dataset yields a 0-column frame
+        if "size" in pdf.columns:
+            pdf = pdf.groupby("size", sort=False)["partial"].sum().reset_index(name="n")
+    if "n" not in pdf.columns:
+        return np.empty(0, dtype=np.int64)
     dup_sizes = pdf.loc[pdf["n"] > 1, "size"].to_numpy(dtype=np.int64)
     return np.sort(dup_sizes)
 

@@ -611,3 +611,134 @@ def simhash_candidate_pairs(
         emit_pairs, batch_format="pandas"
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard brute force (oracle-checkable baseline; LSH is the scale
+# path). ASCII tokenization so the DuckDB SQL twin matches exactly.
+# ---------------------------------------------------------------------------
+
+_ASCII_TOKEN_RE = None  # compiled lazily (keeps module import cheap)
+
+
+def ascii_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Deduped uint64 hashes of the k-token shingles of ``text`` under
+    ASCII ``[A-Za-z0-9_]+`` tokenization — the tokenizer the DuckDB
+    oracle can reproduce (RE2 class, identical on both engines). Shingle
+    identity is the blake2b-64 of tokens joined with US (0x1f), so equal
+    shingle strings hash equal on every worker."""
+    global _ASCII_TOKEN_RE
+    if _ASCII_TOKEN_RE is None:
+        import re
+
+        _ASCII_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+    import hashlib
+
+    tokens = _ASCII_TOKEN_RE.findall(text)
+    n = len(tokens)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n - k + 1, dtype=np.uint64)
+    for i in range(n - k + 1):
+        s = "\x1f".join(tokens[i : i + k])
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    return np.unique(out)
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """All unordered pairs with exact k-gram Jaccard ≥ threshold.
+
+    Distributed brute force with an inverted-index broadcast: the driver
+    collects each doc's deduped shingle-hash set (small — hashes only,
+    never text), builds one global postings array sorted by shingle, and
+    ``ray.put``s it ONCE. Each batch task then scores its docs against
+    the whole corpus via searchsorted + bincount — O(|S_a| log M) per
+    doc, no per-pair Python work, no shuffle. Baseline for the LSH
+    pipelines' recall; fine to ~10^5 docs (postings stay ~10^7 u64)."""
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "doc_key": pa.compute.cast(batch[id_col], pa.string()),
+                "shingles": pa.array(
+                    [ascii_shingle_hashes(t or "", k).tobytes() for t in texts],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    sets_ds = ds.map_batches(to_sets, batch_format="pyarrow").materialize()
+    sets_df = sets_ds.to_pandas()
+    if len(sets_df) == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64())]
+            ).empty_table()
+        )
+    sets_df = sets_df.sort_values("doc_key").reset_index(drop=True)
+    keys = sets_df["doc_key"].to_numpy()
+    sizes = np.fromiter(
+        (len(s) // 8 for s in sets_df["shingles"]), dtype=np.int64, count=len(sets_df)
+    )
+    all_sh = (
+        np.frombuffer(b"".join(sets_df["shingles"]), dtype=np.uint64)
+        if sizes.sum()
+        else np.empty(0, dtype=np.uint64)
+    )
+    all_doc = np.repeat(np.arange(len(sets_df), dtype=np.int64), sizes)
+    order = np.argsort(all_sh, kind="stable")
+    ref = ray.put((keys, sizes, all_sh[order], all_doc[order]))
+
+    out_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64())]
+    )
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        keys_g, sizes_g, sh_sorted, doc_sorted = ray.get(ref)
+        n_docs = len(keys_g)
+        a_keys: list[str] = []
+        b_keys: list[str] = []
+        jacs: list[float] = []
+        batch_keys = batch.column("doc_key").to_pylist()
+        for row_i, blob in enumerate(batch.column("shingles").to_pylist()):
+            sa = np.frombuffer(blob, dtype=np.uint64)
+            if len(sa) == 0:
+                continue
+            lo = np.searchsorted(sh_sorted, sa, side="left")
+            hi = np.searchsorted(sh_sorted, sa, side="right")
+            runs = hi - lo
+            # gather posting doc indices for every matching occurrence
+            idx = np.repeat(lo, runs) + (
+                np.arange(int(runs.sum())) - np.repeat(np.cumsum(runs) - runs, runs)
+            )
+            inter = np.bincount(doc_sorted[idx], minlength=n_docs)
+            union = len(sa) + sizes_g - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            my_key = batch_keys[row_i]
+            cand = np.nonzero(jac >= threshold)[0]
+            for j in cand:
+                if keys_g[j] > my_key:  # unordered dedupe + drop self
+                    a_keys.append(my_key)
+                    b_keys.append(keys_g[j])
+                    jacs.append(float(jac[j]))
+        if not a_keys:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "a": pa.array(a_keys, pa.string()),
+                "b": pa.array(b_keys, pa.string()),
+                "jaccard": pa.array(np.round(np.array(jacs), 6)),
+            }
+        )
+
+    return sets_ds.map_batches(score_block, batch_format="pyarrow")

@@ -1,0 +1,147 @@
+"""CLI tests — mirrors the reference's CLI test level
+(/root/reference/tests/test_cli_args.py:17-59): help text, duplicate
+listing, dry-run "[would delete]" lines, exclude suppressing results —
+in-process (reusing the session Ray) plus one subprocess --help check.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from duplicate_finder_ray.cli import (
+    build_parser,
+    interactive_decisions,
+    main,
+    render_delete_report,
+)
+
+
+def test_help_subprocess():
+    out = subprocess.run(
+        [sys.executable, "-m", "duplicate_finder_ray", "--help"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    assert "find-dupes-ray" in out
+    assert "--exclude" in out and "--dry-run" in out and "--verify-content" in out
+
+
+def test_sort_flags_mutually_exclusive():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["/tmp/x", "-g", "-s"])
+
+
+@pytest.fixture()
+def corpus_parquet(tmp_path, tiny_corpus):
+    p = tmp_path / "corpus.parquet"
+    tiny_corpus.to_parquet(p, index=False)
+    return str(p)
+
+
+def test_cli_lists_duplicates(ray_session, corpus_parquet, capsys):
+    assert main([corpus_parquet]) == 0
+    out = capsys.readouterr().out
+    assert "group(s) of duplicate files" in out
+    assert "orgA/r1:src/a.py@" in out  # member line present
+
+
+def test_cli_dry_run_would_delete(ray_session, corpus_parquet, capsys):
+    assert main([corpus_parquet, "--delete", "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "[would delete]" in out
+    # keeper (lexicographic min) is never listed as deleted
+    assert "[would delete] orgA/r1:src/a.py@" not in out
+    assert "[would delete] orgB/r2:lib/b.py@" in out
+
+
+def test_cli_exclude_suppresses(ray_session, corpus_parquet, capsys):
+    # exclude everything → no duplicates reported
+    assert main([corpus_parquet, "-e", "*"]) == 0
+    out = capsys.readouterr().out
+    assert "No duplicate files found." in out
+
+
+def test_cli_report_file(ray_session, corpus_parquet, tmp_path, capsys):
+    report = tmp_path / "dupes.txt"
+    assert main([corpus_parquet, "-o", str(report)]) == 0
+    text = report.read_text()
+    assert text.startswith("Duplicate files report")
+    assert "file(s), size:" in text
+
+
+def test_cli_delete_writes_dedup_table(
+    ray_session, corpus_parquet, tmp_path, monkeypatch, capsys
+):
+    import ray.data
+
+    monkeypatch.setattr("builtins.input", lambda _="": "y")
+    out_dir = tmp_path / "dedup"
+    assert main([corpus_parquet, "--delete", "--dedup-output", str(out_dir)]) == 0
+    deduped = ray.data.read_parquet(str(out_dir)).to_pandas()
+    # every content value appears exactly once among former duplicates
+    assert deduped["content"].duplicated().sum() == 0
+    # keeper survived
+    assert ((deduped["repo"] == "orgA/r1") & (deduped["path"] == "src/a.py")).any()
+
+
+def test_cli_delete_aborts_on_no(ray_session, corpus_parquet, monkeypatch, capsys):
+    monkeypatch.setattr("builtins.input", lambda _="": "n")
+    assert main([corpus_parquet, "--delete"]) == 0
+    assert "Aborted." in capsys.readouterr().out
+
+
+def test_interactive_decisions_keep_choice():
+    df = pd.DataFrame(
+        {
+            "group_id": ["g1"] * 3,
+            "file_id": ["a", "b", "c"],
+            "rank": [0, 1, 2],
+            "size": [5, 5, 5],
+            "is_keeper": [True, False, False],
+        }
+    )
+    # keep #2 ("b") → drop a and c
+    answers = iter(["2"])
+    dropped = interactive_decisions(df, input_fn=lambda _: next(answers))
+    assert dropped == {"a", "c"}
+
+
+def test_interactive_decisions_skip_group():
+    df = pd.DataFrame(
+        {
+            "group_id": ["g1"] * 2,
+            "file_id": ["a", "b"],
+            "rank": [0, 1],
+            "size": [1, 1],
+            "is_keeper": [True, False],
+        }
+    )
+    dropped = interactive_decisions(df, input_fn=lambda _: "")
+    assert dropped == set()
+
+
+def test_interactive_invalid_then_valid():
+    df = pd.DataFrame(
+        {
+            "group_id": ["g1"] * 2,
+            "file_id": ["a", "b"],
+            "rank": [0, 1],
+            "size": [1, 1],
+            "is_keeper": [True, False],
+        }
+    )
+    answers = iter(["zzz", "9", "1"])
+    dropped = interactive_decisions(df, input_fn=lambda _: next(answers))
+    assert dropped == {"b"}
+
+
+def test_render_delete_report_dry_vs_real():
+    dry = render_delete_report({"x", "y"}, dry_run=True, bytes_freed=2048)
+    assert dry.count("[would delete]") == 2 and "Would free: 2.0 KB" in dry
+    real = render_delete_report({"x"}, dry_run=False, bytes_freed=10)
+    assert "Deleted: x" in real and "Freed:" in real
