@@ -280,6 +280,34 @@ def q_embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     return similarity.lsh_cosine_pairs(emb, threshold=0.4, n_tables=8, n_bits=8)
 
 
+def q_media_meta(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal: payload → typed metadata via the actor-pool decode
+    stage (DecoderStub arithmetic is SQL-expressible, so the oracle
+    verifies the distributed plumbing end-to-end)."""
+    from duplicate_finder_ray.stages import multimodal as mm
+
+    meta = mm.media_meta(mm.media_from_documents(sf_dir))
+    return meta.drop_columns(["payload"])
+
+
+def q_media_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal: video rows exploded into every 10th frame row."""
+    from duplicate_finder_ray.stages import multimodal as mm
+
+    frames = mm.sample_frames(mm.media_from_documents(sf_dir), stride=10)
+    return frames.select_columns(["media_id", "frame_idx"])
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal: batched fake-model inference in an actor pool
+    (rows-only driver check; determinism oracle in
+    tests/test_multimodal.py)."""
+    from duplicate_finder_ray.stages import multimodal as mm
+
+    feats = mm.media_features(mm.media_from_documents(sf_dir), dim=64)
+    return feats.select_columns(["media_id", "media_type"])
+
+
 def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
     """Text quality metrics (prose-ness heuristics) per document."""
     from duplicate_finder_ray.stages import textstats
@@ -346,6 +374,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    # multimodal plumbing (decode kernel stubbed; see stages/multimodal.py)
+    "media_meta": q_media_meta,
+    "media_frame_sample": q_media_frame_sample,
+    "media_features": q_media_features,
     # text analysis
     "quality_scores": q_quality_scores,
     "language_id": q_language_id,
@@ -453,6 +485,37 @@ ORACLE_SQL: dict[str, str] = {
     FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
     WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                  CAST(y.embedding AS DOUBLE[])) >= 0.4
+    """,
+    # media table + DecoderStub arithmetic twins (stages/multimodal.py)
+    "media_meta": """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS payload_sha
+      FROM documents
+    )
+    SELECT media_id, media_type, n_bytes,
+           CASE media_type WHEN 'image' THEN 16 + n_bytes % 624
+                           WHEN 'audio' THEN 0 ELSE 320 END AS width,
+           CASE media_type WHEN 'image' THEN 16 + (n_bytes * 7) % 464
+                           WHEN 'audio' THEN 0 ELSE 240 END AS height,
+           CASE media_type WHEN 'audio' THEN 1 ELSE 3 END AS n_channels,
+           CASE media_type WHEN 'image' THEN 1
+                           WHEN 'audio' THEN n_bytes // 2
+                           ELSE 1 + n_bytes // 1024 END AS n_frames,
+           payload_sha
+    FROM m
+    """,
+    "media_frame_sample": """
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             1 + octet_length(encode(text)) // 1024 AS n_frames
+      FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    )
+    SELECT media_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+    FROM v
     """,
     # quality_scores: the SQL evaluates the SAME IEEE-754 expression
     # tree over the same integer counts as stages/textstats.py, so the

@@ -1,0 +1,229 @@
+"""Multimodal (image/audio/video) column stages.
+
+Design (training-data-pipeline extension; no counterpart in the
+reference, which is text/filesystem-only — SURVEY.md §2.5): media
+payloads travel as opaque ``binary`` columns with typed metadata
+columns alongside, and every media transform is an actor-pool
+``map_batches`` stage whose decoder/model loads once per actor
+(``__init__``), never per batch.
+
+The image/audio codecs are NOT in this container, so the decode kernel
+itself is stubbed: ``DecoderStub`` is a clearly-marked deterministic
+fake (metadata + features derived purely from the payload bytes). The
+Ray-side plumbing — schema, actor signature, per-batch vectorization,
+small-batch sizing for large payloads, output layout — is real and
+tested; swap ``DecoderStub`` for a PIL/ffmpeg-backed decoder on a
+machine that has them.
+
+Scale notes: payload columns make blocks heavy — callers should keep
+``batch_size`` small (``MEDIA_BATCH_SIZE``) so batch × concurrency fits
+the worker heap, and drop the payload column as soon as features are
+extracted (project early, shuffle features, never the bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+#: conservative default batch size for payload-bearing stages
+MEDIA_BATCH_SIZE = 64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+class DecoderStub:
+    """Deterministic fake decoder — STAND-IN for PIL/soundfile/ffmpeg.
+
+    Real decoders raise on truncated payloads and return pixel/sample
+    buffers; this stub derives every output purely from the payload
+    bytes so tests are reproducible anywhere. It is NOT a real codec:
+    installing one means replacing ``decode_meta`` / ``features`` only —
+    the surrounding Ray plumbing does not change.
+    """
+
+    #: keep the arithmetic SQL-expressible so the driver oracle can
+    #: verify the distributed plumbing end-to-end (octet_length-based)
+    def decode_meta(self, media_type: str, payload: bytes) -> dict:
+        n = len(payload)
+        if media_type == "image":
+            return {
+                "width": 16 + n % 624,
+                "height": 16 + (n * 7) % 464,
+                "n_channels": 3,
+                "n_frames": 1,
+            }
+        if media_type == "audio":
+            # fake 16 kHz mono: 2 bytes/sample
+            return {"width": 0, "height": 0, "n_channels": 1, "n_frames": n // 2}
+        if media_type == "video":
+            # fake 1 KiB per frame
+            return {"width": 320, "height": 240, "n_channels": 3, "n_frames": 1 + n // 1024}
+        raise NotImplementedError(f"unknown media_type: {media_type}")
+
+    def features(self, payload: bytes, dim: int, seed_tag: bytes = b"feat") -> np.ndarray:
+        """Deterministic float32 feature vector from the payload digest
+        (stand-in for model inference; one blake2b per 32 dims)."""
+        out = np.empty(dim, dtype=np.float32)
+        n_blocks = (dim + 7) // 8
+        raw = b"".join(
+            hashlib.blake2b(payload, digest_size=32, salt=seed_tag[:16], person=i.to_bytes(8, "little")).digest()
+            for i in range(n_blocks)
+        )
+        u = np.frombuffer(raw, dtype=np.uint32)[:dim]
+        out[:] = (u.astype(np.float64) / np.float64(2**32) - 0.5).astype(np.float32)
+        return out
+
+
+class MediaMetaStage:
+    """Actor-pool stage: payload → typed metadata columns (decoder
+    state built once per actor). Output keeps the payload column for
+    downstream stages; project it away when done."""
+
+    def __init__(self) -> None:
+        self.decoder = DecoderStub()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = [self.decoder.decode_meta(t, p) for t, p in zip(types, payloads)]
+        n_bytes = pc.cast(pc.binary_length(batch["payload"]), pa.int64())
+        sha = [hashlib.sha256(p).hexdigest() for p in payloads]
+        out = batch
+        out = out.append_column("n_bytes", n_bytes)
+        for name in ("width", "height", "n_channels", "n_frames"):
+            out = out.append_column(
+                name, pa.array([m[name] for m in metas], pa.int64())
+            )
+        return out.append_column("payload_sha", pa.array(sha, pa.string()))
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: payload → float32 feature vector ("model"
+    loaded once per actor; batched inference per __call__)."""
+
+    def __init__(self, dim: int = 64) -> None:
+        self.decoder = DecoderStub()
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = np.stack(
+            [self.decoder.features(p, self.dim) for p in payloads]
+        ) if payloads else np.empty((0, self.dim), dtype=np.float32)
+        out = batch.drop_columns(["payload"])  # bytes never pass this stage
+        return out.append_column(
+            "features",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), self.dim
+            ),
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video rows → one row per sampled frame
+    (every ``stride``-th frame; fake frame payload = its 1 KiB slice).
+    Non-video rows pass through untouched upstream — callers filter."""
+
+    def __init__(self, stride: int = 10) -> None:
+        self.decoder = DecoderStub()
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        frame_idx: list[int] = []
+        frames: list[bytes] = []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            meta = self.decoder.decode_meta("video", payload)
+            for f in range(0, meta["n_frames"], self.stride):
+                ids.append(mid)
+                frame_idx.append(f)
+                frames.append(payload[f * 1024 : (f + 1) * 1024])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "frame_payload": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def media_meta(ds: ray.data.Dataset, concurrency: tuple[int, int] = (1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaMetaStage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_features(
+    ds: ray.data.Dataset, dim: int = 64, concurrency: tuple[int, int] = (1, 8)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_args=(dim,),
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset, stride: int = 10, concurrency: tuple[int, int] = (1, 8)
+) -> ray.data.Dataset:
+    """Explode video rows into sampled frame rows (video rows only)."""
+    videos = ds.filter(expr="media_type == 'video'")
+    return videos.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(stride,),
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic media source (derived from the documents table —
+# no external data; SQL twin lives in pipelines/queries.py)
+# ---------------------------------------------------------------------------
+
+def media_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Derive a deterministic media table from ``documents.parquet``:
+    ``media_id = doc_id``, payload = UTF-8 bytes of the text (opaque to
+    every stage above), media_type cycles image/audio/video by
+    ``doc_id % 3``. Row-local, so DuckDB can build the identical table."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = pc.cast(batch["doc_id"], pa.int64())
+        mod3 = pc.cast(pc.subtract(doc_id, pc.multiply(pc.divide(doc_id, 3), 3)), pa.int64())
+        mtype = pc.case_when(
+            pc.make_struct(pc.equal(mod3, 0), pc.equal(mod3, 1)),
+            "image",
+            "audio",
+            "video",
+        )
+        payload = pc.cast(batch["text"], pa.large_binary())
+        return pa.table(
+            {"media_id": doc_id, "media_type": mtype, "payload": payload}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(derive, batch_format="pyarrow")
