@@ -202,6 +202,20 @@ def q_near_dup_clusters(sf_dir: str) -> ray.data.Dataset:
     return res.labels
 
 
+def q_near_dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """M6: longest common byte span per verified near-dup pair
+    (rows-only; exact-LCS oracle in tests/test_spans.py)."""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+    from duplicate_finder_ray.stages.derive import add_identity
+    from duplicate_finder_ray.stages.spans import common_spans
+
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    code = code_files_from_documents(sf_dir)
+    res = NearDupPipeline(cfg).run_on(code)
+    with_id = code.map_batches(add_identity, batch_format="pyarrow")
+    return common_spans(res.pairs, with_id, min_span=16)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     """n-gram Jaccard near-dup baseline: ALL pairs with exact 5-gram
     Jaccard ≥ 0.5 under ASCII tokenization (inverted-index broadcast
@@ -368,6 +382,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_spans": q_near_dup_spans,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     # similarity search over embeddings

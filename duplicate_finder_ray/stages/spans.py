@@ -1,0 +1,195 @@
+"""Longest-common-substring spans for near-duplicate pairs (SURVEY.md
+§7.1 M6).
+
+For every verified near-dup pair, find the longest byte span the two
+files share (length + start offsets) — flags the duplicated code region
+inside near-duplicate files. No reference counterpart (the reference is
+whole-file exact-only); public algorithm: binary search over the span
+length with polynomial rolling hashes (Rabin–Karp family), exact
+because every hash match is confirmed by a real substring compare
+(collisions fall through to the next candidate). O((n+m)·log min(n,m))
+per pair vs O(n·m) DP.
+
+Execution shape: the pair endpoints' contents are broadcast ONCE via
+``ray.put`` (CSR-style: sorted ids + offsets + one flat utf-8 buffer —
+zero-copy out of the object store per task), and a stateless
+``map_batches`` over the PAIR table computes spans. Partitioning
+assumption: the endpoint set fits the object store (it is bounded by
+the verified-pair endpoints, a small fraction of the corpus; at larger
+scale swap the broadcast for the same bucketed hash-join used by
+verify_pairs_exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_POW_BASE = np.uint64(1_000_003)
+
+SPANS_SCHEMA = pa.schema(
+    [
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("span_len", pa.int64()),
+        ("a_start", pa.int64()),
+        ("b_start", pa.int64()),
+    ]
+)
+
+
+#: B is odd ⇒ invertible mod 2^64; the inverse makes the prefix-hash
+#: recurrence fully vectorizable (no sequential Horner loop).
+_POW_BASE_INV = np.uint64(pow(int(_POW_BASE), -1, 1 << 64))
+
+
+def _prefix_hashes(data: np.ndarray) -> np.ndarray:
+    """h[i] = polynomial hash of data[:i] mod 2^64 (uint64 wraparound):
+    ``h[i] = Σ_{j<i} data[j]·B^(i-1-j)``.
+
+    Vectorized via the modular inverse: with w[j] = data[j]·B⁻ʲ and
+    c = cumsum(w), h[i] = c[i-1]·B^(i-1) — three C-speed passes.
+    """
+    n = len(data)
+    out = np.empty(n + 1, dtype=np.uint64)
+    out[0] = 0
+    if n == 0:
+        return out
+    with np.errstate(over="ignore"):
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = 1
+        if n > 1:
+            pows[1:] = _POW_BASE
+            np.multiply.accumulate(pows, out=pows)
+        inv_pows = np.empty(n, dtype=np.uint64)
+        inv_pows[0] = 1
+        if n > 1:
+            inv_pows[1:] = _POW_BASE_INV
+            np.multiply.accumulate(inv_pows, out=inv_pows)
+        w = data.astype(np.uint64) * inv_pows
+        c = np.add.accumulate(w)
+        out[1:] = c * pows
+    return out
+
+
+def _window_hashes(pref: np.ndarray, length: int, pow_l: np.uint64) -> np.ndarray:
+    """Hashes of every window of ``length`` from prefix hashes."""
+    with np.errstate(over="ignore"):
+        return pref[length:] - pref[:-length] * pow_l
+
+
+def longest_common_span(a: bytes, b: bytes, min_len: int = 1) -> tuple[int, int, int]:
+    """(span_len, a_start, b_start) of the longest common substring of
+    ``a`` and ``b`` (ties: smallest a_start). Exact — hash matches are
+    confirmed byte-for-byte. Returns (0, -1, -1) if nothing ≥ min_len."""
+    if not a or not b or min_len > min(len(a), len(b)):
+        return 0, -1, -1
+    da = np.frombuffer(a, dtype=np.uint8)
+    db = np.frombuffer(b, dtype=np.uint8)
+    pa_ = _prefix_hashes(da)
+    pb_ = _prefix_hashes(db)
+
+    def probe(length: int) -> tuple[int, int] | None:
+        with np.errstate(over="ignore"):
+            pow_l = _POW_BASE ** np.uint64(length)
+        ha = _window_hashes(pa_, length, pow_l)
+        hb = _window_hashes(pb_, length, pow_l)
+        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        if len(common) == 0:
+            return None
+        # confirm (collision guard): check each candidate until one is real
+        order = np.argsort(ia)
+        for o in order:
+            i, j = int(ia[o]), int(ib[o])
+            if a[i : i + length] == b[j : j + length]:
+                return i, j
+        # all were collisions — treat as no match at this length
+        return None
+
+    lo, hi = min_len, min(len(a), len(b))
+    best: tuple[int, int, int] | None = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        hit = probe(mid)
+        if hit is not None:
+            best = (mid, hit[0], hit[1])
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if best is None:
+        return 0, -1, -1
+    return best
+
+
+def common_spans(
+    pairs: ray.data.Dataset,
+    code_with_id: ray.data.Dataset,
+    min_span: int = 16,
+) -> ray.data.Dataset:
+    """Annotate every (a, b) pair with its longest common byte span.
+
+    pairs: Dataset with string cols (a, b) — e.g. NearDupResult.pairs.
+    code_with_id: Dataset bearing (file_id, content).
+    """
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    pair_df = pairs.to_pandas()
+    if len(pair_df) == 0:
+        return ray.data.from_arrow(SPANS_SCHEMA.empty_table())
+    endpoints = np.unique(
+        np.concatenate([pair_df["a"].to_numpy(), pair_df["b"].to_numpy()])
+    )
+    endpoints_ref = ray.put(endpoints)
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        keep = np.isin(
+            batch.column("file_id").to_numpy(zero_copy_only=False),
+            ray.get(endpoints_ref),
+        )
+        return batch.filter(pa.array(keep))
+
+    content = (
+        code_with_id.select_columns(["file_id", "content"])
+        .map_batches(probe_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("file_id")
+    )
+    ids = content["file_id"].to_numpy()
+    blobs = [t.encode("utf-8") for t in content["content"]]
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8) if len(blobs) else np.empty(0, np.uint8)
+    ref = ray.put((ids, offsets, flat))
+
+    def span_batch(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return SPANS_SCHEMA.empty_table()
+        ids_g, offs, flat_g = ray.get(ref)
+
+        def blob(key: str) -> bytes:
+            i = int(np.searchsorted(ids_g, key))
+            if i >= len(ids_g) or ids_g[i] != key:
+                return b""
+            return flat_g[offs[i] : offs[i + 1]].tobytes()
+
+        aa = batch.column("a").to_pylist()
+        bb = batch.column("b").to_pylist()
+        span_len = np.empty(len(aa), dtype=np.int64)
+        a_start = np.empty(len(aa), dtype=np.int64)
+        b_start = np.empty(len(aa), dtype=np.int64)
+        for i, (ka, kb) in enumerate(zip(aa, bb)):
+            sl, sa, sb = longest_common_span(blob(ka), blob(kb), min_len=min_span)
+            span_len[i], a_start[i], b_start[i] = sl, sa, sb
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "span_len": pa.array(span_len),
+                "a_start": pa.array(a_start),
+                "b_start": pa.array(b_start),
+            }
+        )
+
+    return pairs.map_batches(span_batch, batch_format="pyarrow")
