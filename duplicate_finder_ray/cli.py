@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="byte-exact verification of hash groups",
     )
     p.add_argument(
+        "--filesystem", action="store_true",
+        help="treat input_path as a DIRECTORY TREE to scan (reference "
+        "parity mode; content handled as binary, exact dedup only)",
+    )
+    p.add_argument(
         "--near-dup", action="store_true",
         help="also run MinHash/LSH near-duplicate clustering",
     )
@@ -197,7 +202,14 @@ def main(argv: Sequence[str] | None = None) -> int:
     from duplicate_finder_ray.pipelines.dedup import DedupPipeline, render_text_report
 
     pipeline = DedupPipeline(cfg)
-    result = pipeline.run(args.input_path)
+    if args.filesystem:
+        if args.near_dup:
+            raise SystemExit("--near-dup requires a Parquet code table (text content)")
+        from duplicate_finder_ray.sources.filesystem import read_file_tree
+
+        result = pipeline.run_on(read_file_tree(args.input_path))
+    else:
+        result = pipeline.run(args.input_path)
     members_df = result.members.to_pandas()
     if len(members_df) and "file_id" not in members_df.columns:
         raise RuntimeError("membership table missing file_id")
@@ -239,12 +251,17 @@ def main(argv: Sequence[str] | None = None) -> int:
                 f.write(report)
         if not cfg.dry_run and dropped:
             out_dir = args.dedup_output or args.input_path.rstrip("/") + ".dedup"
-            from duplicate_finder_ray.sources.code_table import read_code_table
             from duplicate_finder_ray.stages.derive import add_identity
 
-            full = read_code_table(args.input_path).map_batches(
-                add_identity, batch_format="pyarrow"
-            )
+            if args.filesystem:
+                from duplicate_finder_ray.sources.filesystem import read_file_tree
+
+                source = read_file_tree(args.input_path)
+            else:
+                from duplicate_finder_ray.sources.code_table import read_code_table
+
+                source = read_code_table(args.input_path)
+            full = source.map_batches(add_identity, batch_format="pyarrow")
             drop_list = sorted(dropped)
 
             def keep_rows(batch):

@@ -294,6 +294,23 @@ def q_embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     return similarity.lsh_cosine_pairs(emb, threshold=0.4, n_tables=8, n_bits=8)
 
 
+def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour windowed aggregate over events (row-local window
+    key + one distributed groupby; integer-cent sums ⇒ order-proof)."""
+    from duplicate_finder_ray.stages import events as ev
+
+    return ev.hourly_rollup(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization (30-min gap) per user over events."""
+    from duplicate_finder_ray.stages import events as ev
+
+    return ev.sessionize(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+    )
+
+
 def q_media_meta(sf_dir: str) -> ray.data.Dataset:
     """Multimodal: payload → typed metadata via the actor-pool decode
     stage (DecoderStub arithmetic is SQL-expressible, so the oracle
@@ -389,6 +406,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    # windowed aggregates over events
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
     # multimodal plumbing (decode kernel stubbed; see stages/multimodal.py)
     "media_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -500,6 +520,32 @@ ORACLE_SQL: dict[str, str] = {
     FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
     WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                  CAST(y.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "events_hourly": """
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "events_sessions": """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+      FROM e
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+    FROM s GROUP BY 1, 2
     """,
     # media table + DecoderStub arithmetic twins (stages/multimodal.py)
     "media_meta": """

@@ -1,0 +1,134 @@
+"""Filesystem-source parity tests (mirrors the reference's e2e tests,
+/root/reference/tests/test_duplicate_finder.py:53-113, over a real tmp
+tree) and windowed-aggregate oracle tests for the events stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.pipelines.dedup import DedupPipeline
+from duplicate_finder_ray.sources.filesystem import list_regular_files, read_file_tree
+from duplicate_finder_ray.stages import events as ev
+
+
+@pytest.fixture()
+def file_tree(tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.txt").write_bytes(b"same content")
+    (tmp_path / "sub" / "b.txt").write_bytes(b"same content")
+    (tmp_path / "c.bin").write_bytes(bytes(range(256)))  # non-UTF8 binary
+    (tmp_path / "sub" / "d.bin").write_bytes(bytes(range(256)))
+    (tmp_path / "unique.txt").write_bytes(b"only one of these")
+    (tmp_path / "link.txt").symlink_to(tmp_path / "a.txt")
+    return tmp_path
+
+
+def test_list_regular_files_excludes_symlinks_and_dirs(file_tree):
+    files = list_regular_files(str(file_tree))
+    names = {f.rsplit("/", 1)[-1] for f in files}
+    assert "link.txt" not in names
+    assert names == {"a.txt", "b.txt", "c.bin", "d.bin", "unique.txt"}
+
+
+def test_filesystem_dedup_end_to_end(ray_session, file_tree):
+    ds = read_file_tree(str(file_tree))
+    res = DedupPipeline(PipelineConfig()).run_on(ds)
+    members = res.members.to_pandas()
+    assert set(members["path"]) == {"a.txt", "sub/b.txt", "c.bin", "sub/d.bin"}
+    # keeper = lexicographically smallest relative path (reference
+    # keep-first rule over sorted absolute paths)
+    keepers = set(members.loc[members["is_keeper"], "path"])
+    assert keepers == {"a.txt", "c.bin"}
+    # binary content hashed correctly: group sizes right
+    assert members.groupby("group_id").size().tolist() == [2, 2]
+
+
+def test_filesystem_empty_tree(ray_session, tmp_path):
+    ds = read_file_tree(str(tmp_path))
+    assert ds.count() == 0
+    res = DedupPipeline(PipelineConfig()).run_on(ds)
+    assert res.members.count() == 0
+
+
+def test_filesystem_verify_content_binary(ray_session, file_tree):
+    res = DedupPipeline(PipelineConfig(verify_content=True)).run_on(
+        read_file_tree(str(file_tree))
+    )
+    members = res.members.to_pandas()
+    assert len(members) == 4  # byte-verify confirms both groups
+
+
+# ---- events windows -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_df() -> pd.DataFrame:
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        # session A: 3 events 10 min apart; gap 2h; session B: 2 events
+        for off in (0, 10, 20, 140, 150):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + pd.Timedelta(minutes=off + user),
+                    "user_id": user,
+                    "event_type": "click" if eid % 2 == 0 else "view",
+                    "value": round(1.01 * (eid + 1), 2),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    return pd.DataFrame(rows)
+
+
+def test_hourly_rollup_oracle(ray_session, events_df):
+    got = ev.hourly_rollup(ray_session.data.from_pandas(events_df)).to_pandas()
+    ts_us = events_df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+    want = events_df.assign(
+        window_start_us=(ts_us // 3_600_000_000) * 3_600_000_000,
+        value_cents=(events_df["value"] * 100).round().astype("int64"),
+    )
+    want = (
+        want.groupby(["window_start_us", "event_type"])
+        .agg(n_events=("event_id", "size"), sum_value_cents=("value_cents", "sum"))
+        .reset_index()
+    )
+    got_s = got.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    want_s = want.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s[want_s.columns.tolist()], want_s, check_dtype=False
+    )
+
+
+def test_sessionize_gap_semantics(ray_session, events_df):
+    got = ev.sessionize(
+        ray_session.data.from_pandas(events_df), gap_minutes=30
+    ).to_pandas()
+    for user in (1, 2):
+        u = got[got["user_id"] == user].sort_values("session_id")
+        assert list(u["session_id"]) == [1, 2]
+        assert list(u["n_events"]) == [3, 2]
+        # sessions are disjoint and ordered
+        assert u.iloc[0]["session_end_us"] < u.iloc[1]["session_start_us"]
+
+
+def test_sessionize_single_event_user(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_id": [0],
+            "ts": [pd.Timestamp("2024-01-01")],
+            "user_id": [42],
+            "event_type": ["x"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    got = ev.sessionize(ray_session.data.from_pandas(df)).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["n_events"] == 1
+    assert got.iloc[0]["session_start_us"] == got.iloc[0]["session_end_us"]
