@@ -32,17 +32,31 @@ BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
 CORPUS_SEED = 42
 
 
+CORPUS_SHARDS = 32
+
+
 def corpus_path() -> str:
-    """Build (once) and cache the deterministic bench corpus."""
-    path = f"/tmp/graft_bench/corpus_{BENCH_ROWS}_{CORPUS_SEED}.parquet"
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+    """Build (once) and cache the deterministic bench corpus as a
+    DIRECTORY of shards — a single parquet file reads as ONE Ray task
+    (serial decode gating the whole pipeline); real corpora are
+    many-file, so the bench input must be too."""
+    path = f"/tmp/graft_bench/corpus_{BENCH_ROWS}_{CORPUS_SEED}_s{CORPUS_SHARDS}"
+    if not os.path.exists(path + ".done"):
         from duplicate_finder_ray.sources.code_table import synthetic_code_corpus
 
         df = synthetic_code_corpus(BENCH_ROWS, seed=CORPUS_SEED)
         tmp = path + ".tmp"
-        df.to_parquet(tmp, index=False)
+        os.makedirs(tmp, exist_ok=True)
+        rows_per = (len(df) + CORPUS_SHARDS - 1) // CORPUS_SHARDS
+        for i in range(CORPUS_SHARDS):
+            shard = df.iloc[i * rows_per : (i + 1) * rows_per]
+            if len(shard):
+                shard.to_parquet(
+                    os.path.join(tmp, f"part-{i:05d}.parquet"), index=False
+                )
         os.rename(tmp, path)
+        with open(path + ".done", "w") as f:
+            f.write("ok")
     return path
 
 
@@ -120,7 +134,7 @@ def run_bench() -> dict:
     return result
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "300000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "150000"))
 
 
 def run_scaling() -> None:

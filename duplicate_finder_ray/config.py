@@ -124,12 +124,20 @@ class PipelineConfig:
     verify_mode: str = "exact"
     #: endpoint-count threshold below which exact verification broadcasts
     #: the shingle sets instead of hash-joining them (small-side rule).
-    broadcast_verify_limit: int = 100_000
+    #: 1M endpoints × ~1.5 KB shingle set ≈ 1.5 GB CSR in the object
+    #: store — read zero-copy by every task, well within a worker's
+    #: budget on standard nodes; beyond it the bucketed join path keeps
+    #: the 10^9-endpoint shape correct (if slower).
+    broadcast_verify_limit: int = 1_000_000
     simhash_bits: int = 64
     #: candidate cap per LSH bucket; overflow is sampled + logged, never
     #: silently dropped (SURVEY.md §7.3 hot-key skew).
     band_bucket_cap: int = 200
     cc_max_rounds: int = 50                 # union-find fixpoint guard
+    #: edge count below which connected components runs as ONE remote
+    #: union-find (single round = exact fixpoint, no iteration barriers);
+    #: above it, the iterated bucketed contraction is the scale shape.
+    cc_local_threshold: int = 2_000_000
 
     # ---- checkpointing ------------------------------------------------
     checkpoint_dir: str | None = None

@@ -90,19 +90,26 @@ class DedupPipeline:
             ds = ds.map_batches(
                 add_sha256, batch_format="pyarrow", batch_size=cfg.derive_batch_size
             )
+            if not cfg.verify_content:
+                ds = ds.map_batches(drop_content, batch_format="pyarrow")
         else:
             ds = ds.map_batches(
                 add_sha256, batch_format="pyarrow", batch_size=cfg.derive_batch_size
             )
+            if not cfg.verify_content:
+                # content is done after hashing: project it away and
+                # MATERIALIZE the slim digest table (identity+size+sha ≈
+                # a few hundred bytes/row). Both consumers below
+                # (candidate_sizes and the members groupby) read it;
+                # left lazy, each would re-read + re-hash all content.
+                ds = ds.map_batches(drop_content, batch_format="pyarrow")
+                ds = ds.materialize()
             if cfg.prefilter_mode == "fused":
                 sizes = exact.candidate_sizes(ds)
                 metrics["candidate_sizes"] = int(len(sizes))
                 if len(sizes) == 0:
                     return self._empty_result(metrics)
                 ds = exact.apply_size_prefilter(ds, sizes)
-
-        if not cfg.verify_content:
-            ds = ds.map_batches(drop_content, batch_format="pyarrow")
 
         members = exact.duplicate_members(ds, cfg)
         if cfg.sort_by_group_size:

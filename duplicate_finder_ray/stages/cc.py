@@ -146,17 +146,26 @@ def connected_components(
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(_LABELS_SCHEMA.empty_table())
-    # shuffle width: enough buckets to spread real data, few enough
-    # that per-round task overhead stays small on small graphs
-    num_buckets = max(4, min(effective_parallelism(cfg) * 2, n_edges // 2_000))
 
-    prev = None
-    for _ in range(cfg.cc_max_rounds):
-        edges = _contract_round(edges, num_buckets).materialize()
-        cur = _edge_checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+    if n_edges <= cfg.cc_local_threshold:
+        # small-graph fast path: ONE bucket ⇒ one remote union-find sees
+        # every edge, so the single round IS the fixpoint — no iteration,
+        # no checksum barriers. ~10^6 edges fit one task trivially; the
+        # iterative path below is the >threshold scale shape.
+        edges = _contract_round(edges, 1).materialize()
+        num_buckets = 1
+    else:
+        # shuffle width: enough buckets to spread real data, few enough
+        # that per-round task overhead stays small on small graphs
+        num_buckets = max(4, min(effective_parallelism(cfg) * 2, n_edges // 2_000))
+
+        prev = None
+        for _ in range(cfg.cc_max_rounds):
+            edges = _contract_round(edges, num_buckets).materialize()
+            cur = _edge_checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
 
     # a node's star edge is emitted by up to two buckets (its own and
     # its root's) — identical rows at the fixpoint; dedupe + rename

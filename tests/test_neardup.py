@@ -196,6 +196,27 @@ class TestConnectedComponents:
         got = dict(zip(labels["file_id"], labels["component"]))
         assert got == oracle
 
+        # same graph through the ITERATIVE multi-bucket path (the
+        # >threshold scale shape; small inputs default to the one-task
+        # fast path)
+        cfg_iter = PipelineConfig(cc_local_threshold=0)
+        labels_iter = cc.connected_components(
+            ray_session.data.from_pandas(edges), cfg_iter
+        ).to_pandas()
+        got_iter = dict(zip(labels_iter["file_id"], labels_iter["component"]))
+        assert got_iter == oracle
+
+    def test_iterative_chain(self, ray_session):
+        edges = pd.DataFrame(
+            {"a": [f"n{i}" for i in range(1, 30)], "b": [f"n{i+1}" for i in range(1, 30)]}
+        )
+        cfg = PipelineConfig(cc_local_threshold=0)
+        labels = cc.connected_components(
+            ray_session.data.from_pandas(edges), cfg
+        ).to_pandas()
+        assert labels["component"].nunique() == 1
+        assert (labels["component"] == "n1").all()
+
 
 class TestSimHashPairs:
     def test_identical_zero_hamming(self, ray_session):
