@@ -134,7 +134,7 @@ def run_bench() -> dict:
     return result
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "150000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "600000"))
 
 
 def run_scaling() -> None:

@@ -207,7 +207,9 @@ def main(argv: Sequence[str] | None = None) -> int:
             raise SystemExit("--near-dup requires a Parquet code table (text content)")
         from duplicate_finder_ray.sources.filesystem import read_file_tree
 
-        result = pipeline.run_on(read_file_tree(args.input_path))
+        result = pipeline.run_on(
+            read_file_tree(args.input_path, size_prefilter=True)
+        )
     else:
         result = pipeline.run(args.input_path)
     members_df = result.members.to_pandas()

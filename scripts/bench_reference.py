@@ -79,7 +79,9 @@ def time_ours() -> tuple[float, float, int]:
     from duplicate_finder_ray.sources.filesystem import read_file_tree
 
     t0 = time.perf_counter()
-    res = DedupPipeline(PipelineConfig()).run_on(read_file_tree(TREE))
+    res = DedupPipeline(PipelineConfig()).run_on(
+        read_file_tree(TREE, size_prefilter=True)
+    )
     n_members = res.members.count()
     wall = time.perf_counter() - t0
     ray.shutdown()
