@@ -158,7 +158,9 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = child(8), child(32)
+    lo = child(8)
+    time.sleep(5)  # let the previous Ray session's shm/workers drain
+    hi = child(32)
     tp_lo = lo["bench_rows"] / (lo["queries"]["exact_dedup"] + lo["queries"]["near_dup"])
     tp_hi = hi["bench_rows"] / (hi["queries"]["exact_dedup"] + hi["queries"]["near_dup"])
     eff = (tp_hi / tp_lo) / (32 / 8)

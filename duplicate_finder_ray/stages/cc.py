@@ -148,12 +148,40 @@ def connected_components(
         return ray.data.from_arrow(_LABELS_SCHEMA.empty_table())
 
     if n_edges <= cfg.cc_local_threshold:
-        # small-graph fast path: ONE bucket ⇒ one remote union-find sees
-        # every edge, so the single round IS the fixpoint — no iteration,
-        # no checksum barriers. ~10^6 edges fit one task trivially; the
-        # iterative path below is the >threshold scale shape.
-        edges = _contract_round(edges, 1).materialize()
-        num_buckets = 1
+        # small-graph fast path: ONE remote task sees every edge and runs
+        # fully-vectorized min-label propagation with pointer jumping
+        # (np.minimum.at + label[label] — all C passes, O(log n) rounds,
+        # no shuffle barriers at all). Node ids are sorted by np.unique,
+        # so the converged min label index IS the lexicographic-min node.
+        # The iterative bucketed contraction below is the >threshold
+        # scale shape.
+        @ray.remote
+        def local_cc(*blocks: pa.Table) -> pa.Table:
+            blocks = tuple(b for b in blocks if "a" in b.column_names and len(b))
+            if not blocks:
+                return _LABELS_SCHEMA.empty_table()
+            tbl = pa.concat_tables(blocks)
+            a = tbl.column("a").to_numpy(zero_copy_only=False)
+            b = tbl.column("b").to_numpy(zero_copy_only=False)
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ea, eb = inv[: len(a)], inv[len(a) :]
+            label = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                new = label.copy()
+                np.minimum.at(new, ea, label[eb])
+                np.minimum.at(new, eb, label[ea])
+                new = new[new]  # pointer jumping
+                if np.array_equal(new, label):
+                    break
+                label = new
+            return pa.table(
+                {
+                    "file_id": pa.array(nodes, pa.string()),
+                    "component": pa.array(nodes[label], pa.string()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([local_cc.remote(*edges.to_arrow_refs())])
     else:
         # shuffle width: enough buckets to spread real data, few enough
         # that per-round task overhead stays small on small graphs

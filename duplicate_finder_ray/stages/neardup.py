@@ -398,13 +398,33 @@ def verify_pairs_exact(
     """
     import pyarrow.compute as pc
 
-    endpoint_df = pairs.select_columns(["a", "b"]).to_pandas()
-    endpoints = np.unique(
-        np.concatenate([endpoint_df["a"].to_numpy(), endpoint_df["b"].to_numpy()])
-        if len(endpoint_df)
-        else np.empty(0, dtype=object)
-    )
-    endpoints_ref = ray.put(endpoints)  # np.unique ⇒ already sorted
+    # distinct pair endpoints, computed in ONE remote task over the pair
+    # blocks (driver reads back only the count — the sorted array stays
+    # in the object store for the probe tasks)
+    pairs_mat = pairs.materialize()
+
+    @ray.remote(num_returns=2)
+    def collect_endpoints(*blocks: pa.Table) -> tuple:
+        # empty blocks can surface with a bare zero-column schema
+        blocks = tuple(b for b in blocks if "a" in b.column_names and len(b))
+        if not blocks:
+            return 0, np.empty(0, dtype=object)
+        tbl = pa.concat_tables([b.select(["a", "b"]) for b in blocks])
+        uniq = np.unique(
+            np.concatenate(
+                [
+                    tbl.column("a").to_numpy(zero_copy_only=False),
+                    tbl.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+            if len(tbl)
+            else np.empty(0, dtype=object)
+        )
+        return len(uniq), uniq
+
+    count_ref, endpoints_ref = collect_endpoints.remote(*pairs_mat.to_arrow_refs())
+    n_endpoints = int(ray.get(count_ref))
+    pairs = pairs_mat
     broadcast_limit = cfg.broadcast_verify_limit
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -439,7 +459,7 @@ def verify_pairs_exact(
 
     threshold = cfg.jaccard_threshold
 
-    if len(endpoints) <= broadcast_limit:
+    if n_endpoints <= broadcast_limit:
         # broadcast path: hash-keyed CSR (radix-sortable uint64 keys,
         # offsets, flat uint64 values) built in ONE REMOTE TASK from the
         # materialized endpoint blocks — the driver never touches the
@@ -452,22 +472,41 @@ def verify_pairs_exact(
 
         @ray.remote
         def build_csr(*blocks: pa.Table) -> tuple:
+            # all C-speed arrow/numpy: hash keys, table sort_by, then a
+            # combine_chunks'd binary column exposes ONE contiguous value
+            # buffer — no per-row Python objects at any point
+            blocks = tuple(
+                b for b in blocks if "file_id" in b.column_names and len(b)
+            )
+            if not blocks:
+                return (
+                    np.empty(0, dtype=np.uint64),
+                    np.zeros(1, dtype=np.int64),
+                    np.empty(0, dtype=np.uint64),
+                )
             tbl = pa.concat_tables(blocks)
             ids = tbl.column("file_id").to_numpy(zero_copy_only=False)
             keys = pd.util.hash_array(ids)
-            blobs = tbl.column("shingles").to_pylist()
-            lens = np.fromiter((len(s) // 8 for s in blobs), dtype=np.int64, count=len(blobs))
-            order = np.argsort(keys, kind="stable")
-            keys = keys[order]
-            lens = lens[order]
-            offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=offsets[1:])
+            tbl = tbl.append_column("__k", pa.array(keys, pa.uint64()))
+            tbl = tbl.sort_by("__k")
+            col = tbl.column("shingles").combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
+            arrow_offsets = np.frombuffer(
+                col.buffers()[1], dtype=np.int64, count=len(col) + 1,
+                offset=col.offset * 8,
+            )
+            data_buf = col.buffers()[2]
             flat = (
-                np.frombuffer(b"".join(blobs[i] for i in order), dtype=np.uint64)
-                if lens.sum()
+                np.frombuffer(data_buf, dtype=np.uint64)[
+                    arrow_offsets[0] // 8 : arrow_offsets[-1] // 8
+                ].copy()
+                if data_buf is not None and len(col)
                 else np.empty(0, dtype=np.uint64)
             )
-            return keys, offsets, flat
+            offsets = (arrow_offsets - arrow_offsets[0]) // 8
+            out_keys = tbl.column("__k").to_numpy()
+            return out_keys, offsets.astype(np.int64), flat
 
         refs = sets_blocks.to_arrow_refs()
         if refs:
