@@ -152,11 +152,14 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
     num_bands = cfg.lsh_bands
 
     def explode(batch: pa.Table) -> pa.Table:
+        # NOTE: no separate band-index column — band_keys() folds the
+        # band index into the hash itself, so band_hash alone identifies
+        # (band, row-block value) and the shuffle carries 4 fewer bytes
+        # per row (the skewed exchange moves bands × corpus rows).
         batch = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
         if len(batch) == 0:
             return pa.table(
                 {
-                    "band": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.uint64()),
                     "file_id": pa.array([], pa.string()),
                 }
@@ -164,11 +167,9 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
         sigs = _minhash_matrix(batch)
         keys = band_keys(sigs, num_bands)  # (n, bands)
         n = len(batch)
-        band_ids = np.tile(np.arange(num_bands, dtype=np.int32), n)
         file_ids = np.repeat(np.arange(n), num_bands)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
                 "file_id": batch.column("file_id").take(pa.array(file_ids)),
             }
@@ -205,13 +206,13 @@ def candidate_pairs(
 
     def emit_partition(part: pd.DataFrame) -> pa.Table:
         # keep only buckets with ≥2 members (vectorized prefilter)
-        part = part[part.duplicated(["band", "band_hash"], keep=False)]
+        part = part[part.duplicated(["band_hash"], keep=False)]
         if len(part) == 0:
             return _EMPTY_PAIRS
-        part = part.sort_values(["band", "band_hash", "file_id"], kind="mergesort")
+        part = part.sort_values(["band_hash", "file_id"], kind="mergesort")
         ids = part["file_id"].to_numpy()
         sizes = (
-            part.groupby(["band", "band_hash"], sort=False).size().to_numpy()
+            part.groupby(["band_hash"], sort=False).size().to_numpy()
         )  # run-lengths in sorted order
         starts = np.zeros(len(sizes), dtype=np.int64)
         np.cumsum(sizes[:-1], out=starts[1:])
