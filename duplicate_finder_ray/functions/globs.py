@@ -50,6 +50,10 @@ def _glob_to_re2(pattern: str) -> str:
                 body = pattern[i + 1 : j].replace("\\", "\\\\")
                 if body.startswith("!"):
                     body = "^" + body[1:]
+                elif body.startswith("^"):
+                    # fnmatch negates only on '!'; a leading '^' is a
+                    # literal character — escape it so the regex agrees
+                    body = "\\^" + body[1:]
                 out.append(f"[{body}]")
                 i = j
         elif c in _RE2_SPECIAL:

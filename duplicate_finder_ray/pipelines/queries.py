@@ -46,11 +46,15 @@ d AS (
 _MEMBER_SQL = f"""
 {_D_SQL},
 members AS (
+  -- rank on the (repo, path, commit) tuple, matching the engine: the
+  -- joined file_id string would mis-order prefix paths ('@' > '.')
   SELECT file_id, repo, path, "commit", lang, size, sha256,
          sha256 AS group_id,
          count(*) OVER (PARTITION BY size, sha256) AS n_files,
-         row_number() OVER (PARTITION BY size, sha256 ORDER BY file_id) - 1 AS "rank",
-         (row_number() OVER (PARTITION BY size, sha256 ORDER BY file_id) - 1) = 0 AS is_keeper
+         row_number() OVER (PARTITION BY size, sha256
+                            ORDER BY repo, path, "commit") - 1 AS "rank",
+         (row_number() OVER (PARTITION BY size, sha256
+                             ORDER BY repo, path, "commit") - 1) = 0 AS is_keeper
   FROM d
 )
 """
@@ -140,6 +144,16 @@ def q_group_sort_by_n(sf_dir: str) -> ray.data.Dataset:
         code_files_from_documents(sf_dir)
     )
     return res.groups.sort(["n_files", "group_id"], descending=[True, False])
+
+
+def q_group_sort_by_size(sf_dir: str) -> ray.data.Dataset:
+    """G6: groups ordered by member file size desc (reference's
+    sort-by-size reporting mode; driver hash is order-insensitive, the
+    order itself is asserted in tests/test_exact_dedup.py)."""
+    res = DedupPipeline(PipelineConfig(sort_by_file_size=True)).run_on(
+        code_files_from_documents(sf_dir)
+    )
+    return res.groups.sort(["size", "group_id"], descending=[True, False])
 
 
 def q_token_counts(sf_dir: str) -> ray.data.Dataset:
@@ -392,6 +406,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "filter_size_range": q_filter_size_range,
     "size_prefilter": q_size_prefilter,
     "group_sort_by_n": q_group_sort_by_n,
+    "group_sort_by_size": q_group_sort_by_size,
     "token_counts": q_token_counts,
     # near-dup family (non-SQL-expressible → rows-only driver checks;
     # exact oracles live in tests/)
@@ -434,7 +449,8 @@ ORACLE_SQL: dict[str, str] = {
     + "SELECT file_id, size, group_id FROM members WHERE n_files > 1 AND is_keeper",
     "deletion_tally": _MEMBER_SQL
     + """
-    SELECT count(*) AS n_deleted, coalesce(sum(size), 0) AS bytes_freed
+    SELECT count(*) AS n_deleted,
+           CAST(coalesce(sum(size), 0) AS BIGINT) AS bytes_freed
     FROM members WHERE n_files > 1 AND NOT is_keeper
     """,
     "filter_globs": _D_SQL
@@ -456,10 +472,17 @@ ORACLE_SQL: dict[str, str] = {
     FROM d GROUP BY sha256, size HAVING count(*) > 1
     ORDER BY n_files DESC, group_id
     """,
+    "group_sort_by_size": _D_SQL
+    + """
+    SELECT sha256 AS group_id, size, count(*) AS n_files
+    FROM d GROUP BY sha256, size HAVING count(*) > 1
+    ORDER BY size DESC, group_id
+    """,
     "token_counts": """
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+           CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                ELSE array_length(regexp_split_to_array(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
            ::BIGINT AS n_tokens
     FROM documents
     """,
@@ -525,7 +548,8 @@ ORACLE_SQL: dict[str, str] = {
     SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
            event_type,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
     FROM events
     GROUP BY 1, 2
     """,
@@ -538,9 +562,10 @@ ORACLE_SQL: dict[str, str] = {
     ),
     s AS (
       SELECT user_id, ts_us,
-             sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+             CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                  AS BIGINT) AS session_id
       FROM e
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -585,8 +610,9 @@ ORACLE_SQL: dict[str, str] = {
     WITH c AS (
       SELECT doc_id,
              length(text)::BIGINT AS n_chars,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+             (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                   ELSE array_length(regexp_split_to_array(
+                          regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
               END)::BIGINT AS n_words,
              len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))::BIGINT AS n_punct,
              len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
@@ -612,8 +638,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "token_counts_bpe": """
     SELECT doc_id,
-           (CASE WHEN trim(text) = '' THEN 0
-                 ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+           (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                 ELSE array_length(regexp_split_to_array(
+                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
             END)::BIGINT AS n_tokens_ws,
            len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]'))::BIGINT
              AS n_tokens_bpe

@@ -10,10 +10,12 @@ CONTENT (only the cheap path listing happens on the driver).
 Mapping to the engine schema: ``repo`` = the scan root, ``path`` = the
 path relative to it, ``commit`` = "" (filesystems are uncommitted), and
 ``content`` stays BINARY (files need not be UTF-8; every exact-dedup
-stage — size, sha256, byte-verify — is binary-safe). ``file_id`` then
-equals ``root:relpath@``, whose lexicographic order within one scan
-equals the reference's absolute-path order — so the keep-first rule
-selects the same file the reference keeps.
+stage — size, sha256, byte-verify — is binary-safe). Keeper rank is
+computed over the ``(repo, path, commit)`` TUPLE (stages/exact.py), and
+within one scan repo is constant and commit empty, so rank order equals
+the reference's raw absolute-path sort — including prefix paths like
+LICENSE vs LICENSE.txt, which the joined ``file_id`` string would
+mis-order ('@' sorts after '.').
 """
 
 from __future__ import annotations

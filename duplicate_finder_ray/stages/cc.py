@@ -45,37 +45,40 @@ _LABELS_SCHEMA = pa.schema([("file_id", pa.string()), ("component", pa.string())
 
 
 def _local_contract(part: pd.DataFrame) -> pa.Table:
-    """In-memory union-find over one bucket's edges; emits one star
-    edge (node → local root) per distinct node seen."""
-    parent: dict[str, str] = {}
+    """Vectorized contraction of one bucket's edges; emits one star
+    edge (node → local min-label root) per distinct node seen.
 
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(part["a"].to_numpy(), part["b"].to_numpy()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    nodes = list(parent)
-    roots = [find(n) for n in nodes]
+    Same np.unique + min-label-propagation + pointer-jumping kernel as
+    the small-graph fast path in ``connected_components`` — all C
+    passes, no per-edge Python. np.unique sorts, so the converged min
+    label index IS the lexicographically smallest node in the bucket."""
+    a = part["a"].to_numpy()
+    b = part["b"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, ea, label[eb])
+        np.minimum.at(new, eb, label[ea])
+        new = new[new]  # pointer jumping
+        if np.array_equal(new, label):
+            break
+        label = new
     return pa.table(
-        {"a": pa.array(nodes, pa.string()), "b": pa.array(roots, pa.string())}
+        {
+            "a": pa.array(nodes, pa.string()),
+            "b": pa.array(nodes[label], pa.string()),
+        }
     )
 
 
-def _crc_buckets(vals: list[str], num_buckets: int) -> np.ndarray:
-    from zlib import crc32
-
-    out = np.empty(len(vals), dtype=np.int32)
-    for i, v in enumerate(vals):
-        out[i] = crc32(v.encode()) % num_buckets
-    return out
+def _hash_buckets(vals: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per string — vectorized fixed-key siphash
+    (pd.util.hash_array), never builtin hash() (per-process salt) and
+    never a per-row crc32 loop (this runs on every shuffle-bound row)."""
+    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
 def _contract_round(
@@ -86,16 +89,16 @@ def _contract_round(
     union-find), then per-bucket contraction. ONE shuffle."""
 
     def add_buckets(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        ba = _crc_buckets(a, num_buckets)
-        bb = _crc_buckets(b, num_buckets)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        ba = _hash_buckets(a, num_buckets)
+        bb = _hash_buckets(b, num_buckets)
         # second copy only where the buckets differ (self-bucket edges
         # would otherwise double inside one reducer — harmless for the
         # DSU but wasted shuffle bytes)
         diff = ba != bb
-        out_a = a + [x for x, d in zip(a, diff) if d]
-        out_b = b + [x for x, d in zip(b, diff) if d]
+        out_a = np.concatenate([a, a[diff]])
+        out_b = np.concatenate([b, b[diff]])
         out_bucket = np.concatenate([ba, bb[diff]])
         return pa.table(
             {
@@ -113,21 +116,21 @@ def _contract_round(
 
 
 def _edge_checksum(edges: ray.data.Dataset) -> int:
-    """Order/partition-insensitive multiset checksum (sum of crc32 per
-    edge; the driver reads one scalar). Stable checksum across rounds ⇒
-    fixpoint (collision odds ~2^-60)."""
-    from zlib import crc32
+    """Order/partition-insensitive multiset checksum (wrapping uint64
+    sum of a per-edge hash; the driver reads one scalar). Stable
+    checksum across rounds ⇒ fixpoint. Fully vectorized: two siphash
+    passes + a mix, no per-edge Python."""
 
     def fold(batch: pa.Table) -> pa.Table:
-        acc = 0
-        for a, b in zip(
-            batch.column("a").to_pylist(), batch.column("b").to_pylist()
-        ):
-            acc += crc32(f"{a}\x00{b}".encode())
-        return pa.table({"s": pa.array([acc], pa.int64())})
+        ha = pd.util.hash_array(batch.column("a").to_numpy(zero_copy_only=False))
+        hb = pd.util.hash_array(batch.column("b").to_numpy(zero_copy_only=False))
+        # asymmetric mix so (a,b) != (b,a); uint64 arithmetic wraps
+        combo = ha * np.uint64(0x9E3779B97F4A7C15) ^ hb
+        acc = int(np.sum(combo, dtype=np.uint64))
+        return pa.table({"s": pa.array([acc], pa.uint64())})
 
     parts = edges.map_batches(fold, batch_format="pyarrow").to_pandas()
-    return int(parts["s"].sum())
+    return int(np.sum(parts["s"].to_numpy(dtype=np.uint64), dtype=np.uint64))
 
 
 def connected_components(
@@ -210,7 +213,10 @@ def connected_components(
         return batch.append_column(
             "__bucket",
             pa.array(
-                _crc_buckets(batch.column("a").to_pylist(), num_buckets), pa.int32()
+                _hash_buckets(
+                    batch.column("a").to_numpy(zero_copy_only=False), num_buckets
+                ),
+                pa.int32(),
             ),
         )
 

@@ -40,7 +40,12 @@ def hourly_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
         # force µs before the int cast (sources vary between us/ns units)
         ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
         window = pc.multiply(pc.divide(ts_us, _HOUR_US), _HOUR_US)
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        # floor(x*100 + 0.5): explicit round-half-up on BOTH the engine and
+        # the DuckDB oracle (Arrow pc.round is half-to-even, DuckDB round()
+        # is half-away-from-zero — either alone diverges on exact .5 cents)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
         return pa.table(
             {
                 "window_start_us": window,

@@ -125,8 +125,10 @@ def duplicate_members(
     Input rows carry MEMBER_COLS (plus ``content`` iff
     ``cfg.verify_content``). Output: one row per member of each duplicate
     group with ``group_id, n_files, rank, is_keeper`` appended; members
-    are ranked in lexicographic ``file_id`` order (reference
-    ``sorted(group)``), keeper is rank 0. With verify_content, hash groups
+    are ranked in lexicographic ``(repo, path, commit)`` order — the
+    tuple, not the joined file_id string, so prefix paths (LICENSE vs
+    LICENSE.txt) order exactly like the reference's raw-path
+    ``sorted(group)`` — keeper is rank 0. With verify_content, hash groups
     are refined to byte-identical subgroups with distinct
     ``group_id = sha256 ["#" k]`` (fixes the reference's re-merge flaw,
     duplicate_finder.py:443-461).
@@ -139,22 +141,31 @@ def duplicate_members(
     verify = cfg.verify_content
 
     if not verify:
-        # fast path: ONE coarse shuffle on pkey = crc32(sha256) % P, then
-        # fully vectorized pandas group kernels inside each partition —
-        # a naive groupby(size, sha).map_groups pays a Python call per
-        # GROUP (milliseconds × thousands of groups); this pays P calls.
-        from zlib import crc32
-
+        # fast path: ONE coarse shuffle on pkey = siphash(sha256) % P,
+        # then fully vectorized pandas group kernels inside each
+        # partition — a naive groupby(size, sha).map_groups pays a
+        # Python call per GROUP (milliseconds × thousands of groups);
+        # this pays P calls.
         num_parts = max(8, cfg.parallelism)
 
         def add_pkey(batch: pa.Table) -> pa.Table:
-            out = np.empty(len(batch), dtype=np.int32)
-            for i, s in enumerate(batch.column("sha256").to_pylist()):
-                out[i] = crc32(s.encode()) % num_parts
-            return batch.append_column("pkey", pa.array(out, pa.int32()))
+            # vectorized fixed-key siphash — never per-row crc32 Python
+            # loops on a shuffle-key path, never salted builtin hash()
+            h = pd.util.hash_array(
+                batch.column("sha256").to_numpy(zero_copy_only=False)
+            )
+            return batch.append_column(
+                "pkey", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+            )
 
         def emit_partition(part: pd.DataFrame) -> pa.Table:
-            part = part.sort_values([*keys, "file_id"], kind="mergesort")
+            # rank on the (repo, path, commit) TUPLE, not the joined
+            # file_id string: 'LICENSE' vs 'LICENSE.txt' must order the
+            # way the reference's raw-path sort does ('@' terminator in
+            # file_id sorts after '.', flipping the keeper otherwise)
+            part = part.sort_values(
+                [*keys, "repo", "path", "commit"], kind="mergesort"
+            )
             grp = part.groupby(keys, sort=False)
             n = grp["file_id"].transform("size").astype("int64")
             part = part.assign(n_files=n)
@@ -192,7 +203,7 @@ def duplicate_members(
     def emit_group(group: pd.DataFrame) -> pa.Table:
         if len(group) < 2:
             return _EMPTY_MEMBERS
-        group = group.sort_values("file_id", kind="mergesort")
+        group = group.sort_values(["repo", "path", "commit"], kind="mergesort")
         sha = group["sha256"].iloc[0]
         if verify and "content" in group.columns:
             frames = []

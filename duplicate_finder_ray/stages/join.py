@@ -18,8 +18,6 @@ multiple of cluster parallelism.
 
 from __future__ import annotations
 
-from zlib import crc32
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -39,11 +37,11 @@ def _pa_type(t) -> pa.DataType:
 
 
 def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
-    vals = col.to_pylist()
-    out = np.empty(len(vals), dtype=np.int32)
-    for i, v in enumerate(vals):
-        out[i] = crc32(v.encode() if isinstance(v, str) else bytes(v)) % num_buckets
-    return pa.array(out, pa.int32())
+    # vectorized fixed-key siphash (handles str and bytes object arrays);
+    # deterministic across processes, no per-row Python on the join path
+    vals = col.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
 
 
 def bucketed_inner_join(

@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict, is_dataclass
 from typing import Any
@@ -87,22 +88,26 @@ class CheckpointManager:
         """Write the stage output as partitioned Parquet + manifest with
         per-partition lineage; return a Dataset reading it back (so
         downstream stages consume the checkpoint, not the upstream
-        lineage — a later failure never recomputes this stage)."""
+        lineage — a later failure never recomputes this stage).
+
+        Writes go to a staging dir that is atomically renamed over the
+        final path, so re-saving over a COMPLETED checkpoint replaces it
+        instead of accreting shards beside the old ones, and a crash
+        mid-write can never leave a half-written dir with _SUCCESS."""
         out = self.stage_dir(stage)
+        staging = out + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
         t0 = time.perf_counter()
-        # clear leftovers from a crashed attempt (no _SUCCESS ⇒ garbage)
-        if os.path.isdir(out) and not self.has(stage):
-            for f in os.listdir(out):
-                os.unlink(os.path.join(out, f))
-        ds.write_parquet(out)
+        ds.write_parquet(staging)
         wall_s = time.perf_counter() - t0
 
         partitions = []
         total_rows = 0
-        for fname in sorted(os.listdir(out)):
+        for fname in sorted(os.listdir(staging)):
             if fname.startswith("_"):
                 continue
-            fpath = os.path.join(out, fname)
+            fpath = os.path.join(staging, fname)
             meta = pq.read_metadata(fpath)
             partitions.append(
                 {
@@ -120,10 +125,11 @@ class CheckpointManager:
             "wall_s": round(wall_s, 3),
             "partitions": partitions,
         }
-        tmp = self._manifest_path(stage) + ".tmp"
-        with open(tmp, "w") as f:
+        with open(os.path.join(staging, _MANIFEST), "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(stage))  # atomic commit
+        if os.path.isdir(out):
+            shutil.rmtree(out)  # replace, never accrete
+        os.replace(staging, out)  # atomic commit of data + manifest
         return self.load(stage)
 
     def load(self, stage: str) -> ray.data.Dataset:

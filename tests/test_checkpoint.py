@@ -47,6 +47,17 @@ class TestCheckpointManager:
         mgr.run_stage("s", make, resume=False)
         assert len(calls) == 2
 
+    def test_resave_replaces_not_accretes(self, ray_session, tmp_path):
+        """Re-saving over a COMPLETED checkpoint must replace it — the old
+        behavior left prior shards beside new ones and load() returned
+        duplicated rows (3-row stage reloading as 6)."""
+        mgr = CheckpointManager(str(tmp_path), {"x": 1})
+        df = pd.DataFrame({"a": [1, 2, 3]})
+        mgr.save("s", ray_session.data.from_pandas(df))
+        out = mgr.save("s", ray_session.data.from_pandas(df))
+        assert out.count() == 3
+        assert sorted(out.to_pandas()["a"]) == [1, 2, 3]
+
     def test_missing_success_means_incomplete(self, ray_session, tmp_path):
         mgr = CheckpointManager(str(tmp_path), {"x": 1})
         mgr.save("s", ray_session.data.from_pandas(pd.DataFrame({"a": [1]})))

@@ -73,6 +73,27 @@ class TestExactGroups:
             assert keeper == min(sub["file_id"])
             assert sub["is_keeper"].sum() == 1
 
+    def test_keeper_prefix_path_matches_raw_sort(self, ray_session):
+        """Rank is the (repo, path, commit) TUPLE, not the joined file_id
+        string: with LICENSE vs LICENSE.txt the '@' terminator in file_id
+        sorts after '.', which would flip the keeper vs the reference's
+        raw-path sorted(group)."""
+        df = pd.DataFrame(
+            [
+                {"repo": "o/r", "path": "LICENSE.txt", "commit": "a" * 40,
+                 "lang": "text", "content": "mit\n"},
+                {"repo": "o/r", "path": "LICENSE", "commit": "a" * 40,
+                 "lang": "text", "content": "mit\n"},
+            ]
+        )
+        res = DedupPipeline(PipelineConfig()).run_on(
+            ray_session.data.from_pandas(df)
+        )
+        members = res.members.to_pandas()
+        keeper = members.loc[members["is_keeper"], "path"].iloc[0]
+        # reference sorts raw paths: 'LICENSE' < 'LICENSE.txt'
+        assert keeper == "LICENSE"
+
     def test_prefilter_modes_agree(self, run):
         base = run(prefilter_mode="fused").members.to_pandas()
         for mode in ("two_pass", "off"):

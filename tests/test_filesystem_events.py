@@ -105,6 +105,24 @@ def test_hourly_rollup_oracle(ray_session, events_df):
     )
 
 
+def test_hourly_rollup_rounds_half_up(ray_session):
+    """Cents round half-AWAY (floor(x*100+0.5)) on exact .5 — matching the
+    DuckDB oracle; Arrow pc.round alone is half-to-even (0.125 → 12)."""
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [pd.Timestamp("2024-03-01 00:00:00")] * 2,
+            "user_id": [1, 1],
+            "event_type": ["click", "click"],
+            # 0.125*100 = 12.5 and 0.375*100 = 37.5, both exact in binary
+            "value": [0.125, 0.375],
+            "props": ["{}", "{}"],
+        }
+    )
+    got = ev.hourly_rollup(ray_session.data.from_pandas(df)).to_pandas()
+    assert got["sum_value_cents"].iloc[0] == 13 + 38
+
+
 def test_sessionize_gap_semantics(ray_session, events_df):
     got = ev.sessionize(
         ray_session.data.from_pandas(events_df), gap_minutes=30

@@ -92,6 +92,10 @@ class TestGlobs:
             ("[ab].txt", "a.txt", True),
             ("[!ab].txt", "c.txt", True),
             ("[!ab].txt", "a.txt", False),
+            # fnmatch negates only on '!' — a leading '^' is literal
+            ("[^ab]*", "afile", True),
+            ("[^ab]*", "^file", True),
+            ("[^ab]*", "cfile", False),
             ("src/*.c", "src/main.c", True),
             ("src/*.c", "other/main.c", False),
         ],
