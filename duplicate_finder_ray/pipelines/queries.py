@@ -192,8 +192,9 @@ def q_lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
 
     cfg = PipelineConfig(jaccard_threshold=0.5)
     sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
+    sigs = sigs.materialize()  # consumed by both the bands and the id map
     bands = neardup.explode_bands(sigs, cfg)
-    return neardup.candidate_pairs(bands, cfg)
+    return neardup.translate_pairs(neardup.candidate_pairs(bands, cfg), sigs)
 
 
 def q_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:

@@ -117,21 +117,33 @@ def bucketed_inner_join(
         + [(n, rarrow[n]) for n in rpayload]
     )
 
-    def merge(part: pd.DataFrame) -> pa.Table:
-        lp = part[part["__side"] == 0]
-        rp = part[part["__side"] == 1]
-        if len(lp) == 0 or len(rp) == 0:
+    def merge(part: pa.Table) -> pa.Table:
+        # ARROW-NATIVE merge: only the (string) key column touches
+        # pandas — payload columns are gathered with Table.take, so the
+        # union's null padding never forces an arrow→pandas conversion
+        # (which silently turns nullable uint64 into lossy float64 and
+        # corrupts large fids, and object-copies binary payloads).
+        if "__side" not in part.column_names:  # empty zero-column block
             return out_schema.empty_table()
-        lf = lp[["__key", *lpayload]]
-        rf = rp[["__key", *rpayload]]
-        merged = lf.merge(rf, on="__key", how="inner")
-        merged = merged.rename(columns={"__key": left_key})
-        return pa.Table.from_pandas(
-            merged[[left_key, *lpayload, *rpayload]], schema=out_schema,
-            preserve_index=False,
+        side = part.column("__side").to_numpy()
+        lsel = np.nonzero(side == 0)[0]
+        rsel = np.nonzero(side == 1)[0]
+        if len(lsel) == 0 or len(rsel) == 0:
+            return out_schema.empty_table()
+        keys = part.column("__key").to_numpy(zero_copy_only=False)
+        m = pd.DataFrame({"k": keys[lsel], "i": lsel}).merge(
+            pd.DataFrame({"k": keys[rsel], "j": rsel}), on="k", how="inner"
         )
+        if len(m) == 0:
+            return out_schema.empty_table()
+        lt = part.take(pa.array(m["i"].to_numpy()))
+        rt = part.take(pa.array(m["j"].to_numpy()))
+        arrays = [lt.column("__key").cast(larrow[left_key])]
+        arrays += [lt.column(n).cast(larrow[n]) for n in lpayload]
+        arrays += [rt.column(n).cast(rarrow[n]) for n in rpayload]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def grouped_min(

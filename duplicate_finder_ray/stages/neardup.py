@@ -45,15 +45,37 @@ from duplicate_finder_ray.functions.shingles import (
     simhash_band_keys,
 )
 
+#: candidate pairs flow as compact uint64 surrogate ids ("fid" =
+#: fixed-key siphash64 of file_id) — the skewed band exchange and the
+#: pair tables never ship the long file_id strings; translation back to
+#: strings happens once, at the verified-pair boundary, via a broadcast
+#: (sorted fids, file_ids) map. Collision odds are the usual 64-bit
+#: birthday bound (~n²/2⁶⁵ — negligible to ~10^8 files; at 10^12-file
+#: scale swap fid for a 128-bit digest pair, the plumbing is unchanged).
 PAIRS_SCHEMA = pa.schema(
     [
-        ("a", pa.string()),
-        ("b", pa.string()),
+        ("a", pa.uint64()),
+        ("b", pa.uint64()),
         ("bucket_size", pa.int64()),
     ]
 )
 
 _EMPTY_PAIRS = PAIRS_SCHEMA.empty_table()
+
+VERIFIED_SCHEMA = pa.schema(
+    [
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("n_bands", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def fid_of(ids: np.ndarray) -> np.ndarray:
+    """uint64 surrogate id per file_id string — vectorized fixed-key
+    siphash (deterministic across processes/nodes)."""
+    return pd.util.hash_array(np.asarray(ids, dtype=object))
 
 
 def effective_parallelism(cfg: PipelineConfig) -> int:
@@ -108,6 +130,13 @@ class SignatureStage:
                 shingle_bytes.append(sh.tobytes())
         out = batch.drop_columns(["content"])
         out = out.append_column(
+            "fid",
+            pa.array(
+                fid_of(batch.column("file_id").to_numpy(zero_copy_only=False)),
+                pa.uint64(),
+            ),
+        )
+        out = out.append_column(
             "minhash",
             pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perms
@@ -146,32 +175,32 @@ def _minhash_matrix(batch: pa.Table) -> np.ndarray:
 
 
 def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
-    """(file_id, minhash) → (band, band_hash, file_id) × num_bands rows.
-    Docs with zero shingles are excluded — the empty-set sentinel
-    signature would otherwise bucket all short docs together."""
+    """(fid, minhash) → (band_hash, fid) × num_bands rows. Docs with
+    zero shingles are excluded — the empty-set sentinel signature would
+    otherwise bucket all short docs together.
+
+    The exchange rows are TWO uint64s: band_keys() folds the band index
+    into the hash itself, and the file identity travels as the compact
+    fid surrogate, not the file_id string — the skewed exchange moves
+    bands × corpus rows, so every byte here is multiplied by both."""
     num_bands = cfg.lsh_bands
 
     def explode(batch: pa.Table) -> pa.Table:
-        # NOTE: no separate band-index column — band_keys() folds the
-        # band index into the hash itself, so band_hash alone identifies
-        # (band, row-block value) and the shuffle carries 4 fewer bytes
-        # per row (the skewed exchange moves bands × corpus rows).
         batch = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
         if len(batch) == 0:
             return pa.table(
                 {
                     "band_hash": pa.array([], pa.uint64()),
-                    "file_id": pa.array([], pa.string()),
+                    "fid": pa.array([], pa.uint64()),
                 }
             )
         sigs = _minhash_matrix(batch)
         keys = band_keys(sigs, num_bands)  # (n, bands)
-        n = len(batch)
-        file_ids = np.repeat(np.arange(n), num_bands)
+        fids = batch.column("fid").to_numpy().astype(np.uint64)
         return pa.table(
             {
                 "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
-                "file_id": batch.column("file_id").take(pa.array(file_ids)),
+                "fid": pa.array(np.repeat(fids, num_bands), pa.uint64()),
             }
         )
 
@@ -181,9 +210,9 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
 def candidate_pairs(
     band_rows: ray.data.Dataset, cfg: PipelineConfig
 ) -> ray.data.Dataset:
-    """Band buckets → unordered candidate pairs (a < b), deduped across
-    bands with a band-collision count (``n_bands`` — a free similarity
-    signal).
+    """Band buckets → unordered candidate pairs (a < b, uint64 fids),
+    deduped across bands with a band-collision count (``n_bands`` — a
+    free similarity signal).
 
     TWO-LEVEL grouping: the shuffle key is a coarse partition id
     (``band_hash % P``), and the real (band, band_hash) bucketing runs
@@ -209,8 +238,8 @@ def candidate_pairs(
         part = part[part.duplicated(["band_hash"], keep=False)]
         if len(part) == 0:
             return _EMPTY_PAIRS
-        part = part.sort_values(["band_hash", "file_id"], kind="mergesort")
-        ids = part["file_id"].to_numpy()
+        part = part.sort_values(["band_hash", "fid"], kind="mergesort")
+        ids = part["fid"].to_numpy().astype(np.uint64)
         sizes = (
             part.groupby(["band_hash"], sort=False).size().to_numpy()
         )  # run-lengths in sorted order
@@ -231,10 +260,12 @@ def candidate_pairs(
             out_a.append(ids[(st[:, None] + ia[None, :]).ravel()])
             out_b.append(ids[(st[:, None] + ib[None, :]).ravel()])
             out_sz.append(np.repeat(sizes[sel], len(ia)))
+        if not out_a:
+            return _EMPTY_PAIRS
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a), pa.string()),
-                "b": pa.array(np.concatenate(out_b), pa.string()),
+                "a": pa.array(np.concatenate(out_a), pa.uint64()),
+                "b": pa.array(np.concatenate(out_b), pa.uint64()),
                 "bucket_size": pa.array(np.concatenate(out_sz).astype(np.int64)),
             }
         )
@@ -256,10 +287,10 @@ def candidate_pairs(
         return agg
 
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        # pd.util.hash_array (fixed-key siphash), NOT builtin hash():
-        # str hashing is salted per process, which would scatter
-        # identical pairs across partitions. Vectorized C kernel.
-        h = pd.util.hash_array(batch.column("a").to_numpy(zero_copy_only=False))
+        # pd.util.hash_array (fixed-key siphash), NOT builtin hash() —
+        # deterministic across processes. a is already uint64, so this
+        # is one vectorized integer-mix pass.
+        h = pd.util.hash_array(batch.column("a").to_numpy().astype(np.uint64))
         return batch.append_column(
             "pkey",
             pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),
@@ -273,26 +304,84 @@ def candidate_pairs(
     return deduped.select_columns(["a", "b", "n_bands", "bucket_size"])
 
 
+@ray.remote
+def _build_fid_map(*blocks: pa.Table) -> tuple:
+    """(sorted fids, file_ids aligned) from signature blocks — built in
+    the cluster; the driver only passes refs around."""
+    blocks = tuple(b for b in blocks if "fid" in b.column_names and len(b))
+    if not blocks:
+        return np.empty(0, np.uint64), np.empty(0, dtype=object)
+    tbl = pa.concat_tables([b.select(["fid", "file_id"]) for b in blocks])
+    tbl = tbl.sort_by("fid")
+    return (
+        tbl.column("fid").to_numpy().astype(np.uint64),
+        tbl.column("file_id").to_numpy(zero_copy_only=False),
+    )
+
+
+def fid_map_ref(sigs: ray.data.Dataset):
+    """Broadcast fid → file_id lookup (one remote build task over the
+    materialized signature blocks)."""
+    refs = sigs.materialize().to_arrow_refs()
+    if not refs:
+        return ray.put((np.empty(0, np.uint64), np.empty(0, dtype=object)))
+    return _build_fid_map.remote(*refs)
+
+
+def translate_pairs(
+    pairs: ray.data.Dataset, sigs: ray.data.Dataset
+) -> ray.data.Dataset:
+    """uint64 (a, b) pair columns → file_id strings, re-canonicalized to
+    a < b in STRING order (fid order and lexicographic order differ).
+    Other columns pass through."""
+    map_ref = fid_map_ref(sigs)
+
+    def to_strings(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            names = batch.column_names
+            return pa.schema(
+                [
+                    (n, pa.string() if n in ("a", "b") else batch.schema.field(n).type)
+                    for n in names
+                ]
+            ).empty_table()
+        fids, names_arr = ray.get(map_ref)
+        aa = batch.column("a").to_numpy().astype(np.uint64)
+        bb = batch.column("b").to_numpy().astype(np.uint64)
+        sa = names_arr[np.searchsorted(fids, aa)]
+        sb = names_arr[np.searchsorted(fids, bb)]
+        swap = sa > sb
+        lo = np.where(swap, sb, sa)
+        hi = np.where(swap, sa, sb)
+        out = batch.drop_columns(["a", "b"])
+        out = out.append_column("a", pa.array(lo, pa.string()))
+        out = out.append_column("b", pa.array(hi, pa.string()))
+        return out.select(["a", "b", *[c for c in batch.column_names if c not in ("a", "b")]])
+
+    return pairs.map_batches(to_strings, batch_format="pyarrow")
+
+
 def verify_pairs(
     pairs: ray.data.Dataset,
     sigs: ray.data.Dataset,
     cfg: PipelineConfig,
 ) -> ray.data.Dataset:
     """Attach both endpoints' signatures (two hash-partitioned joins on
-    file_id) and keep pairs whose MinHash Jaccard estimate ≥ τ.
+    the uint64 fid) and keep pairs whose MinHash Jaccard estimate ≥ τ.
 
-    Output: (a, b, n_bands, jaccard) — jaccard here is the MinHash
-    ESTIMATE (σ ≈ 0.035 at K=128). The join is Ray's built-in
-    hash join — each side is partitioned on the key, so only the
+    Output: (a, b, n_bands, jaccard) with STRING ids — the joins carry
+    file_id as payload, so translation back from fids is free here.
+    jaccard is the MinHash ESTIMATE (σ ≈ 0.035 at K=128). Only the
     (small) pair table and the signature table shuffle, never content.
     """
     num_partitions = effective_parallelism(cfg)
 
     def serialize(batch: pa.Table) -> pa.Table:
-        # binary payload: pyarrow hash join rejects list columns
+        # binary payload: the bucketed hash join rejects list columns
         sig = _minhash_matrix(batch)
         return pa.table(
             {
+                "fid": batch["fid"],
                 "file_id": batch["file_id"],
                 "sig": pa.array([row.tobytes() for row in sig], pa.large_binary()),
             }
@@ -304,26 +393,19 @@ def verify_pairs(
     from duplicate_finder_ray.stages.util import rename_cols
 
     joined = rename_cols(
-        bucketed_inner_join(pairs, sig_cols, "a", "file_id", num_partitions),
-        {"sig": "minhash_a"},
+        bucketed_inner_join(pairs, sig_cols, "a", "fid", num_partitions),
+        {"sig": "minhash_a", "file_id": "fa"},
     )
     joined = rename_cols(
-        bucketed_inner_join(joined, sig_cols, "b", "file_id", num_partitions),
-        {"sig": "minhash_b"},
+        bucketed_inner_join(joined, sig_cols, "b", "fid", num_partitions),
+        {"sig": "minhash_b", "file_id": "fb"},
     )
 
     threshold = cfg.jaccard_threshold
 
     def score(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.string()),
-                    "b": pa.array([], pa.string()),
-                    "n_bands": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+            return VERIFIED_SCHEMA.empty_table()
         sa = np.stack(
             [np.frombuffer(x, np.uint64) for x in batch.column("minhash_a").to_pylist()]
         )
@@ -331,10 +413,13 @@ def verify_pairs(
             [np.frombuffer(x, np.uint64) for x in batch.column("minhash_b").to_pylist()]
         )
         est = (sa == sb).mean(axis=1)
+        fa = batch.column("fa").to_numpy(zero_copy_only=False)
+        fb = batch.column("fb").to_numpy(zero_copy_only=False)
+        swap = fa > fb
         out = pa.table(
             {
-                "a": batch["a"],
-                "b": batch["b"],
+                "a": pa.array(np.where(swap, fb, fa), pa.string()),
+                "b": pa.array(np.where(swap, fa, fb), pa.string()),
                 "n_bands": pa.compute.cast(batch["n_bands"], pa.int64()),
                 "jaccard": pa.array(est, pa.float64()),
             }
@@ -369,8 +454,13 @@ class ShingleSetStage:
         # serialized as binary (uint64 little-endian bytes): pyarrow's
         # hash join rejects list-typed payload columns
         shingle_col = pa.array([a.tobytes() for a in arrays], pa.large_binary())
+        ids = batch.column("file_id").to_numpy(zero_copy_only=False)
         return pa.table(
-            {"file_id": batch["file_id"], "shingles": shingle_col}
+            {
+                "fid": pa.array(fid_of(ids), pa.uint64()),
+                "file_id": batch["file_id"],
+                "shingles": shingle_col,
+            }
         )
 
 
@@ -380,28 +470,29 @@ def verify_pairs_exact(
     cfg: PipelineConfig,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification: keep pairs with true shingle Jaccard
-    ≥ τ. Scale shape:
+    ≥ τ. Pairs arrive as uint64 fids; output is (a, b, n_bands,
+    jaccard) with STRING file_ids (a < b lexicographically). Scale
+    shape:
 
-    1. collect the distinct pair endpoints (small vs corpus) and
-       broadcast them with ``ray.put``;
-    2. semi-join: filter the code table to endpoint rows inside
-       map_batches (``np.isin`` probe — content does NOT shuffle);
-    3. re-shingle only those rows (actor pool), join the shingle sets
-       onto both pair endpoints (hash joins on the small side);
-    4. vectorized-per-pair exact Jaccard, filter ≥ τ.
+    1. collect the distinct pair endpoints (uint64, small vs corpus)
+       in one remote task and broadcast the sorted array;
+    2. semi-join: filter the signature table to endpoint rows inside
+       map_batches (searchsorted probe — content does NOT shuffle);
+    3. shingle sets come from the signature pass (or an actor-pool
+       re-shingle when absent), CSR-indexed by fid;
+    4. vectorized-per-pair exact Jaccard, filter ≥ τ, translate fids
+       back to strings via the file_ids the CSR already carries.
 
-    Output: (a, b, n_bands, jaccard).
-
-    When the endpoint set is small (≤ ``broadcast_limit``) the shingle
-    sets are instead broadcast as one dict and pairs are scored in a
-    single map_batches — no joins at all (ray_guide: broadcast the small
-    side). The join path remains the 10^12-scale shape.
+    When the endpoint set is small (≤ ``broadcast_limit``) the CSR is
+    broadcast and pairs are scored in a single map_batches — no joins
+    at all (ray_guide: broadcast the small side). The bucketed-join
+    path remains the 10^12-scale shape.
     """
     import pyarrow.compute as pc
 
     # distinct pair endpoints, computed in ONE remote task over the pair
-    # blocks (driver reads back only the count — the sorted array stays
-    # in the object store for the probe tasks)
+    # blocks (driver reads back only the count — the sorted uint64 array
+    # stays in the object store for the probe tasks)
     pairs_mat = pairs.materialize()
 
     @ray.remote(num_returns=2)
@@ -409,17 +500,15 @@ def verify_pairs_exact(
         # empty blocks can surface with a bare zero-column schema
         blocks = tuple(b for b in blocks if "a" in b.column_names and len(b))
         if not blocks:
-            return 0, np.empty(0, dtype=object)
+            return 0, np.empty(0, dtype=np.uint64)
         tbl = pa.concat_tables([b.select(["a", "b"]) for b in blocks])
         uniq = np.unique(
             np.concatenate(
                 [
-                    tbl.column("a").to_numpy(zero_copy_only=False),
-                    tbl.column("b").to_numpy(zero_copy_only=False),
+                    tbl.column("a").to_numpy().astype(np.uint64),
+                    tbl.column("b").to_numpy().astype(np.uint64),
                 ]
             )
-            if len(tbl)
-            else np.empty(0, dtype=object)
         )
         return len(uniq), uniq
 
@@ -429,10 +518,10 @@ def verify_pairs_exact(
     broadcast_limit = cfg.broadcast_verify_limit
 
     def probe(batch: pa.Table) -> pa.Table:
-        # membership via searchsorted against the broadcast SORTED array —
-        # np.isin would re-sort the (large) endpoint array per block
+        # membership via searchsorted against the broadcast SORTED
+        # uint64 array — integer compares, no object-array deserialize
         ep = ray.get(endpoints_ref)
-        ids = batch.column("file_id").to_numpy(zero_copy_only=False)
+        ids = batch.column("fid").to_numpy().astype(np.uint64)
         pos = np.searchsorted(ep, ids)
         pos[pos >= len(ep)] = 0
         keep = (ep[pos] == ids) if len(ep) else np.zeros(len(ids), dtype=bool)
@@ -443,11 +532,17 @@ def verify_pairs_exact(
         # the signature pass already carried the shingle sets — filter to
         # the endpoints; content is never re-read or re-shingled
         shingle_sets = code_with_id.select_columns(
-            ["file_id", "shingles"]
+            ["fid", "file_id", "shingles"]
         ).map_batches(probe, batch_format="pyarrow")
     else:
-        cand = code_with_id.select_columns(["file_id", "content"]).map_batches(
-            probe, batch_format="pyarrow"
+        def add_fid(batch: pa.Table) -> pa.Table:
+            ids = batch.column("file_id").to_numpy(zero_copy_only=False)
+            return batch.append_column("fid", pa.array(fid_of(ids), pa.uint64()))
+
+        cand = (
+            code_with_id.select_columns(["file_id", "content"])
+            .map_batches(add_fid, batch_format="pyarrow")
+            .map_batches(probe, batch_format="pyarrow")
         )
         shingle_sets = cand.map_batches(
             ShingleSetStage,
@@ -461,35 +556,31 @@ def verify_pairs_exact(
     threshold = cfg.jaccard_threshold
 
     if n_endpoints <= broadcast_limit:
-        # broadcast path: hash-keyed CSR (radix-sortable uint64 keys,
-        # offsets, flat uint64 values) built in ONE REMOTE TASK from the
-        # materialized endpoint blocks — the driver never touches the
-        # heavy data (an O(n) driver collect would cap scaling forever).
-        # The flat array is zero-copy out of the object store per task.
-        # file_id keys are fixed-key siphash64 (pd.util.hash_array):
-        # a cross-file collision (~n²/2⁶⁴) could mis-score one pair —
-        # accepted at the same risk tier as hash-based dedup itself.
+        # broadcast path: fid-keyed CSR (radix-sortable uint64 keys,
+        # offsets, flat uint64 values, aligned file_id strings) built in
+        # ONE REMOTE TASK from the materialized endpoint blocks — the
+        # driver never touches the heavy data (an O(n) driver collect
+        # would cap scaling forever). The flat array is zero-copy out of
+        # the object store per task. fid is already the siphash64 of
+        # file_id, so probe keys need no re-hashing.
         sets_blocks = shingle_sets.materialize()
 
         @ray.remote
         def build_csr(*blocks: pa.Table) -> tuple:
-            # all C-speed arrow/numpy: hash keys, table sort_by, then a
-            # combine_chunks'd binary column exposes ONE contiguous value
-            # buffer — no per-row Python objects at any point
+            # all C-speed arrow/numpy: table sort_by on the uint64 fid,
+            # then a combine_chunks'd binary column exposes ONE
+            # contiguous value buffer — no per-row Python objects
             blocks = tuple(
-                b for b in blocks if "file_id" in b.column_names and len(b)
+                b for b in blocks if "fid" in b.column_names and len(b)
             )
             if not blocks:
                 return (
                     np.empty(0, dtype=np.uint64),
                     np.zeros(1, dtype=np.int64),
                     np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=object),
                 )
-            tbl = pa.concat_tables(blocks)
-            ids = tbl.column("file_id").to_numpy(zero_copy_only=False)
-            keys = pd.util.hash_array(ids)
-            tbl = tbl.append_column("__k", pa.array(keys, pa.uint64()))
-            tbl = tbl.sort_by("__k")
+            tbl = pa.concat_tables(blocks).sort_by("fid")
             col = tbl.column("shingles").combine_chunks()
             if isinstance(col, pa.ChunkedArray):
                 col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
@@ -506,8 +597,12 @@ def verify_pairs_exact(
                 else np.empty(0, dtype=np.uint64)
             )
             offsets = (arrow_offsets - arrow_offsets[0]) // 8
-            out_keys = tbl.column("__k").to_numpy()
-            return out_keys, offsets.astype(np.int64), flat
+            return (
+                tbl.column("fid").to_numpy().astype(np.uint64),
+                offsets.astype(np.int64),
+                flat,
+                tbl.column("file_id").to_numpy(zero_copy_only=False),
+            )
 
         refs = sets_blocks.to_arrow_refs()
         if refs:
@@ -518,25 +613,16 @@ def verify_pairs_exact(
                     np.empty(0, dtype=np.uint64),
                     np.zeros(1, dtype=np.int64),
                     np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=object),
                 )
             )
 
         def score_broadcast(batch: pa.Table) -> pa.Table:
-            out_schema = pa.schema(
-                [
-                    ("a", pa.string()),
-                    ("b", pa.string()),
-                    ("n_bands", pa.int64()),
-                    ("jaccard", pa.float64()),
-                ]
-            )
             if len(batch) == 0:
-                return out_schema.empty_table()
-            keys, offs, flat = ray.get(sets_ref)
-            aa = batch.column("a").to_numpy(zero_copy_only=False)
-            bb = batch.column("b").to_numpy(zero_copy_only=False)
-            ka = pd.util.hash_array(aa)
-            kb = pd.util.hash_array(bb)
+                return VERIFIED_SCHEMA.empty_table()
+            keys, offs, flat, names_arr = ray.get(sets_ref)
+            ka = batch.column("a").to_numpy().astype(np.uint64)
+            kb = batch.column("b").to_numpy().astype(np.uint64)
             pa_idx = np.searchsorted(keys, ka)
             pb_idx = np.searchsorted(keys, kb)
             jac = np.empty(len(batch), dtype=np.float64)
@@ -546,15 +632,22 @@ def verify_pairs_exact(
                 xa = flat[offs[ia] : offs[ia + 1]] if ia < nk and keys[ia] == ka[i] else flat[:0]
                 xb = flat[offs[ib] : offs[ib + 1]] if ib < nk and keys[ib] == kb[i] else flat[:0]
                 jac[i] = _jaccard_arrays(xa, xb)
-            out = pa.table(
+            keep = jac >= threshold
+            if not keep.any():
+                return VERIFIED_SCHEMA.empty_table()
+            sa = names_arr[np.minimum(pa_idx[keep], nk - 1)]
+            sb = names_arr[np.minimum(pb_idx[keep], nk - 1)]
+            swap = sa > sb
+            return pa.table(
                 {
-                    "a": batch["a"],
-                    "b": batch["b"],
-                    "n_bands": pc.cast(batch["n_bands"], pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
+                    "a": pa.array(np.where(swap, sb, sa), pa.string()),
+                    "b": pa.array(np.where(swap, sa, sb), pa.string()),
+                    "n_bands": pc.cast(
+                        batch.column("n_bands").filter(pa.array(keep)), pa.int64()
+                    ),
+                    "jaccard": pa.array(jac[keep], pa.float64()),
                 }
             )
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
         return pairs.map_batches(score_broadcast, batch_format="pyarrow")
 
@@ -563,36 +656,31 @@ def verify_pairs_exact(
     from duplicate_finder_ray.stages.util import rename_cols
 
     joined = rename_cols(
-        bucketed_inner_join(pairs, shingle_sets, "a", "file_id", num_partitions),
-        {"shingles": "shingles_a"},
+        bucketed_inner_join(pairs, shingle_sets, "a", "fid", num_partitions),
+        {"shingles": "shingles_a", "file_id": "fa"},
     )
     joined = rename_cols(
-        bucketed_inner_join(joined, shingle_sets, "b", "file_id", num_partitions),
-        {"shingles": "shingles_b"},
+        bucketed_inner_join(joined, shingle_sets, "b", "fid", num_partitions),
+        {"shingles": "shingles_b", "file_id": "fb"},
     )
 
     threshold = cfg.jaccard_threshold
 
     def score(batch: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [
-                ("a", pa.string()),
-                ("b", pa.string()),
-                ("n_bands", pa.int64()),
-                ("jaccard", pa.float64()),
-            ]
-        )
         if len(batch) == 0:
-            return out_schema.empty_table()
+            return VERIFIED_SCHEMA.empty_table()
         sa = batch.column("shingles_a").to_pylist()
         sb = batch.column("shingles_b").to_pylist()
         jac = np.empty(len(batch), dtype=np.float64)
         for i, (ba, bb) in enumerate(zip(sa, sb)):
             jac[i] = _jaccard_bytes(ba, bb)
+        fa = batch.column("fa").to_numpy(zero_copy_only=False)
+        fb = batch.column("fb").to_numpy(zero_copy_only=False)
+        swap = fa > fb
         out = pa.table(
             {
-                "a": batch["a"],
-                "b": batch["b"],
+                "a": pa.array(np.where(swap, fb, fa), pa.string()),
+                "b": pa.array(np.where(swap, fa, fb), pa.string()),
                 "n_bands": pc.cast(batch["n_bands"], pa.int64()),
                 "jaccard": pa.array(jac, pa.float64()),
             }
@@ -736,13 +824,15 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """All unordered pairs with exact k-gram Jaccard ≥ threshold.
 
-    Distributed brute force with an inverted-index broadcast: the driver
-    collects each doc's deduped shingle-hash set (small — hashes only,
-    never text), builds one global postings array sorted by shingle, and
-    ``ray.put``s it ONCE. Each batch task then scores its docs against
-    the whole corpus via searchsorted + bincount — O(|S_a| log M) per
-    doc, no per-pair Python work, no shuffle. Baseline for the LSH
-    pipelines' recall; fine to ~10^5 docs (postings stay ~10^7 u64)."""
+    Distributed brute force with an inverted-index broadcast: each doc's
+    deduped shingle-hash set (small — hashes only, never text) is
+    materialized, then ONE REMOTE TASK builds the global postings array
+    sorted by shingle from the block refs — the driver reads back only a
+    row count, never the corpus-sized array. Each batch task then scores
+    its docs against the whole corpus via searchsorted + bincount —
+    O(|S_a| log M) per doc, no per-pair Python work, no shuffle.
+    Baseline for the LSH pipelines' recall; fine to ~10^5 docs (postings
+    stay ~10^7 u64)."""
 
     def to_sets(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -757,26 +847,45 @@ def ngram_jaccard_pairs(
         )
 
     sets_ds = ds.map_batches(to_sets, batch_format="pyarrow").materialize()
-    sets_df = sets_ds.to_pandas()
-    if len(sets_df) == 0:
+
+    @ray.remote(num_returns=2)
+    def build_postings(*blocks: pa.Table) -> tuple:
+        blocks = tuple(b for b in blocks if "doc_key" in b.column_names and len(b))
+        if not blocks:
+            return 0, None
+        tbl = pa.concat_tables(blocks).sort_by("doc_key")
+        keys = tbl.column("doc_key").to_numpy(zero_copy_only=False)
+        col = tbl.column("shingles").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
+        arrow_offsets = np.frombuffer(
+            col.buffers()[1], dtype=np.int64, count=len(col) + 1,
+            offset=col.offset * 8,
+        )
+        sizes = ((arrow_offsets[1:] - arrow_offsets[:-1]) // 8).astype(np.int64)
+        data_buf = col.buffers()[2]
+        all_sh = (
+            np.frombuffer(data_buf, dtype=np.uint64)[
+                arrow_offsets[0] // 8 : arrow_offsets[-1] // 8
+            ]
+            if data_buf is not None and sizes.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        all_doc = np.repeat(np.arange(len(keys), dtype=np.int64), sizes)
+        order = np.argsort(all_sh, kind="stable")
+        return len(keys), (keys, sizes, all_sh[order], all_doc[order])
+
+    set_refs = sets_ds.to_arrow_refs()
+    n_docs_total = 0
+    if set_refs:
+        count_ref, ref = build_postings.remote(*set_refs)
+        n_docs_total = int(ray.get(count_ref))
+    if n_docs_total == 0:
         return ray.data.from_arrow(
             pa.schema(
                 [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64())]
             ).empty_table()
         )
-    sets_df = sets_df.sort_values("doc_key").reset_index(drop=True)
-    keys = sets_df["doc_key"].to_numpy()
-    sizes = np.fromiter(
-        (len(s) // 8 for s in sets_df["shingles"]), dtype=np.int64, count=len(sets_df)
-    )
-    all_sh = (
-        np.frombuffer(b"".join(sets_df["shingles"]), dtype=np.uint64)
-        if sizes.sum()
-        else np.empty(0, dtype=np.uint64)
-    )
-    all_doc = np.repeat(np.arange(len(sets_df), dtype=np.int64), sizes)
-    order = np.argsort(all_sh, kind="stable")
-    ref = ray.put((keys, sizes, all_sh[order], all_doc[order]))
 
     out_schema = pa.schema(
         [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64())]

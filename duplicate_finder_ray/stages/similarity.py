@@ -15,16 +15,20 @@ Scale shapes:
   O(num_batches × k) rows — a tiny groupby, never the full score
   matrix.
 * ``cosine_pairs`` — brute-force baseline: the normalized corpus matrix
-  is broadcast and each batch computes its (B × N) slice of the score
-  matrix, emitting only pairs ≥ τ with ``a < b``. O(N²/P) compute per
-  task, O(pairs) output. This is the CORRECTNESS baseline; at 10^9+
-  vectors use ``lsh_cosine_pairs``.
+  is built in ONE REMOTE TASK from materialized block refs (the driver
+  reads back only a count) and broadcast; each batch computes its
+  (B × N) slice of the score matrix, emitting only pairs ≥ τ with
+  ``a < b``. O(N²/P) compute per task, O(pairs) output. This is the
+  CORRECTNESS baseline; at 10^9+ vectors use ``lsh_cosine_pairs``.
 * ``lsh_cosine_pairs`` — scale path: random-hyperplane LSH (L tables ×
-  H bits). Bucket by (table, signature) with the same two-level
-  groupby + bucket-cap strategy as the MinHash LSH stage
-  (stages/neardup.py), verify exact cosine inside the bucket. Only
-  collides vectors whose signs agree on all H hyperplanes of some
-  table: P(collide) = (1 - θ/π)^H per table.
+  H bits). The shuffle carries only ``(bucket_key, pkey, vec_id)`` —
+  never the embedding column (shipping vectors ×L through the exchange
+  would amplify shuffle bytes by the table count); pairs are verified
+  with exact cosine against the broadcast normalized matrix. Two-level
+  grouping (coarse pkey shuffle + vectorized in-partition bucketing)
+  with the same bucket-cap strategy as the MinHash LSH stage
+  (stages/neardup.py). Only collides vectors whose signs agree on all
+  H hyperplanes of some table: P(collide) = (1 - θ/π)^H per table.
 """
 
 from __future__ import annotations
@@ -146,20 +150,46 @@ def topk_neighbors(
     return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
+@ray.remote(num_returns=2)
+def _build_corpus_matrix(*blocks: pa.Table) -> tuple:
+    """(n_rows, (vec_ids sorted asc, normalized float64 matrix)) from
+    materialized embedding blocks — runs in the cluster so the driver
+    never holds the corpus matrix."""
+    blocks = tuple(b for b in blocks if "vec_id" in b.column_names and len(b))
+    if not blocks:
+        return 0, (np.empty(0, np.int64), np.empty((0, 0)))
+    tbl = pa.concat_tables(
+        [b.select(["vec_id", "embedding"]) for b in blocks]
+    ).sort_by("vec_id")
+    ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    mat = _normalize(_matrix(tbl))
+    return len(ids), (ids, mat)
+
+
+def _corpus_matrix(emb_ds: ray.data.Dataset) -> tuple:
+    """Materialize (vec_id, embedding) and build the broadcast matrix in
+    one remote task. Returns (n_rows, ref, materialized slim dataset) —
+    the slim dataset is reused by callers so the source is read once."""
+    slim = emb_ds.select_columns(["vec_id", "embedding"]).materialize()
+    refs = slim.to_arrow_refs()
+    if not refs:
+        return 0, ray.put((np.empty(0, np.int64), np.empty((0, 0)))), slim
+    count_ref, ref = _build_corpus_matrix.remote(*refs)
+    return int(ray.get(count_ref)), ref, slim
+
+
 def cosine_pairs(
     emb_ds: ray.data.Dataset, threshold: float
 ) -> ray.data.Dataset:
     """Brute-force near-dup pairs: all (a < b) with cosine ≥ threshold.
 
-    The corpus matrix is broadcast once (``ray.put``); each batch task
-    scores its (B × N) slice — distributed O(N²) compute with O(N·d)
-    broadcast state and O(pairs) output. Baseline for
+    The corpus matrix is assembled in a remote task and broadcast once;
+    each batch task scores its (B × N) slice — distributed O(N²) compute
+    with O(N·d) broadcast state and O(pairs) output. Baseline for
     ``lsh_cosine_pairs`` recall checks; fine up to ~10^6 vectors."""
-    full = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    full = full.sort_values("vec_id")
-    all_ids = full["vec_id"].to_numpy().astype(np.int64)
-    all_mat = _normalize(np.vstack(full["embedding"].to_numpy()).astype(np.float64))
-    ref = ray.put((all_ids, all_mat))
+    n, ref, slim = _corpus_matrix(emb_ds)
+    if n == 0:
+        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
 
     def score_block(batch: pa.Table) -> pa.Table:
         ids_all, mat_all = ray.get(ref)
@@ -180,7 +210,7 @@ def cosine_pairs(
             }
         )
 
-    return emb_ds.map_batches(score_block, batch_format="pyarrow")
+    return slim.map_batches(score_block, batch_format="pyarrow")
 
 
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
@@ -200,73 +230,133 @@ def lsh_cosine_pairs(
 
     Signatures are deterministic (seeded hyperplanes, built once per
     task from the seed — cheap: n_tables × n_bits × d floats). The
-    shuffle key is (table, signature); hot buckets are capped at
+    exchange carries only ``(bucket_key, pkey, vec_id)`` — the vectors
+    themselves stay in the broadcast normalized matrix and are looked up
+    at verify time (shipping the embedding column ×n_tables through the
+    shuffle was measured round-1 debt). Hot buckets are capped at
     ``bucket_cap`` with the true bucket size recorded on every emitted
     pair (observable truncation, per SURVEY.md §7.3)."""
+    n_corpus, mat_ref, slim = _corpus_matrix(emb_ds)
+    if n_corpus == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("a", pa.int64()),
+                    ("b", pa.int64()),
+                    ("score", pa.float64()),
+                    ("bucket_size", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    try:
+        num_parts = max(4, int(ray.cluster_resources().get("CPU", 8))) * 2
+    except Exception:
+        num_parts = 16
+
+    _EMPTY = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("score", pa.float64()),
+            ("bucket_size", pa.int64()),
+        ]
+    ).empty_table()
 
     def sign_batch(batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch))
         planes = _hyperplanes(m.shape[1], n_tables, n_bits, seed)
         vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
         n = len(vec_ids)
-        tables, sigs, ids, embs = [], [], [], []
         weights = (1 << np.arange(n_bits)).astype(np.uint64)
+        keys = np.empty((n_tables, n), dtype=np.uint64)
         for t in range(n_tables):
             bits = (m @ planes[t].T) > 0  # (B, n_bits)
             sig = (bits.astype(np.uint64) * weights).sum(axis=1)
-            tables.append(np.full(n, t, dtype=np.int32))
-            sigs.append(sig)
-            ids.append(vec_ids)
-        emb_col = batch.column("embedding")
-        if isinstance(emb_col, pa.ChunkedArray):
-            emb_col = emb_col.combine_chunks()
-        rep = pa.concat_arrays([emb_col] * n_tables)
+            # fold the table index into the key (same trick as the
+            # MinHash band_hash): one uint64 identifies (table, sig)
+            keys[t] = sig * np.uint64(n_tables) + np.uint64(t)
+        flat_keys = keys.reshape(-1)
+        # mixed for partition balance (raw keys are low-entropy ints)
+        bkey = pd.util.hash_array(flat_keys.copy())
         return pa.table(
             {
-                "table": pa.array(np.concatenate(tables)),
-                "sig": pa.array(np.concatenate(sigs), pa.uint64()),
-                "vec_id": pa.array(np.concatenate(ids)),
-                "embedding": rep,
+                "bkey": pa.array(bkey, pa.uint64()),
+                "pkey": pa.array(
+                    (bkey % np.uint64(num_parts)).astype(np.int32), pa.int32()
+                ),
+                "vec_id": pa.array(np.tile(vec_ids, n_tables)),
             }
         )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        size = len(g)
-        if size < 2:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype="int64"),
-                    "b": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float64"),
-                    "bucket_size": pd.Series(dtype="int64"),
-                }
-            )
-        g = g.sort_values("vec_id").head(bucket_cap)
-        ids = g["vec_id"].to_numpy().astype(np.int64)
-        m = _normalize(np.vstack(g["embedding"].to_numpy()).astype(np.float64))
-        s = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = s[ia, ib] >= threshold
-        return pd.DataFrame(
+    def emit_partition(part: pd.DataFrame) -> pa.Table:
+        # vectorized per-partition bucketing: run-lengths over the
+        # sorted (bkey, vec_id) frame, pair emission batched per
+        # DISTINCT capped size, exact-cosine verify via the broadcast
+        # matrix (searchsorted row lookup + row-wise dot).
+        part = part[part.duplicated(["bkey"], keep=False)]
+        if len(part) == 0:
+            return _EMPTY
+        part = part.sort_values(["bkey", "vec_id"], kind="mergesort")
+        ids = part["vec_id"].to_numpy().astype(np.int64)
+        sizes = part.groupby(["bkey"], sort=False).size().to_numpy()
+        starts = np.zeros(len(sizes), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        capped = np.minimum(sizes, bucket_cap)
+        out_a, out_b, out_sz = [], [], []
+        for m in np.unique(capped):
+            if m < 2:
+                continue
+            sel = capped == m
+            st = starts[sel]
+            ia, ib = np.triu_indices(int(m), k=1)
+            out_a.append(ids[(st[:, None] + ia[None, :]).ravel()])
+            out_b.append(ids[(st[:, None] + ib[None, :]).ravel()])
+            out_sz.append(np.repeat(sizes[sel], len(ia)))
+        if not out_a:
+            return _EMPTY
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        sz = np.concatenate(out_sz).astype(np.int64)
+        ids_all, mat_all = ray.get(mat_ref)
+        va = mat_all[np.searchsorted(ids_all, a)]
+        vb = mat_all[np.searchsorted(ids_all, b)]
+        score = np.einsum("ij,ij->i", va, vb)
+        keep = score >= threshold
+        return pa.table(
             {
-                "a": ids[ia[keep]],
-                "b": ids[ib[keep]],
-                "score": s[ia[keep], ib[keep]],
-                "bucket_size": np.full(int(keep.sum()), size, dtype=np.int64),
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "score": pa.array(score[keep]),
+                "bucket_size": pa.array(sz[keep]),
             }
         )
 
-    signed = emb_ds.map_batches(sign_batch, batch_format="pyarrow")
-    pairs = signed.groupby(["table", "sig"]).map_groups(
-        emit_pairs, batch_format="pandas"
+    signed = slim.map_batches(sign_batch, batch_format="pyarrow")
+    pairs = signed.groupby("pkey").map_groups(
+        emit_partition, batch_format="pandas"
     )
 
-    # dedupe across tables (same pair may collide in several tables)
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+    # dedupe across tables (same pair may collide in several tables):
+    # two-level again — coarse pkey on hash(a), pandas C agg inside.
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return batch.append_column(
+            "pkey",
+            pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),
+        )
+
+    def dedupe_partition(part: pd.DataFrame) -> pd.DataFrame:
         return (
-            g.groupby(["a", "b"], sort=False)
+            part.groupby(["a", "b"], sort=False)
             .agg(score=("score", "max"), bucket_size=("bucket_size", "max"))
             .reset_index()
         )
 
-    return pairs.groupby("a").map_groups(dedupe, batch_format="pandas")
+    deduped = (
+        pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(dedupe_partition, batch_format="pandas")
+    )
+    return deduped.select_columns(["a", "b", "score", "bucket_size"])

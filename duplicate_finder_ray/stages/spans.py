@@ -10,12 +10,15 @@ because every hash match is confirmed by a real substring compare
 (collisions fall through to the next candidate). O((n+m)·log min(n,m))
 per pair vs O(n·m) DP.
 
-Execution shape: the pair endpoints' contents are broadcast ONCE via
-``ray.put`` (CSR-style: sorted ids + offsets + one flat utf-8 buffer —
-zero-copy out of the object store per task), and a stateless
-``map_batches`` over the PAIR table computes spans. Partitioning
-assumption: the endpoint set fits the object store (it is bounded by
-the verified-pair endpoints, a small fraction of the corpus; at larger
+Execution shape: the pair endpoints' contents are broadcast ONCE
+(CSR-style: sorted ids + offsets + one flat utf-8 buffer — zero-copy
+out of the object store per task), and a stateless ``map_batches`` over
+the PAIR table computes spans. Both the endpoint collection and the CSR
+assembly run in REMOTE TASKS over materialized block refs — the driver
+reads back only a count, never content (same shape as
+``neardup.verify_pairs_exact``'s build_csr). Partitioning assumption:
+the endpoint set fits the object store (it is bounded by the
+verified-pair endpoints, a small fraction of the corpus; at larger
 scale swap the broadcast for the same bucketed hash-join used by
 verify_pairs_exact)."""
 
@@ -134,13 +137,29 @@ def common_spans(
     code_with_id: Dataset bearing (file_id, content).
     """
     pairs = pairs.select_columns(["a", "b"]).materialize()
-    pair_df = pairs.to_pandas()
-    if len(pair_df) == 0:
+
+    @ray.remote(num_returns=2)
+    def collect_endpoints(*blocks: pa.Table) -> tuple:
+        blocks = tuple(b for b in blocks if "a" in b.column_names and len(b))
+        if not blocks:
+            return 0, np.empty(0, dtype=object)
+        tbl = pa.concat_tables([b.select(["a", "b"]) for b in blocks])
+        uniq = np.unique(
+            np.concatenate(
+                [
+                    tbl.column("a").to_numpy(zero_copy_only=False),
+                    tbl.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return len(uniq), uniq  # np.unique ⇒ sorted
+
+    pair_refs = pairs.to_arrow_refs()
+    if not pair_refs:
         return ray.data.from_arrow(SPANS_SCHEMA.empty_table())
-    endpoints = np.unique(
-        np.concatenate([pair_df["a"].to_numpy(), pair_df["b"].to_numpy()])
-    )
-    endpoints_ref = ray.put(endpoints)  # np.unique ⇒ sorted
+    count_ref, endpoints_ref = collect_endpoints.remote(*pair_refs)
+    if int(ray.get(count_ref)) == 0:
+        return ray.data.from_arrow(SPANS_SCHEMA.empty_table())
 
     def probe_rows(batch: pa.Table) -> pa.Table:
         ep = ray.get(endpoints_ref)
@@ -153,16 +172,44 @@ def common_spans(
     content = (
         code_with_id.select_columns(["file_id", "content"])
         .map_batches(probe_rows, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("file_id")
+        .materialize()
     )
-    ids = content["file_id"].to_numpy()
-    blobs = [t.encode("utf-8") for t in content["content"]]
-    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8) if len(blobs) else np.empty(0, np.uint8)
-    ref = ray.put((ids, offsets, flat))
+
+    @ray.remote
+    def build_content_csr(*blocks: pa.Table) -> tuple:
+        """(sorted file_ids, byte offsets, one flat utf-8 buffer) —
+        all-arrow: the string column's data buffer IS utf-8, so the
+        flat buffer is sliced zero-copy, never via Python str.encode."""
+        blocks = tuple(b for b in blocks if "file_id" in b.column_names and len(b))
+        if not blocks:
+            return np.empty(0, dtype=object), np.zeros(1, np.int64), np.empty(0, np.uint8)
+        tbl = pa.concat_tables(blocks).sort_by("file_id")
+        col = tbl.column("content").cast(pa.large_binary())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arrow_offsets = np.frombuffer(
+            col.buffers()[1], dtype=np.int64, count=len(col) + 1,
+            offset=col.offset * 8,
+        )
+        data_buf = col.buffers()[2]
+        flat = (
+            np.frombuffer(data_buf, dtype=np.uint8)[
+                arrow_offsets[0] : arrow_offsets[-1]
+            ].copy()
+            if data_buf is not None and len(col)
+            else np.empty(0, np.uint8)
+        )
+        offsets = (arrow_offsets - arrow_offsets[0]).astype(np.int64)
+        ids = tbl.column("file_id").to_numpy(zero_copy_only=False)
+        return ids, offsets, flat
+
+    content_refs = content.to_arrow_refs()
+    if content_refs:
+        ref = build_content_csr.remote(*content_refs)
+    else:
+        ref = ray.put(
+            (np.empty(0, dtype=object), np.zeros(1, np.int64), np.empty(0, np.uint8))
+        )
 
     def span_batch(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
