@@ -74,6 +74,13 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's default read fan-out is min 200 blocks regardless of data
+    # size; every downstream sort-shuffle then schedules blocks ×
+    # partitions intermediate objects (224 × 224 ≈ 50k tiny objects per
+    # exchange — a CPU-count-independent serial term that dominated the
+    # scaling proxy). Pin the read fan-out to ~2 blocks per CPU: ample
+    # parallelism, 10× fewer shuffle objects.
+    ctx.read_op_min_num_blocks = max(8, 2 * NUM_CPUS)
 
     import ray.data
 

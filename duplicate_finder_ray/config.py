@@ -129,6 +129,13 @@ class PipelineConfig:
     #: budget on standard nodes; beyond it the bucketed join path keeps
     #: the 10^9-endpoint shape correct (if slower).
     broadcast_verify_limit: int = 1_000_000
+    #: raw (pre-dedupe) pair-row threshold below which the cross-band
+    #: pair dedupe runs as ONE remote lexsort+reduceat task instead of a
+    #: second sort-shuffle (a shuffle's fixed barrier cost is CPU-count
+    #: independent and drags scaling efficiency; 20M rows × 24 B ≈ 0.5 GB
+    #: and a ~3 s lexsort in one task). Beyond it, the distributed
+    #: two-level shuffle dedupe keeps the 10^12-scale shape.
+    pair_dedupe_broadcast_limit: int = 20_000_000
     simhash_bits: int = 64
     #: candidate cap per LSH bucket; overflow is sampled + logged, never
     #: silently dropped (SURVEY.md §7.3 hot-key skew).

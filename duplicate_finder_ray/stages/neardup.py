@@ -62,6 +62,16 @@ PAIRS_SCHEMA = pa.schema(
 
 _EMPTY_PAIRS = PAIRS_SCHEMA.empty_table()
 
+#: deduped candidate pairs (uint64 fids + band-collision count)
+CAND_SCHEMA = pa.schema(
+    [
+        ("a", pa.uint64()),
+        ("b", pa.uint64()),
+        ("n_bands", pa.int64()),
+        ("bucket_size", pa.int64()),
+    ]
+)
+
 VERIFIED_SCHEMA = pa.schema(
     [
         ("a", pa.string()),
@@ -170,7 +180,12 @@ def _minhash_matrix(batch: pa.Table) -> np.ndarray:
     col = batch.column("minhash")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    # copy=False: the flattened uint64 child array is already the right
+    # dtype — an unconditional astype would copy the whole signature
+    # block (this sandbox faults fresh pages at ~80 MB/s)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.uint64, copy=False
+    )
     return flat.reshape(len(batch), -1)
 
 
@@ -276,7 +291,65 @@ def candidate_pairs(
         .map_groups(emit_partition, batch_format="pandas")
     )
 
-    # dedupe pairs across bands — same two-level trick, pandas agg inside
+    # dedupe pairs across bands. The raw (pre-dedupe) pair table is
+    # orders of magnitude smaller than the band exchange, so up to
+    # ``pair_dedupe_broadcast_limit`` rows ONE remote task lexsorts the
+    # uint64 pairs and reduces runs with np.maximum.reduceat — replacing
+    # a whole sort-shuffle barrier (its fixed cost is CPU-count
+    # independent and was a measured scaling-efficiency drag). The
+    # result is split into ``num_parts`` blocks so downstream scoring
+    # parallelizes. Past the limit, the distributed two-level shuffle
+    # path below remains the 10^12-scale shape.
+    raw = pairs.materialize()
+    try:
+        n_raw = raw.count()
+    except Exception:
+        n_raw = None
+
+    if n_raw is not None and n_raw <= cfg.pair_dedupe_broadcast_limit:
+        out_parts = int(min(num_parts, max(1, n_raw // 1_000 + 1)))
+
+        @ray.remote
+        def dedupe_task(*blocks: pa.Table):
+            empty = CAND_SCHEMA.empty_table()
+            blocks = tuple(
+                b for b in blocks if "a" in b.column_names and len(b)
+            )
+            if not blocks:
+                outs = [empty] * out_parts
+                return outs[0] if out_parts == 1 else tuple(outs)
+            tbl = pa.concat_tables(blocks)
+            a = tbl.column("a").to_numpy().astype(np.uint64)
+            b = tbl.column("b").to_numpy().astype(np.uint64)
+            sz = tbl.column("bucket_size").to_numpy().astype(np.int64)
+            order = np.lexsort((b, a))
+            a, b, sz = a[order], b[order], sz[order]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=first[1:])
+            starts = np.nonzero(first)[0]
+            n_bands = np.diff(np.append(starts, len(a))).astype(np.int64)
+            bucket = np.maximum.reduceat(sz, starts)
+            out = pa.table(
+                {
+                    "a": pa.array(a[starts], pa.uint64()),
+                    "b": pa.array(b[starts], pa.uint64()),
+                    "n_bands": pa.array(n_bands),
+                    "bucket_size": pa.array(bucket),
+                }
+            )
+            step = (len(out) + out_parts - 1) // out_parts
+            outs = [out.slice(i * step, step) for i in range(out_parts)]
+            outs = [o if len(o) else empty for o in outs]
+            return outs[0] if out_parts == 1 else tuple(outs)
+
+        refs = raw.to_arrow_refs()
+        out_refs = dedupe_task.options(num_returns=out_parts).remote(*refs)
+        if out_parts == 1:
+            out_refs = [out_refs]
+        return ray.data.from_arrow_refs(list(out_refs))
+
+    # distributed fallback: two-level pkey shuffle + pandas C agg
     def dedupe_partition(part: pd.DataFrame) -> pd.DataFrame:
         agg = (
             part.groupby(["a", "b"], sort=False)
@@ -297,7 +370,7 @@ def candidate_pairs(
         )
 
     deduped = (
-        pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
+        raw.map_batches(add_pair_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(dedupe_partition, batch_format="pandas")
     )
@@ -565,25 +638,19 @@ def verify_pairs_exact(
         # file_id, so probe keys need no re-hashing.
         sets_blocks = shingle_sets.materialize()
 
-        @ray.remote
-        def build_csr(*blocks: pa.Table) -> tuple:
-            # all C-speed arrow/numpy: table sort_by on the uint64 fid,
-            # then a combine_chunks'd binary column exposes ONE
-            # contiguous value buffer — no per-row Python objects
-            blocks = tuple(
-                b for b in blocks if "fid" in b.column_names and len(b)
-            )
-            if not blocks:
-                return (
-                    np.empty(0, dtype=np.uint64),
-                    np.zeros(1, dtype=np.int64),
-                    np.empty(0, dtype=np.uint64),
-                    np.empty(0, dtype=object),
-                )
-            tbl = pa.concat_tables(blocks).sort_by("fid")
-            col = tbl.column("shingles").combine_chunks()
-            if isinstance(col, pa.ChunkedArray):
-                col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
+        _EMPTY_CSR = (
+            np.empty(0, dtype=np.uint64),   # sorted fids
+            np.empty(0, dtype=np.int64),    # sort permutation → row index
+            pa.array([], pa.large_binary()),  # shingle sets (row order)
+            pa.array([], pa.string()),      # file_ids (row order)
+        )
+
+        def _csr_views(col: pa.Array) -> tuple:
+            """(byte offsets ÷8, flat uint64 view) over an arrow
+            large_binary column's buffers — ZERO copies; the data stays
+            in the plasma-mapped buffer."""
+            if len(col) == 0:
+                return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.uint64)
             arrow_offsets = np.frombuffer(
                 col.buffers()[1], dtype=np.int64, count=len(col) + 1,
                 offset=col.offset * 8,
@@ -592,51 +659,74 @@ def verify_pairs_exact(
             flat = (
                 np.frombuffer(data_buf, dtype=np.uint64)[
                     arrow_offsets[0] // 8 : arrow_offsets[-1] // 8
-                ].copy()
-                if data_buf is not None and len(col)
+                ]
+                if data_buf is not None
                 else np.empty(0, dtype=np.uint64)
             )
-            offsets = (arrow_offsets - arrow_offsets[0]) // 8
-            return (
-                tbl.column("fid").to_numpy().astype(np.uint64),
-                offsets.astype(np.int64),
-                flat,
-                tbl.column("file_id").to_numpy(zero_copy_only=False),
+            return ((arrow_offsets - arrow_offsets[0]) // 8).astype(np.int64), flat
+
+        @ray.remote
+        def build_csr(*blocks: pa.Table) -> tuple:
+            # NO payload sort and NO numpy copy of the values: only the
+            # 8-byte keys are argsorted; an indirection array maps
+            # sorted-key position → original row, and the shingle/name
+            # payloads travel as ARROW columns (pickle5 out-of-band
+            # buffers — one plasma write, zero-copy reads per task).
+            # A table sort_by here physically rearranges the multi-
+            # hundred-MB payload, and a numpy .copy() of it pays this
+            # sandbox's ~80 MB/s fresh-page fault cost — both measured
+            # at 10-45 s serial with every scoring task blocked behind.
+            blocks = tuple(
+                b for b in blocks if "fid" in b.column_names and len(b)
             )
+            if not blocks:
+                return _EMPTY_CSR
+            tbl = pa.concat_tables(blocks)
+            fids = tbl.column("fid").to_numpy().astype(np.uint64)
+            order = np.argsort(fids, kind="stable").astype(np.int64)
+            col = tbl.column("shingles").combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
+            names = tbl.column("file_id").combine_chunks()
+            if isinstance(names, pa.ChunkedArray):
+                names = names.chunk(0) if names.num_chunks else pa.array([], pa.string())
+            return fids[order], order, col, names
 
         refs = sets_blocks.to_arrow_refs()
-        if refs:
-            sets_ref = build_csr.remote(*refs)
-        else:
-            sets_ref = ray.put(
-                (
-                    np.empty(0, dtype=np.uint64),
-                    np.zeros(1, dtype=np.int64),
-                    np.empty(0, dtype=np.uint64),
-                    np.empty(0, dtype=object),
-                )
-            )
+        sets_ref = build_csr.remote(*refs) if refs else ray.put(_EMPTY_CSR)
 
         def score_broadcast(batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
                 return VERIFIED_SCHEMA.empty_table()
-            keys, offs, flat, names_arr = ray.get(sets_ref)
+            keys, order, col, names = ray.get(sets_ref)
+            offs, flat = _csr_views(col)
+            nk = len(keys)
             ka = batch.column("a").to_numpy().astype(np.uint64)
             kb = batch.column("b").to_numpy().astype(np.uint64)
-            pa_idx = np.searchsorted(keys, ka)
-            pb_idx = np.searchsorted(keys, kb)
+            pa_pos = np.minimum(np.searchsorted(keys, ka), max(nk - 1, 0))
+            pb_pos = np.minimum(np.searchsorted(keys, kb), max(nk - 1, 0))
+            if nk:
+                row_a = np.where(keys[pa_pos] == ka, order[pa_pos], -1)
+                row_b = np.where(keys[pb_pos] == kb, order[pb_pos], -1)
+            else:
+                row_a = np.full(len(batch), -1, dtype=np.int64)
+                row_b = row_a
             jac = np.empty(len(batch), dtype=np.float64)
-            nk = len(keys)
             for i in range(len(batch)):
-                ia, ib = pa_idx[i], pb_idx[i]
-                xa = flat[offs[ia] : offs[ia + 1]] if ia < nk and keys[ia] == ka[i] else flat[:0]
-                xb = flat[offs[ib] : offs[ib + 1]] if ib < nk and keys[ib] == kb[i] else flat[:0]
+                ra, rb = row_a[i], row_b[i]
+                xa = flat[offs[ra] : offs[ra + 1]] if ra >= 0 else flat[:0]
+                xb = flat[offs[rb] : offs[rb + 1]] if rb >= 0 else flat[:0]
                 jac[i] = _jaccard_arrays(xa, xb)
             keep = jac >= threshold
             if not keep.any():
                 return VERIFIED_SCHEMA.empty_table()
-            sa = names_arr[np.minimum(pa_idx[keep], nk - 1)]
-            sb = names_arr[np.minimum(pb_idx[keep], nk - 1)]
+            # only the kept pairs' names materialize (arrow take → numpy)
+            sa = names.take(
+                pa.array(np.maximum(row_a[keep], 0), pa.int64())
+            ).to_numpy(zero_copy_only=False)
+            sb = names.take(
+                pa.array(np.maximum(row_b[keep], 0), pa.int64())
+            ).to_numpy(zero_copy_only=False)
             swap = sa > sb
             return pa.table(
                 {

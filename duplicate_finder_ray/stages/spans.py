@@ -175,52 +175,59 @@ def common_spans(
         .materialize()
     )
 
+    _EMPTY_CSR = (
+        np.empty(0, dtype=object),
+        np.empty(0, dtype=np.int64),
+        pa.array([], pa.large_binary()),
+    )
+
     @ray.remote
     def build_content_csr(*blocks: pa.Table) -> tuple:
-        """(sorted file_ids, byte offsets, one flat utf-8 buffer) —
-        all-arrow: the string column's data buffer IS utf-8, so the
-        flat buffer is sliced zero-copy, never via Python str.encode."""
+        """(sorted file_ids, sort permutation → row index, content as an
+        ARROW large_binary column in row order). The string column's
+        data buffer IS utf-8, so span tasks slice it zero-copy; no
+        payload sort and no numpy copy of the content bytes (both cost
+        seconds of single-thread wall that every span task would block
+        behind)."""
         blocks = tuple(b for b in blocks if "file_id" in b.column_names and len(b))
         if not blocks:
-            return np.empty(0, dtype=object), np.zeros(1, np.int64), np.empty(0, np.uint8)
-        tbl = pa.concat_tables(blocks).sort_by("file_id")
+            return _EMPTY_CSR
+        tbl = pa.concat_tables(blocks)
+        ids = tbl.column("file_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable").astype(np.int64)
         col = tbl.column("content").cast(pa.large_binary())
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        arrow_offsets = np.frombuffer(
-            col.buffers()[1], dtype=np.int64, count=len(col) + 1,
-            offset=col.offset * 8,
-        )
-        data_buf = col.buffers()[2]
-        flat = (
-            np.frombuffer(data_buf, dtype=np.uint8)[
-                arrow_offsets[0] : arrow_offsets[-1]
-            ].copy()
-            if data_buf is not None and len(col)
-            else np.empty(0, np.uint8)
-        )
-        offsets = (arrow_offsets - arrow_offsets[0]).astype(np.int64)
-        ids = tbl.column("file_id").to_numpy(zero_copy_only=False)
-        return ids, offsets, flat
+        if isinstance(col, pa.ChunkedArray):  # cast may re-chunk
+            col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
+        return ids[order], order, col
 
     content_refs = content.to_arrow_refs()
     if content_refs:
         ref = build_content_csr.remote(*content_refs)
     else:
-        ref = ray.put(
-            (np.empty(0, dtype=object), np.zeros(1, np.int64), np.empty(0, np.uint8))
-        )
+        ref = ray.put(_EMPTY_CSR)
 
     def span_batch(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return SPANS_SCHEMA.empty_table()
-        ids_g, offs, flat_g = ray.get(ref)
+        ids_g, order_g, col_g = ray.get(ref)
+        if len(col_g):
+            offs = np.frombuffer(
+                col_g.buffers()[1], dtype=np.int64, count=len(col_g) + 1,
+                offset=col_g.offset * 8,
+            )
+            flat_g = np.frombuffer(col_g.buffers()[2], dtype=np.uint8)
+        else:
+            offs = np.zeros(1, dtype=np.int64)
+            flat_g = np.empty(0, dtype=np.uint8)
 
         def blob(key: str) -> bytes:
             i = int(np.searchsorted(ids_g, key))
             if i >= len(ids_g) or ids_g[i] != key:
                 return b""
-            return flat_g[offs[i] : offs[i + 1]].tobytes()
+            r = order_g[i]
+            return flat_g[offs[r] : offs[r + 1]].tobytes()
 
         aa = batch.column("a").to_pylist()
         bb = batch.column("b").to_pylist()

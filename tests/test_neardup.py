@@ -64,6 +64,24 @@ class TestNearDupPipeline:
         k2 = set(map(tuple, np.sort(p2[["a", "b"]].to_numpy(), axis=1)))
         assert k1 == k2
 
+    def test_shuffle_pair_dedupe_matches_remote_task_path(self, corpus, corpus_ds):
+        """The distributed (sort-shuffle) cross-band pair dedupe must
+        produce the same pairs AND n_bands counts as the small-side
+        remote-task lexsort path."""
+        base = PipelineConfig(jaccard_threshold=0.8)
+        shuffly = PipelineConfig(
+            jaccard_threshold=0.8, pair_dedupe_broadcast_limit=0
+        )
+        p1 = NearDupPipeline(base).run_on(corpus_ds).pairs.to_pandas()
+        p2 = NearDupPipeline(shuffly).run_on(corpus_ds).pairs.to_pandas()
+        k1 = {
+            (*sorted((r.a, r.b)), r.n_bands) for r in p1.itertuples()
+        }
+        k2 = {
+            (*sorted((r.a, r.b)), r.n_bands) for r in p2.itertuples()
+        }
+        assert k1 == k2
+
     def test_estimate_mode_high_recall_on_clear_pairs(self, corpus, corpus_ds):
         """Estimate mode is noisy at the boundary; on pairs with true
         J ≥ τ + 3σ it must agree with exact mode."""
