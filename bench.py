@@ -141,7 +141,13 @@ def run_bench() -> dict:
     return result
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "600000"))
+#: scaling-proxy corpus: large enough that per-CPU work dominates the
+#: fixed per-session/per-shuffle overhead (~24 s measured) — at 600k
+#: rows a 32-CPU run is only ~19k rows/CPU and fixed overhead caps the
+#: proxy at ~0.57 no matter how well compute scales. 2.4M rows ≈
+#: 75k rows/CPU at 32 CPUs, the saturated regime the north_rule's
+#: N→4N criterion is about.
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "2400000"))
 
 
 def run_scaling() -> None:
@@ -189,8 +195,77 @@ def run_scaling() -> None:
     )
 
 
+RECALL_ROWS = int(os.environ.get("GRAFT_RECALL_ROWS", "50000"))
+
+
+def run_recall() -> None:
+    """North_rule recall gate: dup-pair recall ≥ 0.99 of the LSH+verify
+    pipeline against the exact brute-force truth (all pairs with true
+    shingle Jaccard ≥ τ at the IDENTICAL shingle/signature config) on
+    the deterministic bench corpus. Prints one JSON line."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.read_op_min_num_blocks = max(8, 2 * NUM_CPUS)
+
+    import ray.data
+
+    from duplicate_finder_ray.config import PipelineConfig
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+    from duplicate_finder_ray.stages.neardup import shingle_set_jaccard_pairs
+
+    global BENCH_ROWS
+    old_rows = BENCH_ROWS
+    BENCH_ROWS = RECALL_ROWS
+    try:
+        corpus = corpus_path()
+    finally:
+        BENCH_ROWS = old_rows
+
+    cfg = PipelineConfig()  # τ = 0.8, exact verify — the headline config
+    res = NearDupPipeline(cfg).run_on(ray.data.read_parquet(corpus))
+    found_df = res.pairs.select_columns(["a", "b"]).to_pandas()
+    found = set(map(tuple, found_df[["a", "b"]].to_numpy()))
+
+    # truth: brute-force exact Jaccard over the SAME shingle sets the
+    # pipeline computed (res.signatures carries them in exact mode)
+    from duplicate_finder_ray.stages.util import rename_cols
+
+    sets_ds = rename_cols(
+        res.signatures.select_columns(["file_id", "shingles"]),
+        {"file_id": "doc_key"},
+    )
+    truth_df = shingle_set_jaccard_pairs(
+        sets_ds, cfg.jaccard_threshold
+    ).to_pandas()
+    truth = (
+        set(map(tuple, truth_df[["a", "b"]].to_numpy()))
+        if len(truth_df)
+        else set()
+    )
+    hits = len(truth & found)
+    recall = hits / len(truth) if truth else 1.0
+    precision = hits / len(found) if found else 1.0
+    print(json.dumps({
+        "recall": round(recall, 5),
+        "precision": round(precision, 5),
+        "n_truth": len(truth),
+        "n_found": len(found),
+        "rows": RECALL_ROWS,
+        "jaccard_threshold": cfg.jaccard_threshold,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--recall" in sys.argv:
+        run_recall()
     else:
         print(json.dumps(run_bench()))

@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
         "parity mode; content handled as binary, exact dedup only)",
     )
     p.add_argument(
+        "--unlink", action="store_true",
+        help="with --filesystem and --delete/--interactive: actually "
+        "unlink the non-kept files (reference find-dupes semantics) "
+        "instead of writing a deduplicated table. Honors --dry-run.",
+    )
+    p.add_argument(
         "--near-dup", action="store_true",
         help="also run MinHash/LSH near-duplicate clustering",
     )
@@ -202,6 +208,8 @@ def main(argv: Sequence[str] | None = None) -> int:
     from duplicate_finder_ray.pipelines.dedup import DedupPipeline, render_text_report
 
     pipeline = DedupPipeline(cfg)
+    if args.unlink and not args.filesystem:
+        raise SystemExit("--unlink only applies to --filesystem mode")
     if args.filesystem:
         if args.near_dup:
             raise SystemExit("--near-dup requires a Parquet code table (text content)")
@@ -251,7 +259,30 @@ def main(argv: Sequence[str] | None = None) -> int:
         if cfg.delete_report_path:
             with open(cfg.delete_report_path, "w") as f:
                 f.write(report)
-        if not cfg.dry_run and dropped:
+        if not cfg.dry_run and dropped and args.unlink:
+            # destructive filesystem deletion (reference
+            # duplicate_finder.py:297-351: unlink behind the y/[n]
+            # prompt above; OS errors skip-with-warning, never abort)
+            import os as _os
+
+            path_by_id = {
+                fid: _os.path.join(r, p)
+                for fid, r, p in zip(
+                    members_df["file_id"], members_df["repo"], members_df["path"]
+                )
+            }
+            n_unlinked = 0
+            for fid in sorted(dropped):
+                target = path_by_id.get(fid)
+                if target is None:
+                    continue
+                try:
+                    _os.remove(target)
+                    n_unlinked += 1
+                except OSError as exc:
+                    print(f"Warning: could not delete {target}: {exc}")
+            print(f"Unlinked {n_unlinked} file(s).")
+        elif not cfg.dry_run and dropped:
             out_dir = args.dedup_output or args.input_path.rstrip("/") + ".dedup"
             from duplicate_finder_ray.stages.derive import add_identity
 

@@ -936,7 +936,21 @@ def ngram_jaccard_pairs(
             }
         )
 
-    sets_ds = ds.map_batches(to_sets, batch_format="pyarrow").materialize()
+    return shingle_set_jaccard_pairs(
+        ds.map_batches(to_sets, batch_format="pyarrow"), threshold
+    )
+
+
+def shingle_set_jaccard_pairs(
+    sets_ds: ray.data.Dataset, threshold: float
+) -> ray.data.Dataset:
+    """Exact-Jaccard ALL-pairs ≥ threshold over pre-shingled docs
+    ``(doc_key: string, shingles: large_binary of uint64-LE)`` — the
+    brute-force truth oracle for the LSH pipelines' recall gate
+    (north_rule: dup-pair recall ≥ 0.99 at identical shingle config).
+    Same inverted-postings broadcast shape as ``ngram_jaccard_pairs``.
+    """
+    sets_ds = sets_ds.materialize()
 
     @ray.remote(num_returns=2)
     def build_postings(*blocks: pa.Table) -> tuple:

@@ -145,3 +145,38 @@ def test_render_delete_report_dry_vs_real():
     assert dry.count("[would delete]") == 2 and "Would free: 2.0 KB" in dry
     real = render_delete_report({"x"}, dry_run=False, bytes_freed=10)
     assert "Deleted: x" in real and "Freed:" in real
+
+
+def test_unlink_requires_filesystem_mode(ray_session, corpus_parquet):
+    with pytest.raises(SystemExit):
+        main([corpus_parquet, "--delete", "--unlink"])
+
+
+def test_filesystem_unlink_deletes_non_keepers(ray_session, tmp_path, capsys,
+                                               monkeypatch):
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_bytes(b"same-bytes-here")
+    (root / "sub" / "b.txt").write_bytes(b"same-bytes-here")
+    (root / "unique.txt").write_bytes(b"totally different")
+    monkeypatch.setattr("builtins.input", lambda _="": "y")
+    assert main([str(root), "--filesystem", "--delete", "--unlink"]) == 0
+    out = capsys.readouterr().out
+    assert "Unlinked 1 file(s)." in out
+    # keeper = lexicographically first path (a.txt); b.txt unlinked
+    assert (root / "a.txt").exists()
+    assert not (root / "sub" / "b.txt").exists()
+    assert (root / "unique.txt").exists()
+
+
+def test_filesystem_unlink_dry_run_removes_nothing(ray_session, tmp_path,
+                                                   capsys):
+    root = tmp_path / "tree2"
+    root.mkdir()
+    (root / "x1.bin").write_bytes(b"dup")
+    (root / "x2.bin").write_bytes(b"dup")
+    assert main([str(root), "--filesystem", "--delete", "--unlink",
+                 "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "[would delete]" in out
+    assert (root / "x1.bin").exists() and (root / "x2.bin").exists()
