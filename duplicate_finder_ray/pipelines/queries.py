@@ -277,6 +277,39 @@ def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
     return topk.map_batches(round_score, batch_format="pyarrow")
 
 
+def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF-partitioned ANN top-k (the scale path): k-means inverted
+    file → probe-pruned assignment shuffle → per-cell local top-k →
+    tiny per-query merge. Run here with exhaustive probing
+    (nprobe=n_centroids) and cell_splits=2 so the whole
+    train/partition/score/merge machinery is exercised while the result
+    stays EXACT — hash-checked against the same brute-force SQL oracle
+    as ann_topk. Approximate recall at nprobe≪n_centroids is gated in
+    tests/test_similarity.py."""
+    from duplicate_finder_ray.stages import similarity
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    topk = similarity.ivf_topk_neighbors(
+        emb,
+        query_ids=list(range(8)),
+        k=10,
+        n_centroids=16,
+        nprobe=None,
+        cell_splits=2,
+    )
+
+    def round_score(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("score"),
+            "score",
+            pc.round(batch["score"], ndigits=6),
+        )
+
+    return topk.map_batches(round_score, batch_format="pyarrow")
+
+
 def q_embedding_cosine_pairs(sf_dir: str) -> ray.data.Dataset:
     """Embedding near-dup: all pairs with cosine ≥ 0.4 (brute-force
     distributed baseline; the corpus matrix is broadcast once)."""
@@ -420,6 +453,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_pairs": q_simhash_pairs,
     # similarity search over embeddings
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     # windowed aggregates over events
@@ -518,6 +552,27 @@ ORACLE_SQL: dict[str, str] = {
     WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     """,
     "ann_topk": """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])) AS raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS "rank"
+      FROM s
+    )
+    SELECT query_id, vec_id, round(raw, 6) AS score, "rank"
+    FROM r WHERE "rank" <= 10
+    """,
+    # exhaustive-probe IVF is exact — same truth as the brute force
+    "ann_topk_ivf": """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
     ),

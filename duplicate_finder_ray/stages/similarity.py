@@ -213,6 +213,181 @@ def cosine_pairs(
     return slim.map_batches(score_block, batch_format="pyarrow")
 
 
+@ray.remote
+def _kmeans_centroids_task(
+    n_centroids: int, seed: int, n_iters: int, sample_cap: int, *blocks
+) -> np.ndarray:
+    """Spherical k-means over a deterministic sample of the corpus,
+    run in ONE REMOTE TASK over materialized block refs (the driver
+    never holds corpus vectors). Sampling is a fixed stride over the
+    vec_id-sorted sample frame — seeded, reproducible, no RNG state
+    shared with the data path. Returns normalized (n_centroids, d)."""
+    blocks = tuple(b for b in blocks if len(b))
+    if not blocks:
+        return np.empty((0, 0))
+    tbl = pa.concat_tables(
+        [b.select(["vec_id", "embedding"]) for b in blocks]
+    ).sort_by("vec_id")
+    mat = _normalize(_matrix(tbl))
+    if len(mat) > sample_cap:
+        stride = len(mat) // sample_cap
+        mat = mat[::stride][:sample_cap]
+    k = min(n_centroids, len(mat))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        new = np.zeros_like(cent)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        np.add.at(new, assign, mat)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        new[~nonempty] = cent[~nonempty]  # keep empty cells in place
+        new = _normalize(new)
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
+def ivf_topk_neighbors(
+    emb_ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int | None = None,
+    cell_splits: int = 1,
+    kmeans_iters: int = 10,
+    kmeans_sample_cap: int = 100_000,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """IVF-partitioned ANN top-k — the scale path next to the
+    brute-force ``topk_neighbors`` baseline.
+
+    Shape (idiomatic Ray Data, no all-pairs matmul):
+
+    1. *Train*: spherical k-means centroids from a deterministic sample,
+       built in one remote task; centroids + query matrix + the per-query
+       probe sets are broadcast ONCE with ``ray.put``.
+    2. *Partition* (the inverted file): one ``map_batches`` pass assigns
+       every vector to its nearest centroid and DROPS vectors in cells
+       no query probes — with ``nprobe ≪ n_centroids`` most of the
+       corpus never enters the shuffle. Each surviving vector moves
+       exactly once (contrast: LSH ships each id ×n_tables).
+    3. *Score*: ``groupby(cell).map_groups`` computes the cell-local
+       top-k per probing query (float64 matmul against the broadcast
+       query matrix), then a tiny per-query reduce merges cell-local
+       winners — per-group top-k is an associative merge, so the reduce
+       sees O(cells × k) rows, never the score matrix.
+
+    Skew: a hot cell (unbalanced k-means) is split into ``cell_splits``
+    sub-groups by ``hash(vec_id)`` — top-k merges associatively, so
+    splitting preserves exactness while bounding the largest group.
+    With ``nprobe=None`` (probe every cell) the result is EXACTLY the
+    brute-force top-k (same float64 dot products, same vec_id
+    tie-break); recall degrades gracefully as nprobe shrinks
+    (tests/test_similarity.py measures it)."""
+    nprobe = n_centroids if nprobe is None else min(nprobe, n_centroids)
+    slim = emb_ds.select_columns(["vec_id", "embedding"]).materialize()
+    refs = slim.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(TOPK_SCHEMA.empty_table())
+    cent = ray.get(
+        _kmeans_centroids_task.remote(
+            n_centroids, seed, kmeans_iters, kmeans_sample_cap, *refs
+        )
+    )
+    if cent.size == 0:
+        return ray.data.from_arrow(TOPK_SCHEMA.empty_table())
+
+    qids, qmat = load_query_matrix(slim, query_ids)
+    qn = _normalize(qmat)
+    # probe sets: per query, the nprobe nearest centroids (driver-side —
+    # Q × n_centroids floats, tiny). probed[c] = indices of queries
+    # probing cell c, inverted once so scoring tasks index directly.
+    order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    probed = np.zeros((len(qids), len(cent)), dtype=bool)
+    probed[np.arange(len(qids))[:, None], order] = True
+    cell_probed = probed.any(axis=0)  # (n_centroids,)
+    bcast = ray.put((qids, qn, probed, cent, cell_probed))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        _qids, _qn, _probed, C, live = ray.get(bcast)
+        m = _normalize(_matrix(batch))
+        cell = np.argmax(m @ C.T, axis=1).astype(np.int32)
+        keep = live[cell]
+        if not keep.any():
+            return pa.schema(
+                [("cell", pa.int32()), ("vec_id", pa.int64()), ("embedding", batch.schema.field("embedding").type)]
+            ).empty_table()
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        sub = (
+            pd.util.hash_array(vec_ids[keep].copy()) % np.uint64(cell_splits)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    cell[keep] * np.int32(cell_splits) + sub, pa.int32()
+                ),
+                "vec_id": pa.array(vec_ids[keep]),
+                "embedding": batch.column("embedding").filter(pa.array(keep)),
+            }
+        )
+
+    def score_cell(part: pd.DataFrame) -> pd.DataFrame:
+        _qids, _qn, _probed, C, _live = ray.get(bcast)
+        cell = int(part["cell"].iloc[0]) // cell_splits
+        q_idx = np.nonzero(_probed[:, cell])[0]
+        if len(q_idx) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "score": []}
+            ).astype({"query_id": np.int64, "vec_id": np.int64, "score": np.float64})
+        vec_ids = part["vec_id"].to_numpy().astype(np.int64)
+        m = _normalize(np.vstack(part["embedding"].to_numpy()).astype(np.float64))
+        scores = m @ _qn[q_idx].T  # (B, |q_idx|)
+        out = []
+        for j, qi in enumerate(q_idx):
+            qid = int(_qids[qi])
+            col = scores[:, j]
+            mask = vec_ids != qid if exclude_self else np.ones(len(col), bool)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # deterministic: score desc, vec_id asc tie-break
+            sub_order = np.lexsort((vec_ids[idx], -col[idx]))[:k]
+            take = idx[sub_order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(take), qid, dtype=np.int64),
+                        "vec_id": vec_ids[take],
+                        "score": col[take],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "score": []}
+            ).astype({"query_id": np.int64, "vec_id": np.int64, "score": np.float64})
+        return pd.concat(out, ignore_index=True)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "score", "rank"]]
+
+    local = (
+        slim.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(score_cell, batch_format="pandas")
+    )
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
 def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))

@@ -124,3 +124,62 @@ class TestCosinePairs:
         ka = sorted(zip(a["a"], a["b"]))
         kb = sorted(zip(b["a"], b["b"]))
         assert ka == kb
+
+
+class TestIVFTopK:
+    def test_exhaustive_probe_is_exact(self, emb_df, emb_ds):
+        """nprobe=None (probe every cell) must reproduce the brute
+        force exactly — same neighbors, same order, same scores —
+        even with cell_splits>1 (top-k merges associatively)."""
+        qids = [0, 5, 17]
+        got = similarity.ivf_topk_neighbors(
+            emb_ds, qids, k=8, n_centroids=8, nprobe=None, cell_splits=3
+        ).to_pandas()
+        want = brute_force_topk(emb_df, qids, 8)
+        for q in qids:
+            sub = got[got["query_id"] == q].sort_values("rank")
+            assert sub["vec_id"].tolist() == [v for v, _ in want[q]]
+            np.testing.assert_allclose(
+                sub["score"].to_numpy(), [s for _, s in want[q]], atol=1e-12
+            )
+            assert sub["rank"].tolist() == list(range(1, 9))
+
+    def test_low_nprobe_recall(self, emb_df, emb_ds):
+        """Probing half the cells keeps high recall@k on this corpus
+        (queries' planted neighbors concentrate in nearby cells)."""
+        qids = list(range(120, 138))  # the planted near-dup vectors
+        k = 3
+        got = similarity.ivf_topk_neighbors(
+            emb_ds, qids, k=k, n_centroids=8, nprobe=4, seed=11
+        ).to_pandas()
+        want = brute_force_topk(emb_df, qids, k)
+        hits = total = 0
+        for q in qids:
+            truth = {v for v, _ in want[q]}
+            found = set(got[got["query_id"] == q]["vec_id"].astype(int))
+            hits += len(truth & found)
+            total += len(truth)
+        recall = hits / total
+        assert recall >= 0.8, f"recall@{k} {recall}"
+
+    def test_deterministic(self, emb_ds):
+        a = similarity.ivf_topk_neighbors(
+            emb_ds, [1, 2], k=5, n_centroids=8, nprobe=3, seed=4
+        ).to_pandas()
+        b = similarity.ivf_topk_neighbors(
+            emb_ds, [1, 2], k=5, n_centroids=8, nprobe=3, seed=4
+        ).to_pandas()
+        pa_ = sorted(map(tuple, a[["query_id", "vec_id", "rank"]].to_numpy()))
+        pb = sorted(map(tuple, b[["query_id", "vec_id", "rank"]].to_numpy()))
+        assert pa_ == pb
+
+    def test_empty_input(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype=np.int64),
+                "embedding": pd.Series([], dtype=object),
+            }
+        )
+        ds = ray_session.data.from_pandas(df)
+        got = similarity.ivf_topk_neighbors(ds, [0], k=3)
+        assert got.count() == 0
