@@ -42,9 +42,21 @@ def corpus_path() -> str:
     many-file, so the bench input must be too."""
     path = f"/tmp/graft_bench/corpus_{BENCH_ROWS}_{CORPUS_SEED}_s{CORPUS_SHARDS}"
     if not os.path.exists(path + ".done"):
-        from duplicate_finder_ray.sources.code_table import synthetic_code_corpus
+        from duplicate_finder_ray.sources.code_table import (
+            synthetic_code_corpus,
+            synthetic_code_corpus_fast,
+        )
 
-        df = synthetic_code_corpus(BENCH_ROWS, seed=CORPUS_SEED)
+        # the row-loop generator is fine to ~100k rows; beyond that use
+        # the vectorized twin (same row classes; ~100M RNG calls vs a
+        # few numpy passes — the 2.4M scaling corpus would otherwise
+        # take ~an hour of driver time to synthesize)
+        gen = (
+            synthetic_code_corpus_fast
+            if BENCH_ROWS > 200_000
+            else synthetic_code_corpus
+        )
+        df = gen(BENCH_ROWS, seed=CORPUS_SEED)
         tmp = path + ".tmp"
         os.makedirs(tmp, exist_ok=True)
         rows_per = (len(df) + CORPUS_SHARDS - 1) // CORPUS_SHARDS

@@ -629,155 +629,248 @@ def verify_pairs_exact(
     threshold = cfg.jaccard_threshold
 
     if n_endpoints <= broadcast_limit:
-        # broadcast path: fid-keyed CSR (radix-sortable uint64 keys,
-        # offsets, flat uint64 values, aligned file_id strings) built in
-        # ONE REMOTE TASK from the materialized endpoint blocks — the
-        # driver never touches the heavy data (an O(n) driver collect
-        # would cap scaling forever). The flat array is zero-copy out of
-        # the object store per task. fid is already the siphash64 of
-        # file_id, so probe keys need no re-hashing.
+        # --- broadcast path: ONE fid-keyed CSR in the object store ---
+        # (radix-sortable uint64 keys, a sort permutation, and the
+        # shingle/name payloads as ARROW columns — no payload sort, no
+        # numpy copy; see _build_csr_task). The driver never touches the
+        # heavy data; every scoring task reads the CSR zero-copy from
+        # plasma. Right up to the per-node memory budget; beyond it the
+        # sharded path below keeps the same kernel.
         sets_blocks = shingle_sets.materialize()
-
-        _EMPTY_CSR = (
-            np.empty(0, dtype=np.uint64),   # sorted fids
-            np.empty(0, dtype=np.int64),    # sort permutation → row index
-            pa.array([], pa.large_binary()),  # shingle sets (row order)
-            pa.array([], pa.string()),      # file_ids (row order)
-        )
-
-        def _csr_views(col: pa.Array) -> tuple:
-            """(byte offsets ÷8, flat uint64 view) over an arrow
-            large_binary column's buffers — ZERO copies; the data stays
-            in the plasma-mapped buffer."""
-            if len(col) == 0:
-                return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.uint64)
-            arrow_offsets = np.frombuffer(
-                col.buffers()[1], dtype=np.int64, count=len(col) + 1,
-                offset=col.offset * 8,
-            )
-            data_buf = col.buffers()[2]
-            flat = (
-                np.frombuffer(data_buf, dtype=np.uint64)[
-                    arrow_offsets[0] // 8 : arrow_offsets[-1] // 8
-                ]
-                if data_buf is not None
-                else np.empty(0, dtype=np.uint64)
-            )
-            return ((arrow_offsets - arrow_offsets[0]) // 8).astype(np.int64), flat
-
-        @ray.remote
-        def build_csr(*blocks: pa.Table) -> tuple:
-            # NO payload sort and NO numpy copy of the values: only the
-            # 8-byte keys are argsorted; an indirection array maps
-            # sorted-key position → original row, and the shingle/name
-            # payloads travel as ARROW columns (pickle5 out-of-band
-            # buffers — one plasma write, zero-copy reads per task).
-            # A table sort_by here physically rearranges the multi-
-            # hundred-MB payload, and a numpy .copy() of it pays this
-            # sandbox's ~80 MB/s fresh-page fault cost — both measured
-            # at 10-45 s serial with every scoring task blocked behind.
-            blocks = tuple(
-                b for b in blocks if "fid" in b.column_names and len(b)
-            )
-            if not blocks:
-                return _EMPTY_CSR
-            tbl = pa.concat_tables(blocks)
-            fids = tbl.column("fid").to_numpy().astype(np.uint64)
-            order = np.argsort(fids, kind="stable").astype(np.int64)
-            col = tbl.column("shingles").combine_chunks()
-            if isinstance(col, pa.ChunkedArray):
-                col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
-            names = tbl.column("file_id").combine_chunks()
-            if isinstance(names, pa.ChunkedArray):
-                names = names.chunk(0) if names.num_chunks else pa.array([], pa.string())
-            return fids[order], order, col, names
-
         refs = sets_blocks.to_arrow_refs()
-        sets_ref = build_csr.remote(*refs) if refs else ray.put(_EMPTY_CSR)
+        sets_ref = (
+            _build_csr_task.remote(None, 0, *refs) if refs else ray.put(_EMPTY_CSR)
+        )
 
         def score_broadcast(batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
                 return VERIFIED_SCHEMA.empty_table()
-            keys, order, col, names = ray.get(sets_ref)
-            offs, flat = _csr_views(col)
-            nk = len(keys)
-            ka = batch.column("a").to_numpy().astype(np.uint64)
-            kb = batch.column("b").to_numpy().astype(np.uint64)
-            pa_pos = np.minimum(np.searchsorted(keys, ka), max(nk - 1, 0))
-            pb_pos = np.minimum(np.searchsorted(keys, kb), max(nk - 1, 0))
-            if nk:
-                row_a = np.where(keys[pa_pos] == ka, order[pa_pos], -1)
-                row_b = np.where(keys[pb_pos] == kb, order[pb_pos], -1)
-            else:
-                row_a = np.full(len(batch), -1, dtype=np.int64)
-                row_b = row_a
-            jac = np.empty(len(batch), dtype=np.float64)
-            for i in range(len(batch)):
-                ra, rb = row_a[i], row_b[i]
-                xa = flat[offs[ra] : offs[ra + 1]] if ra >= 0 else flat[:0]
-                xb = flat[offs[rb] : offs[rb + 1]] if rb >= 0 else flat[:0]
-                jac[i] = _jaccard_arrays(xa, xb)
-            keep = jac >= threshold
-            if not keep.any():
-                return VERIFIED_SCHEMA.empty_table()
-            # only the kept pairs' names materialize (arrow take → numpy)
-            sa = names.take(
-                pa.array(np.maximum(row_a[keep], 0), pa.int64())
-            ).to_numpy(zero_copy_only=False)
-            sb = names.take(
-                pa.array(np.maximum(row_b[keep], 0), pa.int64())
-            ).to_numpy(zero_copy_only=False)
-            swap = sa > sb
-            return pa.table(
-                {
-                    "a": pa.array(np.where(swap, sb, sa), pa.string()),
-                    "b": pa.array(np.where(swap, sa, sb), pa.string()),
-                    "n_bands": pc.cast(
-                        batch.column("n_bands").filter(pa.array(keep)), pa.int64()
-                    ),
-                    "jaccard": pa.array(jac[keep], pa.float64()),
-                }
-            )
+            csr = ray.get(sets_ref)
+            return _score_pairs_two_csr(batch, csr, csr, threshold)
 
         return pairs.map_batches(score_broadcast, batch_format="pyarrow")
 
-    num_partitions = effective_parallelism(cfg)
-    from duplicate_finder_ray.stages.join import bucketed_inner_join
-    from duplicate_finder_ray.stages.util import rename_cols
+    # --- sharded-CSR path (the 10^12-file scale shape) ---
+    # The endpoint shingle table is hash-partitioned ONCE by
+    # ``fid % n_shards`` (the only time payload crosses the exchange);
+    # each shard becomes its own CSR object built by a parallel remote
+    # task. Pairs — 20-byte rows — are then grouped by the
+    # (shard(a), shard(b)) pair so every scoring task zero-copy reads
+    # exactly TWO shard objects from plasma. Per-task memory is
+    # O(corpus/n_shards), the pair shuffle is payload-free, and on a
+    # multi-node cluster a shard is fetched only by the nodes that probe
+    # it. (The previous fallback hash-joined the shingle column onto
+    # both pair endpoints: the a-side payload rode the b-side shuffle
+    # and the join merge serialized behind object-store backpressure —
+    # measured unusable at 2.4M docs.)
+    n_shards = max(4, effective_parallelism(cfg))
 
-    joined = rename_cols(
-        bucketed_inner_join(pairs, shingle_sets, "a", "fid", num_partitions),
-        {"shingles": "shingles_a", "file_id": "fa"},
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if "fid" not in batch.column_names or len(batch) == 0:
+            return pa.table(
+                {
+                    "fid": pa.array([], pa.uint64()),
+                    "file_id": pa.array([], pa.string()),
+                    "shingles": pa.array([], pa.large_binary()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        fid = batch.column("fid").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "shard",
+            pa.array((fid % np.uint64(n_shards)).astype(np.int32), pa.int32()),
+        )
+
+    parted = (
+        shingle_sets.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+        .materialize()
     )
-    joined = rename_cols(
-        bucketed_inner_join(joined, shingle_sets, "b", "fid", num_partitions),
-        {"shingles": "shingles_b", "file_id": "fb"},
-    )
+    refs = parted.to_arrow_refs()
 
-    threshold = cfg.jaccard_threshold
+    @ray.remote
+    def shards_present(block: pa.Table) -> np.ndarray:
+        if "shard" not in block.column_names or len(block) == 0:
+            return np.empty(0, np.int32)
+        return np.unique(block.column("shard").to_numpy())
 
-    def score(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
+    presence = ray.get([shards_present.remote(r) for r in refs])
+    blocks_of: dict[int, list] = {}
+    for ref, pres in zip(refs, presence):
+        for s in pres:
+            blocks_of.setdefault(int(s), []).append(ref)
+    empty_ref = ray.put(_EMPTY_CSR)
+    shard_refs = {
+        s: _build_csr_task.remote(s, n_shards, *bl) for s, bl in blocks_of.items()
+    }
+
+    def add_spair(batch: pa.Table) -> pa.Table:
+        if "a" not in batch.column_names or len(batch) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.uint64()),
+                    "b": pa.array([], pa.uint64()),
+                    "n_bands": pa.array([], pa.int64()),
+                    "spair": pa.array([], pa.int32()),
+                }
+            )
+        a = batch.column("a").to_numpy().astype(np.uint64)
+        b = batch.column("b").to_numpy().astype(np.uint64)
+        spair = (a % np.uint64(n_shards)) * np.uint64(n_shards) + (
+            b % np.uint64(n_shards)
+        )
+        return batch.append_column(
+            "spair", pa.array(spair.astype(np.int32), pa.int32())
+        )
+
+    def score_group(part: pd.DataFrame) -> pa.Table:
+        if len(part) == 0:
             return VERIFIED_SCHEMA.empty_table()
-        sa = batch.column("shingles_a").to_pylist()
-        sb = batch.column("shingles_b").to_pylist()
-        jac = np.empty(len(batch), dtype=np.float64)
-        for i, (ba, bb) in enumerate(zip(sa, sb)):
-            jac[i] = _jaccard_bytes(ba, bb)
-        fa = batch.column("fa").to_numpy(zero_copy_only=False)
-        fb = batch.column("fb").to_numpy(zero_copy_only=False)
-        swap = fa > fb
-        out = pa.table(
+        sp = int(part["spair"].iloc[0])
+        sa, sb = sp // n_shards, sp % n_shards
+        ref_a = shard_refs.get(sa, empty_ref)
+        ref_b = shard_refs.get(sb, empty_ref)
+        csr_a = ray.get(ref_a)
+        csr_b = csr_a if ref_b is ref_a else ray.get(ref_b)
+        batch = pa.table(
             {
-                "a": pa.array(np.where(swap, fb, fa), pa.string()),
-                "b": pa.array(np.where(swap, fa, fb), pa.string()),
-                "n_bands": pc.cast(batch["n_bands"], pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "a": pa.array(part["a"].to_numpy().astype(np.uint64), pa.uint64()),
+                "b": pa.array(part["b"].to_numpy().astype(np.uint64), pa.uint64()),
+                "n_bands": pa.array(
+                    part["n_bands"].to_numpy().astype(np.int64), pa.int64()
+                ),
             }
         )
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        return _score_pairs_two_csr(batch, csr_a, csr_b, threshold)
 
-    return joined.map_batches(score, batch_format="pyarrow")
+    return (
+        pairs.map_batches(add_spair, batch_format="pyarrow")
+        .groupby("spair")
+        .map_groups(score_group, batch_format="pandas")
+    )
+
+
+_EMPTY_CSR = (
+    np.empty(0, dtype=np.uint64),      # sorted fids
+    np.empty(0, dtype=np.int64),       # sort permutation -> row index
+    None,                              # shingle sets (arrow, row order)
+    None,                              # file_ids (arrow, row order)
+)
+
+
+def _csr_views(col: pa.Array) -> tuple:
+    """(byte offsets / 8, flat uint64 view) over an arrow large_binary
+    column's buffers — ZERO copies; the data stays in the plasma-mapped
+    buffer."""
+    if col is None or len(col) == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    arrow_offsets = np.frombuffer(
+        col.buffers()[1], dtype=np.int64, count=len(col) + 1,
+        offset=col.offset * 8,
+    )
+    data_buf = col.buffers()[2]
+    flat = (
+        np.frombuffer(data_buf, dtype=np.uint64)[
+            arrow_offsets[0] // 8 : arrow_offsets[-1] // 8
+        ]
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint64)
+    )
+    return ((arrow_offsets - arrow_offsets[0]) // 8).astype(np.int64), flat
+
+
+@ray.remote
+def _build_csr_task(shard, n_shards: int, *blocks: pa.Table) -> tuple:
+    """fid-keyed CSR over (a shard of) the endpoint shingle table.
+
+    NO payload sort and NO numpy copy of the values: only the 8-byte
+    keys are argsorted; an indirection array maps sorted-key position ->
+    original row, and the shingle/name payloads travel as ARROW columns
+    (pickle5 out-of-band buffers — one plasma write, zero-copy reads per
+    task). A table sort_by here physically rearranges the
+    multi-hundred-MB payload, and a numpy .copy() of it pays this
+    sandbox's ~80 MB/s fresh-page fault cost — both measured at 10-45 s
+    serial with every scoring task blocked behind.
+
+    ``shard``: None builds over all rows (broadcast path); an int keeps
+    only rows with ``fid % n_shards == shard`` (sharded path — blocks
+    arrive group-aligned, so the filter is usually a no-op)."""
+    blocks = tuple(b for b in blocks if "fid" in b.column_names and len(b))
+    if not blocks:
+        return _EMPTY_CSR
+    tbl = pa.concat_tables(
+        [b.select(["fid", "file_id", "shingles"]) for b in blocks]
+    )
+    fids = tbl.column("fid").to_numpy().astype(np.uint64)
+    if shard is not None:
+        mask = (fids % np.uint64(n_shards)).astype(np.int64) == shard
+        if not mask.all():
+            tbl = tbl.filter(pa.array(mask))
+            fids = fids[mask]
+    order = np.argsort(fids, kind="stable").astype(np.int64)
+    col = tbl.column("shingles").combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
+    names = tbl.column("file_id").combine_chunks()
+    if isinstance(names, pa.ChunkedArray):
+        names = names.chunk(0) if names.num_chunks else pa.array([], pa.string())
+    return fids[order], order, col, names
+
+
+def _csr_rows(csr: tuple, probe: np.ndarray) -> np.ndarray:
+    """Row indices (-1 = missing) of ``probe`` keys in a CSR."""
+    keys, order = csr[0], csr[1]
+    nk = len(keys)
+    if nk == 0:
+        return np.full(len(probe), -1, dtype=np.int64)
+    pos = np.minimum(np.searchsorted(keys, probe), nk - 1)
+    return np.where(keys[pos] == probe, order[pos], -1)
+
+
+def _score_pairs_two_csr(
+    batch: pa.Table, csr_a: tuple, csr_b: tuple, threshold: float
+) -> pa.Table:
+    """Exact-Jaccard scoring kernel shared by the broadcast and sharded
+    verify paths: a-side rows resolve against ``csr_a``, b-side against
+    ``csr_b`` (the same object on the broadcast path). Emits the
+    VERIFIED_SCHEMA with string file_ids, a < b."""
+    import pyarrow.compute as pc
+
+    row_a = _csr_rows(csr_a, batch.column("a").to_numpy().astype(np.uint64))
+    row_b = _csr_rows(csr_b, batch.column("b").to_numpy().astype(np.uint64))
+    offs_a, flat_a = _csr_views(csr_a[2])
+    offs_b, flat_b = _csr_views(csr_b[2])
+    jac = np.empty(len(batch), dtype=np.float64)
+    for i in range(len(batch)):
+        ra, rb = row_a[i], row_b[i]
+        if ra < 0 or rb < 0:
+            jac[i] = 0.0  # unresolvable endpoint can never verify
+            continue
+        xa = flat_a[offs_a[ra] : offs_a[ra + 1]]
+        xb = flat_b[offs_b[rb] : offs_b[rb + 1]]
+        jac[i] = _jaccard_arrays(xa, xb)
+    keep = jac >= threshold
+    if not keep.any():
+        return VERIFIED_SCHEMA.empty_table()
+    names_a, names_b = csr_a[3], csr_b[3]
+    sa = names_a.take(
+        pa.array(np.maximum(row_a[keep], 0), pa.int64())
+    ).to_numpy(zero_copy_only=False)
+    sb = names_b.take(
+        pa.array(np.maximum(row_b[keep], 0), pa.int64())
+    ).to_numpy(zero_copy_only=False)
+    swap = sa > sb
+    return pa.table(
+        {
+            "a": pa.array(np.where(swap, sb, sa), pa.string()),
+            "b": pa.array(np.where(swap, sa, sb), pa.string()),
+            "n_bands": pc.cast(
+                batch.column("n_bands").filter(pa.array(keep)), pa.int64()
+            ),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        }
+    )
 
 
 def _jaccard_arrays(xa: np.ndarray, xb: np.ndarray) -> float:
