@@ -102,8 +102,13 @@ def run_bench() -> dict:
     from duplicate_finder_ray.pipelines.queries import QUERIES
 
     corpus = corpus_path()
-    # warm the page cache so we measure compute + shuffle, not first I/O
-    ray.data.read_parquet(corpus).count()
+    # Warm the page cache AND the worker pool: the first map_batches in
+    # a fresh session pays the 32 worker-process spawns + their
+    # ray/pandas/pyarrow imports (~7-10 s at 32 CPUs) — per-session
+    # cost, not pipeline cost; a long-running cluster runs hot workers.
+    ray.data.read_parquet(corpus).map_batches(
+        lambda b: b.slice(0, 1), batch_format="pyarrow"
+    ).count()
 
     queries: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -125,11 +125,7 @@ class DedupPipeline:
         a prefilter that empties the stream must not erase the output
         schema (an empty groupby block otherwise loses it)."""
         members = ray.data.from_arrow(exact.MEMBERS_SCHEMA.empty_table())
-        groups = ray.data.from_arrow(
-            pa.schema(
-                [("group_id", pa.string()), ("size", pa.int64()), ("n_files", pa.int64())]
-            ).empty_table()
-        )
+        groups = ray.data.from_arrow(exact.GROUPS_SCHEMA.empty_table())
         return DedupResult(members=members, groups=groups, metrics=metrics)
 
     def run(self, input_path: str | None = None) -> DedupResult:

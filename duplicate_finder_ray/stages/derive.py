@@ -9,6 +9,7 @@ plain callable → Ray schedules it as elastic stateless tasks.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from duplicate_finder_ray.functions.hashing import (
     file_id_array,
@@ -23,7 +24,16 @@ def add_identity(batch: pa.Table) -> pa.Table:
     ``file_id = repo + ":" + path + "@" + commit`` is the engine's sort/
     keeper key (reference keeps ``sorted(group)[0]``,
     duplicate_finder.py:246-250,309).
+
+    ``lang`` is optional on input: when absent it is derived from the
+    path extension (same convention as the filesystem source,
+    sources/filesystem.py), so the library surface accepts the minimal
+    ``(repo, path, commit, content)`` schema.
     """
+    if "lang" not in batch.column_names:
+        ext = pc.extract_regex(batch["path"], r"\.(?P<ext>[^./\\]+)$")
+        lang = pc.coalesce(pc.struct_field(ext, "ext"), pa.scalar("none"))
+        batch = batch.append_column("lang", pc.cast(lang, pa.string()))
     batch = batch.append_column("file_id", file_id_array(batch))
     return batch.append_column("size", utf8_byte_length(batch["content"]))
 

@@ -223,14 +223,23 @@ def duplicate_members(
     return ds.groupby(keys).map_groups(emit_group, batch_format="pandas")
 
 
+GROUPS_SCHEMA = pa.schema(
+    [("group_id", pa.string()), ("size", pa.int64()), ("n_files", pa.int64())]
+)
+
+
 def groups_from_members(members: ray.data.Dataset) -> ray.data.Dataset:
     """Collapse membership to one row per group ``(group_id, size,
     n_files)`` (reference result shape, duplicate_finder.py:241-255; the
-    member lists stay exploded for scale)."""
-    return members.groupby("group_id").aggregate(
+    member lists stay exploded for scale). Unioned with a typed empty
+    block so a zero-duplicate corpus keeps the output schema (Ray's
+    groupby-aggregate over an empty stream otherwise yields a
+    schema-less Dataset)."""
+    agg = members.groupby("group_id").aggregate(
         Max("size", alias_name="size"),
         Count(alias_name="n_files"),
     )
+    return agg.union(ray.data.from_arrow(GROUPS_SCHEMA.empty_table()))
 
 
 def keepers_only(members: ray.data.Dataset) -> ray.data.Dataset:

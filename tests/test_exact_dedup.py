@@ -188,6 +188,44 @@ class TestEmptyInputs:
         assert res.tally() == {"n_deleted": 0, "bytes_freed": 0}
 
 
+class TestMinimalSchema:
+    def test_lang_column_optional(self, ray_session):
+        """The library surface accepts the minimal (repo, path, commit,
+        content) schema: lang is derived from the path extension (same
+        convention as the filesystem source) when absent."""
+        df = pd.DataFrame(
+            {
+                "repo": ["r"] * 4,
+                "path": ["x.py", "y.py", "LICENSE", "LICENSE.txt"],
+                "commit": [""] * 4,
+                "content": ["dup", "dup", "mit\n", "mit\n"],
+            }
+        )
+        res = DedupPipeline(PipelineConfig()).run_on(ray_session.data.from_pandas(df))
+        members = res.members.to_pandas().set_index("path")
+        assert len(members) == 4
+        assert members.loc["x.py", "lang"] == "py"
+        assert members.loc["LICENSE", "lang"] == "none"
+        assert res.tally()["n_deleted"] == 2
+
+    def test_groups_schema_survives_empty(self, ray_session):
+        """groups (not just members) keeps its typed schema when the
+        corpus has zero duplicates — Ray's groupby-aggregate over an
+        empty stream otherwise yields a schema-less Dataset."""
+        df = pd.DataFrame(
+            {
+                "repo": ["r", "r"],
+                "path": ["a.py", "b.py"],
+                "commit": ["", ""],
+                "content": ["one", "twotwo"],
+            }
+        )
+        res = DedupPipeline(PipelineConfig()).run_on(ray_session.data.from_pandas(df))
+        schema = res.groups.schema()
+        assert schema.names == ["group_id", "size", "n_files"]
+        assert res.groups.count() == 0
+
+
 class TestSorts:
     def test_sort_by_group_size(self, run):
         members = run(sort_by_group_size=True).members.to_pandas()
