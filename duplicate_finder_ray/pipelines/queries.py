@@ -245,6 +245,16 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return ngram_jaccard_pairs(ds, "file_id", "content", k=5, threshold=0.5)
 
 
+def q_ngram_jaccard_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Connected components over the exact n-gram-Jaccard pair graph —
+    gives the distributed CC stage (stages/cc.py) a full hash-match SQL
+    oracle: DuckDB computes the same components via a WITH RECURSIVE
+    transitive closure + min-label reduction."""
+    from duplicate_finder_ray.stages.cc import connected_components
+
+    return connected_components(q_ngram_jaccard_pairs(sf_dir), PipelineConfig())
+
+
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup: Hamming ≤ 3 pairs via bit-block pigeonhole
     banding (rows-only driver check; hamming oracle in
@@ -397,7 +407,8 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_language_id(sf_dir: str) -> ray.data.Dataset:
-    """Marker-word language ID (rows-only; python oracle in
+    """Marker-word language ID (hash-match oracle: the SQL twin is
+    generated from the same LANG_MARKERS constant; python oracle in
     tests/test_textstats.py)."""
     from duplicate_finder_ray.stages import textstats
 
@@ -450,6 +461,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_spans": q_near_dup_spans,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_clusters": q_ngram_jaccard_clusters,
     "simhash_pairs": q_simhash_pairs,
     # similarity search over embeddings
     "ann_topk": q_ann_topk,
@@ -469,6 +481,72 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "token_counts_bpe": q_token_counts_bpe,
 }
+
+#: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
+#: 5-gram shingle sets → per-doc set sizes → pairwise intersections
+_NGRAM_CTES = f"""code_files AS ({CODE_FILES_SQL}),
+    tok AS (
+      SELECT repo || ':' || path || '@' || "commit" AS doc_key,
+             regexp_extract_all(content, '[A-Za-z0-9_]+') AS w
+      FROM code_files
+    ),
+    idx AS (
+      SELECT doc_key, w, unnest(generate_series(1, len(w) - 4)) AS i
+      FROM tok WHERE len(w) >= 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_key, array_to_string(w[i:i+4], chr(31)) AS s FROM idx
+    ),
+    n AS (SELECT doc_key, count(*) AS n FROM sh GROUP BY doc_key),
+    inter AS (
+      SELECT x.doc_key AS a, y.doc_key AS b, count(*) AS c
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_key < y.doc_key
+      GROUP BY 1, 2
+    )"""
+
+
+def _language_id_sql() -> str:
+    """SQL twin of stages/textstats.py:language_id, generated from the
+    same LANG_MARKERS constant so the word lists stay in lockstep. Both
+    engines run RE2 regexes; the score uses the same explicit half-up
+    floor(x*1e6 + 0.5) op sequence, so values match bit-for-bit."""
+    from duplicate_finder_ray.stages.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    rate_cols = ",\n".join(
+        f"        len(regexp_extract_all(text, '(?i)\\b({'|'.join(LANG_MARKERS[lang])})\\b'))"
+        f" / CAST(greatest(n_words, 1) AS DOUBLE) AS r_{lang}"
+        for lang in langs
+    )
+    # cascading CASE reproduces numpy argmax's first-max (asc-name) tie-break
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"r_{lang} >= r_{other}" for other in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_pred = "\n             ".join(cases)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                  ELSE array_length(regexp_split_to_array(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+             AS n_words
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+{rate_cols}
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN {best} < 0.02 THEN 'unknown'
+             {case_pred}
+             ELSE '{langs[-1]}' END AS lang_pred,
+           floor({best} * 1000000 + 0.5) / 1000000 AS lang_score
+    FROM r
+    """
+
 
 ORACLE_SQL: dict[str, str] = {
     "code_files_derive": _D_SQL
@@ -525,31 +603,35 @@ ORACLE_SQL: dict[str, str] = {
     # shingle identity differs (blake2b-64 vs the string itself) but
     # Jaccard over the two representations is equal absent 64-bit hash
     # collisions, so the rounded values match bit-for-bit.
-    "ngram_jaccard_pairs": f"""
-    WITH code_files AS ({CODE_FILES_SQL}),
-    tok AS (
-      SELECT repo || ':' || path || '@' || "commit" AS doc_key,
-             regexp_extract_all(content, '[A-Za-z0-9_]+') AS w
-      FROM code_files
-    ),
-    idx AS (
-      SELECT doc_key, w, unnest(generate_series(1, len(w) - 4)) AS i
-      FROM tok WHERE len(w) >= 5
-    ),
-    sh AS (
-      SELECT DISTINCT doc_key, array_to_string(w[i:i+4], chr(31)) AS s FROM idx
-    ),
-    n AS (SELECT doc_key, count(*) AS n FROM sh GROUP BY doc_key),
-    inter AS (
-      SELECT x.doc_key AS a, y.doc_key AS b, count(*) AS c
-      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_key < y.doc_key
-      GROUP BY 1, 2
-    )
+    "ngram_jaccard_pairs": "WITH "
+    + _NGRAM_CTES
+    + """
     SELECT a, b, round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
     FROM inter
     JOIN n na ON na.doc_key = inter.a
     JOIN n nb ON nb.doc_key = inter.b
     WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    """,
+    # distributed connected components vs a WITH RECURSIVE transitive
+    # closure + min-label reduction over the same exact-Jaccard pair
+    # graph (component id = lexicographically smallest member)
+    "ngram_jaccard_clusters": "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + """,
+    e AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    )
+    SELECT src AS file_id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
     """,
     "ann_topk": """
     WITH q AS (
@@ -702,4 +784,5 @@ ORACLE_SQL: dict[str, str] = {
              AS n_tokens_bpe
     FROM documents
     """,
+    "language_id": _language_id_sql(),
 }

@@ -6,10 +6,12 @@ SURVEY.md §2.5). All stages are stateless vectorized ``map_batches``
 over zero-copy Arrow batches; the language-ID word lists are small
 constants compiled into each task (no actor state needed).
 
-SQL twins: ``quality_scores`` is expressed in ANSI SQL for the DuckDB
-oracle (both engines run RE2 regexes, so the character-class semantics
-match). Language-ID and winnowing fingerprints are checked by Python
-oracles in tests (argmax / rolling-hash logic is not reasonably
+SQL twins: ``quality_scores`` and ``language_id`` are expressed in
+ANSI SQL for the DuckDB oracle (both engines run RE2 regexes, so the
+character-class semantics match; the language-ID twin is generated
+from the same LANG_MARKERS constant with a cascading CASE reproducing
+argmax's first-max tie-break). Winnowing fingerprints are checked by
+a Python oracle in tests (rolling-hash logic is not reasonably
 SQL-expressible).
 """
 
@@ -139,11 +141,15 @@ def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     pred = np.array(langs, dtype=object)[best]
     pred[best_rate < 0.02] = "unknown"
 
+    # explicit half-up rounding (floor(x*1e6 + 0.5)) — the same IEEE op
+    # sequence the DuckDB oracle twin runs, so scores match bit-for-bit
+    # (np.round is half-to-even, DuckDB round() half-away-from-zero)
+    score = np.floor(best_rate * 1e6 + 0.5) / 1e6
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "lang_pred": pa.array(pred.tolist(), pa.string()),
-            "lang_score": pa.array(np.round(best_rate, 6)),
+            "lang_score": pa.array(score),
         }
     )
 
