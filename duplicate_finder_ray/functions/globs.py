@@ -19,6 +19,44 @@ import pyarrow.compute as pc
 
 _RE2_SPECIAL = set(".^$+{}()|\\")
 
+#: a class that matches no character (RE2-safe stand-in for fnmatch's
+#: never-matching "(?!)" — RE2 has no lookahead)
+_NEVER_MATCH = "[^\\x00-\\x{10FFFF}]"
+
+
+def _normalize_class_body(body: str) -> str:
+    """Normalize a glob char-class body the way fnmatch.translate does,
+    so patterns fnmatch accepts never crash the RE2 compile: escape
+    backslashes, drop empty/reversed ``a-b`` ranges (RE2 rejects them
+    with 'invalid character class range'; fnmatch silently merges them
+    away), and escape dashes that are literal rather than ranges.
+    ``body`` excludes any leading ``!``/``^`` negation marker."""
+    if "-" not in body[1:]:  # a leading '-' is always literal
+        return body.replace("\\", "\\\\")
+    chunks: list[str] = []
+    start, k = 0, 1
+    while True:
+        k = body.find("-", k)
+        if k < 0:
+            break
+        chunks.append(body[start:k])
+        start = k + 1
+        k = k + 3  # a '-' right after a range's end char is literal
+    tail = body[start:]
+    if tail:
+        chunks.append(tail)
+    else:
+        chunks[-1] += "-"  # trailing dash is literal
+    # remove empty/reversed ranges (invalid in RE2; fnmatch merges them)
+    for k in range(len(chunks) - 1, 0, -1):
+        prev, cur = chunks[k - 1], chunks[k]
+        if prev and cur and prev[-1] > cur[0]:
+            chunks[k - 1] = prev[:-1] + cur[1:]
+            del chunks[k]
+    return "-".join(
+        c.replace("\\", "\\\\").replace("-", "\\-") for c in chunks
+    )
+
 
 def _glob_to_re2(pattern: str) -> str:
     """Translate one fnmatch glob to an RE2-compatible regex body.
@@ -47,14 +85,19 @@ def _glob_to_re2(pattern: str) -> str:
             if j >= n:
                 out.append("\\[")
             else:
-                body = pattern[i + 1 : j].replace("\\", "\\\\")
-                if body.startswith("!"):
-                    body = "^" + body[1:]
-                elif body.startswith("^"):
+                raw = pattern[i + 1 : j]
+                neg = raw.startswith("!")
+                body = _normalize_class_body(raw[1:] if neg else raw)
+                if body.startswith("^") and not neg:
                     # fnmatch negates only on '!'; a leading '^' is a
                     # literal character — escape it so the regex agrees
-                    body = "\\^" + body[1:]
-                out.append(f"[{body}]")
+                    body = "\\" + body
+                if not body:
+                    # class collapsed to nothing (e.g. '[a--]'):
+                    # negated-empty matches any char, plain-empty none
+                    out.append("." if neg else _NEVER_MATCH)
+                else:
+                    out.append(f"[{'^' if neg else ''}{body}]")
                 i = j
         elif c in _RE2_SPECIAL:
             out.append("\\" + c)

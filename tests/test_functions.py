@@ -108,6 +108,55 @@ class TestGlobs:
         assert got == expected
         assert got == fnmatch_path(path, [pattern])
 
+    @pytest.mark.parametrize(
+        "pattern,path,expected",
+        [
+            # reversed/invalid ranges: fnmatch silently merges them
+            # away; naive RE2 translation crashes ('invalid character
+            # class range') — found by the hypothesis property below
+            ("[a-9]b", "ab", False),
+            ("[a-9]^\\]", "", False),
+            ("[/\\-?/9]", "/", True),
+            ("[a--]b", "ab", False),   # class collapses to empty
+            ("[!a--]b", "xb", True),   # negated-empty matches any char
+            ("[a-b-c]", "-", True),    # dash after a range is literal
+            ("[-a]", "-", True),       # leading dash is literal
+            ("[a-]", "-", True),       # trailing dash is literal
+        ],
+    )
+    def test_invalid_ranges_match_fnmatch(self, pattern, path, expected):
+        regex = globs_to_regex([pattern])
+        got = glob_mask(pa.array([path]), regex, default=False).to_pylist()[0]
+        assert got == expected
+        assert got == fnmatch_path(path, [pattern])
+
+    def test_property_agrees_with_fnmatch(self):
+        """Hypothesis: on a realistic glob alphabet, the RE2 translation
+        agrees with fnmatch.fnmatchcase (the reference's matcher) for
+        every pattern fnmatch itself accepts."""
+        import re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=400, deadline=None)
+        @given(
+            st.text("ab*?[]!^-./\\z9", min_size=0, max_size=10),
+            st.text("ab^c-./z9!\\", min_size=0, max_size=10),
+        )
+        def check(pattern, path):
+            import fnmatch
+
+            try:
+                want = fnmatch.fnmatchcase(path, pattern)
+            except re.error:
+                return  # fnmatch itself rejects it — nothing to match
+            regex = globs_to_regex([pattern])
+            got = glob_mask(pa.array([path]), regex, default=False).to_pylist()[0]
+            assert got == want, (pattern, path)
+
+        check()
+
     def test_none_patterns_keep_all(self):
         paths = pa.array(["a", "b"])
         assert glob_mask(paths, globs_to_regex(None), default=True).to_pylist() == [
