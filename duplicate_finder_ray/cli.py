@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--jaccard-threshold", type=float, default=0.8,
         help="near-dup verify threshold (with --near-dup)",
     )
+    p.add_argument(
+        "--checkpoint-dir", default=None,
+        help="with --near-dup: persist each stage (signatures, candidate "
+        "pairs, verified pairs, cluster labels) as partitioned Parquet "
+        "with per-partition lineage manifests; a re-run with the same "
+        "config resumes from the last completed stage",
+    )
     return p
 
 
@@ -234,7 +241,12 @@ def main(argv: Sequence[str] | None = None) -> int:
         from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
         from duplicate_finder_ray.sources.code_table import read_code_table
 
-        nres = NearDupPipeline(cfg).run_on(read_code_table(args.input_path))
+        nd = NearDupPipeline(cfg)
+        code = read_code_table(args.input_path)
+        if args.checkpoint_dir:
+            nres = nd.run_checkpointed(code, args.checkpoint_dir)
+        else:
+            nres = nd.run_on(code)
         labels = nres.labels.to_pandas()
         n_clusters = labels["component"].nunique() if len(labels) else 0
         print(f"\nNear-duplicate clusters: {n_clusters} ({len(labels)} member file(s))")

@@ -101,6 +101,20 @@ class CheckpointManager:
         t0 = time.perf_counter()
         ds.write_parquet(staging)
         wall_s = time.perf_counter() - t0
+        # an EMPTY Dataset writes no files and no directory at all;
+        # persist a schema-bearing empty shard so the checkpoint still
+        # commits and load() returns a typed 0-row Dataset
+        os.makedirs(staging, exist_ok=True)
+        if not any(not f.startswith("_") for f in os.listdir(staging)):
+            try:
+                schema = pa.schema(
+                    list(zip(ds.schema().names, ds.schema().types))
+                )
+            except Exception:
+                schema = pa.schema([])
+            pq.write_table(
+                schema.empty_table(), os.path.join(staging, "part-empty.parquet")
+            )
 
         partitions = []
         total_rows = 0

@@ -180,3 +180,21 @@ def test_filesystem_unlink_dry_run_removes_nothing(ray_session, tmp_path,
     out = capsys.readouterr().out
     assert "[would delete]" in out
     assert (root / "x1.bin").exists() and (root / "x2.bin").exists()
+
+
+def test_cli_near_dup_checkpoint_resumes(ray_session, corpus_parquet,
+                                         tmp_path, capsys):
+    ckpt = tmp_path / "ckpt"
+    args = [corpus_parquet, "--near-dup", "--jaccard-threshold", "0.5",
+            "--checkpoint-dir", str(ckpt)]
+    assert main(args) == 0
+    first = capsys.readouterr().out
+    assert "Near-duplicate clusters:" in first
+    # every stage directory carries a _SUCCESS lineage manifest
+    stage_dirs = [d for d in ckpt.rglob("_SUCCESS")]
+    assert len(stage_dirs) >= 4  # signatures, candidates, verified, labels
+    # second run resumes from the checkpoints and prints the same summary
+    assert main(args) == 0
+    second = capsys.readouterr().out
+    line = [l for l in first.splitlines() if "Near-duplicate clusters" in l]
+    assert line and line[0] in second
