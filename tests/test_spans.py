@@ -7,7 +7,13 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from duplicate_finder_ray.stages.spans import common_spans, longest_common_span
+from duplicate_finder_ray.stages.spans import (
+    common_spans,
+    longest_common_span,
+    longest_common_span_sa,
+)
+
+KERNELS = [longest_common_span, longest_common_span_sa]
 
 
 def brute_lcs_len(a: bytes, b: bytes) -> int:
@@ -30,8 +36,9 @@ def brute_lcs_len(a: bytes, b: bytes) -> int:
         (b"the quick brown fox", b"a quick brown cat"),
     ],
 )
-def test_lcs_matches_brute_force(a, b):
-    got = longest_common_span(a, b)
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_lcs_matches_brute_force(a, b, kernel):
+    got = kernel(a, b)
     assert got[0] == brute_lcs_len(a, b)
     if got[0]:
         assert a[got[1] : got[1] + got[0]] == b[got[2] : got[2] + got[0]]
@@ -46,12 +53,37 @@ def test_lcs_randomized_small_alphabet():
         assert got[0] == brute_lcs_len(a, b), (a, b)
 
 
-def test_lcs_min_len_gate():
-    assert longest_common_span(b"xxabcxx", b"yyabcyy", min_len=4) == (0, -1, -1)
-    assert longest_common_span(b"xxabcxx", b"yyabcyy", min_len=3)[0] == 3
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_lcs_min_len_gate(kernel):
+    assert kernel(b"xxabcxx", b"yyabcyy", min_len=4) == (0, -1, -1)
+    assert kernel(b"xxabcxx", b"yyabcyy", min_len=3)[0] == 3
 
 
-def test_common_spans_distributed(ray_session):
+def test_sa_kernel_bit_identical_to_rolling_hash():
+    """The suffix-array kernel must reproduce the rolling-hash kernel's
+    output exactly, including (a_start, b_start) tie-breaking."""
+    rng = np.random.default_rng(23)
+    for _ in range(150):
+        a = bytes(rng.choice([97, 98, 99], size=rng.integers(0, 50)).tolist())
+        b = bytes(rng.choice([97, 98, 99], size=rng.integers(0, 50)).tolist())
+        assert longest_common_span(a, b) == longest_common_span_sa(a, b), (a, b)
+    for _ in range(25):
+        a = rng.integers(0, 256, size=rng.integers(0, 1500), dtype=np.uint8).tobytes()
+        b = rng.integers(0, 256, size=rng.integers(0, 1500), dtype=np.uint8).tobytes()
+        assert longest_common_span(a, b, 2) == longest_common_span_sa(a, b, 2)
+
+
+def test_common_spans_rejects_unknown_algorithm(ray_session):
+    pairs = ray_session.data.from_pandas(pd.DataFrame({"a": ["x"], "b": ["y"]}))
+    code = ray_session.data.from_pandas(
+        pd.DataFrame({"file_id": ["x", "y"], "content": ["aa", "ab"]})
+    )
+    with pytest.raises(ValueError, match="unknown span algorithm"):
+        common_spans(pairs, code, algorithm="nope")
+
+
+@pytest.mark.parametrize("algorithm", ["rolling_hash", "suffix_array"])
+def test_common_spans_distributed(ray_session, algorithm):
     shared = "SHARED COMMON BLOCK OF CODE " * 4
     code = pd.DataFrame(
         {
@@ -70,6 +102,7 @@ def test_common_spans_distributed(ray_session):
             ray_session.data.from_pandas(pairs),
             ray_session.data.from_pandas(code),
             min_span=16,
+            algorithm=algorithm,
         )
         .to_pandas()
         .set_index(["a", "b"])
