@@ -361,9 +361,16 @@ def candidate_pairs(
 
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
         # pd.util.hash_array (fixed-key siphash), NOT builtin hash() —
-        # deterministic across processes. a is already uint64, so this
-        # is one vectorized integer-mix pass.
-        h = pd.util.hash_array(batch.column("a").to_numpy().astype(np.uint64))
+        # deterministic across processes. Key on the FULL (a, b) pair,
+        # not a alone: a hub file that near-matches a large fraction of
+        # the corpus (boilerplate, generated code) would otherwise send
+        # all its pairs to one partition; the group key is (a, b), so
+        # mixing b in costs nothing and distinct pairs spread uniformly
+        # regardless of per-node degree skew.
+        av = batch.column("a").to_numpy().astype(np.uint64)
+        bv = batch.column("b").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = pd.util.hash_array(av * np.uint64(0x9E3779B97F4A7C15) ^ bv)
         return batch.append_column(
             "pkey",
             pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),

@@ -512,11 +512,16 @@ def lsh_cosine_pairs(
     )
 
     # dedupe across tables (same pair may collide in several tables):
-    # two-level again — coarse pkey on hash(a), pandas C agg inside.
+    # two-level again — coarse pkey on hash(a, b), pandas C agg inside.
+    # Keying on the full pair (not a alone) keeps a hub vector that
+    # collides with much of the corpus from funnelling every one of its
+    # pairs into a single partition — the group key is (a, b), so the
+    # mix is free and degree skew cannot concentrate load.
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        )
+        av = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bv = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = pd.util.hash_array(av * np.uint64(0x9E3779B97F4A7C15) ^ bv)
         return batch.append_column(
             "pkey",
             pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),
