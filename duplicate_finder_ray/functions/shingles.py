@@ -29,6 +29,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio odd constant
 _U64 = np.uint64
@@ -98,6 +99,68 @@ class Shingler:
     def shingle_set(self, text: str) -> set[int]:
         return set(self.shingle_hashes(text).tolist())
 
+    def _ids_batch(self, units: list[str]) -> np.ndarray:
+        """Vectorized twin of ``_ids`` for one batch's flattened token
+        stream: ``pd.factorize`` (C hash table) collapses the stream to
+        its distinct tokens, the Python loop + blake2b run only over
+        those distinct values (source batches repeat tokens heavily),
+        and the memoised vocab still carries hits across batches."""
+        if not units:
+            return np.empty(0, dtype=np.uint64)
+        codes, uniques = pd.factorize(np.asarray(units, dtype=object))
+        vocab = self._vocab
+        uid = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            h = vocab.get(u)
+            if h is None:
+                h = token_id(u)
+                vocab[u] = h
+            uid[i] = h
+        return uid[codes]
+
+    def shingle_hashes_batch(
+        self, texts: list[str | None]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc deduped k-shingle hashes for a whole batch in flat
+        CSR form: ``(flat uint64 hashes, int64 offsets[n_docs+1])``,
+        where doc i's (ascending-sorted) set is ``flat[off[i]:off[i+1]]``.
+
+        Bit-identical to calling :meth:`shingle_hashes` per doc
+        (property-tested), but the rolling hash, the cross-doc window
+        mask and the per-doc dedupe are all whole-batch numpy passes —
+        the per-doc Python loop only tokenizes.
+        """
+        n_docs = len(texts)
+        units_per_doc = [self.units(t if t is not None else "") for t in texts]
+        counts = np.fromiter(
+            (len(u) for u in units_per_doc), dtype=np.int64, count=n_docs
+        )
+        ids = self._ids_batch([u for doc in units_per_doc for u in doc])
+        n = len(ids)
+        k = self.k
+        empty_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        if n < k:
+            return np.empty(0, dtype=np.uint64), empty_offsets
+        with np.errstate(over="ignore"):
+            h = ids[: n - k + 1].copy()
+            for j in range(1, k):
+                h = (h * _MIX) ^ ids[j : n - k + j + 1]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        start_doc = doc_of[: n - k + 1]
+        valid = doc_of[k - 1 :] == start_doc  # window inside one doc
+        wh, wd = h[valid], start_doc[valid]
+        if len(wh) == 0:
+            return np.empty(0, dtype=np.uint64), empty_offsets
+        order = np.lexsort((wh, wd))
+        wh, wd = wh[order], wd[order]
+        first = np.empty(len(wh), dtype=bool)
+        first[0] = True
+        np.logical_or(wd[1:] != wd[:-1], wh[1:] != wh[:-1], out=first[1:])
+        wh, wd = wh[first], wd[first]
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(np.bincount(wd, minlength=n_docs), out=offsets[1:])
+        return wh, offsets
+
 
 def minhash_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Seeded (a, b) coefficient vectors for the permutation family; a is
@@ -118,6 +181,103 @@ def minhash_signature(
     with np.errstate(over="ignore"):
         hashed = shingles[:, None] * a[None, :] + b[None, :]
     return hashed.min(axis=0)
+
+
+#: row-block length for the CSR batch kernels: buffers stay ~2 MB —
+#: cache-resident AND, critically, REUSED. Fresh large allocations pay
+#: first-touch page faults at single-digit MB/s in sandboxed kernels
+#: (measured: a one-shot 20 MB broadcast temp costs ~3 s the first
+#: time, 10 ms once its pages exist) — so the kernels write into
+#: persistent workspaces handed down by the calling actor.
+_ROW_BLOCK = 8192
+
+
+def _workspace(work: dict | None, key: str, shape: tuple, dtype) -> np.ndarray:
+    """Fetch/create a persistent scratch buffer (grown, never shrunk)."""
+    if work is None:
+        return np.empty(shape, dtype=dtype)
+    buf = work.get(key)
+    if buf is None or any(bs < ss for bs, ss in zip(buf.shape, shape)):
+        buf = np.empty(shape, dtype=dtype)
+        work[key] = buf
+    return buf
+
+
+def batch_minhash(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    work: dict | None = None,
+) -> np.ndarray:
+    """MinHash signatures for a CSR batch of shingle sets (see
+    ``Shingler.shingle_hashes_batch``) — (n_docs, K) uint64, identical
+    to :func:`minhash_signature` per doc (empty set → all-max sentinel).
+
+    Blocked evaluation: ``_ROW_BLOCK × 32``-perm tiles computed into a
+    persistent workspace (``work`` — pass the same dict across batches,
+    e.g. an actor attribute) with ``np.minimum.reduceat`` per tile and a
+    min-merge into the output for docs spanning blocks."""
+    n_docs = len(offsets) - 1
+    num_perms = len(a)
+    out = np.full((n_docs, num_perms), _U64_MAX, dtype=np.uint64)
+    n = len(flat)
+    if n == 0:
+        return out
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    chunk = 32
+    mul = _workspace(work, "minhash_mul", (_ROW_BLOCK, chunk), np.uint64)
+    with np.errstate(over="ignore"):
+        for r0 in range(0, n, _ROW_BLOCK):
+            r1 = min(r0 + _ROW_BLOCK, n)
+            m = r1 - r0
+            blk = flat[r0:r1, None]
+            docs = doc_of[r0:r1]
+            bstarts = np.nonzero(np.r_[True, docs[1:] != docs[:-1]])[0]
+            rows = docs[bstarts]  # strictly increasing ⇒ unique
+            for c in range(0, num_perms, chunk):
+                w = min(chunk, num_perms - c)
+                np.multiply(blk, a[None, c : c + w], out=mul[:m, :w])
+                np.add(mul[:m, :w], b[None, c : c + w], out=mul[:m, :w])
+                mins = np.minimum.reduceat(mul[:m, :w], bstarts, axis=0)
+                out[rows, c : c + w] = np.minimum(out[rows, c : c + w], mins)
+    return out
+
+
+def batch_simhash(
+    flat: np.ndarray, offsets: np.ndarray, work: dict | None = None
+) -> np.ndarray:
+    """SimHash fingerprints for a CSR batch of shingle sets — uint64
+    per doc, bit-identical to :func:`simhash64` (majority per bit, ties
+    set the bit; empty set → 0). Blocked per-bit vote sums
+    (``np.add.reduceat`` over int32 bit tiles — uint8 would wrap at 256
+    shingles) accumulated into a per-doc vote matrix."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    n = len(flat)
+    seg_len = np.diff(offsets)
+    if n == 0:
+        return out
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), seg_len)
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    bits32 = _workspace(work, "simhash_bits32", (_ROW_BLOCK, 64), np.int32)
+    for r0 in range(0, n, _ROW_BLOCK):
+        r1 = min(r0 + _ROW_BLOCK, n)
+        m = r1 - r0
+        # unpackbits has no out=; its ≤512 KB result is same-sized every
+        # block, so the allocator recycles it (no fresh-page cost)
+        np.copyto(
+            bits32[:m],
+            np.unpackbits(flat[r0:r1].view(np.uint8).reshape(m, 8), axis=1),
+        )
+        docs = doc_of[r0:r1]
+        bstarts = np.nonzero(np.r_[True, docs[1:] != docs[:-1]])[0]
+        rows = docs[bstarts]
+        votes[rows] += np.add.reduceat(bits32[:m], bstarts, axis=0)
+    nonempty = np.nonzero(seg_len > 0)[0]
+    fp_bits = (votes[nonempty] * 2 >= seg_len[nonempty, None]).astype(np.uint8)
+    out[nonempty] = np.packbits(fp_bits, axis=1).view(np.uint64).ravel()
+    return out
 
 
 def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -40,8 +40,8 @@ from duplicate_finder_ray.functions.shingles import (
     band_keys,
     estimated_jaccard,
     minhash_params,
-    minhash_signature,
-    simhash64,
+    batch_minhash,
+    batch_simhash,
     simhash_band_keys,
 )
 
@@ -123,21 +123,20 @@ class SignatureStage:
         #: shingling is the expensive part, so exact-verify reuses these
         #: instead of a SECOND full content read+shingle pass
         self.emit_shingles = emit_shingles
+        #: persistent kernel workspaces — fresh large temps fault pages
+        #: at single-digit MB/s in this sandbox; actor state reuses them
+        self._work: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch.column("content").to_pylist()
         n = len(contents)
-        sigs = np.empty((n, self.num_perms), dtype=np.uint64)
-        simhashes = np.empty(n, dtype=np.uint64)
-        n_shingles = np.empty(n, dtype=np.int64)
-        shingle_bytes: list[bytes] = []
-        for i, text in enumerate(contents):
-            sh = self.shingler.shingle_hashes(text if text is not None else "")
-            sigs[i] = minhash_signature(sh, self.a, self.b)
-            simhashes[i] = simhash64(sh)
-            n_shingles[i] = len(sh)
-            if self.emit_shingles:
-                shingle_bytes.append(sh.tobytes())
+        # whole-batch CSR kernels (shingle_hashes_batch / batch_minhash /
+        # batch_simhash) — bit-identical to the per-doc functions
+        # (property-tested) but ~3× fewer Python-loop cycles per doc
+        flat, offsets = self.shingler.shingle_hashes_batch(contents)
+        sigs = batch_minhash(flat, offsets, self.a, self.b, work=self._work)
+        simhashes = batch_simhash(flat, offsets, work=self._work)
+        n_shingles = np.diff(offsets)
         out = batch.drop_columns(["content"])
         out = out.append_column(
             "fid",
@@ -155,9 +154,15 @@ class SignatureStage:
         out = out.append_column("simhash", pa.array(simhashes, type=pa.uint64()))
         out = out.append_column("n_shingles", pa.array(n_shingles, type=pa.int64()))
         if self.emit_shingles:
-            out = out.append_column(
-                "shingles", pa.array(shingle_bytes, pa.large_binary())
+            # the CSR form IS the large_binary layout (uint64-LE values,
+            # byte offsets = 8 × set offsets) — build the column
+            # zero-copy from the kernel's buffers
+            shingle_col = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(offsets * 8), pa.py_buffer(flat)],
             )
+            out = out.append_column("shingles", shingle_col)
         return out
 
 
@@ -240,6 +245,94 @@ def candidate_pairs(
     """
     cap = cfg.band_bucket_cap
     num_parts = effective_parallelism(cfg) * 2
+
+    # SMALL-INPUT FUSED PATH: below ``band_exchange_broadcast_limit``
+    # band rows (2 uint64 cols — 16 B/row), ONE remote task lexsorts the
+    # whole exchange, emits capped pairs per bucket run AND dedupes them
+    # across bands in the same pass — zero shuffle barriers (the
+    # sort-shuffle's sample/exchange fixed cost is CPU-count-independent
+    # and dominates small inputs). Past the limit the two-level coarse
+    # pkey shuffle below remains the 10^12-scale shape. Same pattern as
+    # the pair-dedupe broadcast path; both record the true bucket_size.
+    band_rows = band_rows.materialize()
+    try:
+        n_band_rows = band_rows.count()
+    except Exception:
+        n_band_rows = None
+
+    if (
+        n_band_rows is not None
+        and n_band_rows <= cfg.band_exchange_broadcast_limit
+    ):
+        out_parts = int(min(num_parts, max(1, n_band_rows // 10_000 + 1)))
+
+        @ray.remote
+        def fused_bucket_pairs(*blocks: pa.Table):
+            empty = CAND_SCHEMA.empty_table()
+            blocks = tuple(
+                b for b in blocks if "band_hash" in b.column_names and len(b)
+            )
+            if not blocks:
+                outs = [empty] * out_parts
+                return outs[0] if out_parts == 1 else tuple(outs)
+            tbl = pa.concat_tables(blocks)
+            bh = tbl.column("band_hash").to_numpy().astype(np.uint64)
+            ids = tbl.column("fid").to_numpy().astype(np.uint64)
+            order = np.lexsort((ids, bh))
+            bh, ids = bh[order], ids[order]
+            first = np.empty(len(bh), dtype=bool)
+            first[0] = True
+            np.not_equal(bh[1:], bh[:-1], out=first[1:])
+            starts = np.nonzero(first)[0]
+            sizes = np.diff(np.append(starts, len(bh)))
+            capped = np.minimum(sizes, cap)
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_sz: list[np.ndarray] = []
+            for m in np.unique(capped):
+                if m < 2:
+                    continue
+                sel = capped == m
+                st = starts[sel]
+                ia, ib = np.triu_indices(int(m), k=1)
+                out_a.append(ids[(st[:, None] + ia[None, :]).ravel()])
+                out_b.append(ids[(st[:, None] + ib[None, :]).ravel()])
+                out_sz.append(np.repeat(sizes[sel], len(ia)))
+            if not out_a:
+                outs = [empty] * out_parts
+                return outs[0] if out_parts == 1 else tuple(outs)
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            sz = np.concatenate(out_sz).astype(np.int64)
+            # cross-band dedupe in the same pass (run-length reduce)
+            order = np.lexsort((b, a))
+            a, b, sz = a[order], b[order], sz[order]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=first[1:])
+            pstarts = np.nonzero(first)[0]
+            n_bands = np.diff(np.append(pstarts, len(a))).astype(np.int64)
+            bucket = np.maximum.reduceat(sz, pstarts)
+            out = pa.table(
+                {
+                    "a": pa.array(a[pstarts], pa.uint64()),
+                    "b": pa.array(b[pstarts], pa.uint64()),
+                    "n_bands": pa.array(n_bands),
+                    "bucket_size": pa.array(bucket),
+                }
+            )
+            step = (len(out) + out_parts - 1) // out_parts
+            outs = [out.slice(i * step, step) for i in range(out_parts)]
+            outs = [o if len(o) else empty for o in outs]
+            return outs[0] if out_parts == 1 else tuple(outs)
+
+        refs = band_rows.to_arrow_refs()
+        out_refs = fused_bucket_pairs.options(num_returns=out_parts).remote(
+            *refs
+        )
+        if out_parts == 1:
+            out_refs = [out_refs]
+        return ray.data.from_arrow_refs(list(out_refs))
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         pkey = (

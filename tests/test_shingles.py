@@ -140,3 +140,91 @@ class TestBanding:
         fps = np.array([0x0123456789ABCDEF], dtype=np.uint64)
         blocks = simhash_band_keys(fps, 4)[0]
         assert blocks.tolist() == [0xCDEF, 0x89AB, 0x4567, 0x0123]
+
+
+class TestBatchKernels:
+    """The CSR batch kernels must be bit-identical to the per-doc
+    functions — SignatureStage routes every signature through them."""
+
+    def test_batch_matches_per_doc_all_modes(self):
+        from duplicate_finder_ray.functions.shingles import (
+            Shingler,
+            batch_minhash,
+            batch_simhash,
+            minhash_params,
+            minhash_signature,
+            simhash64,
+        )
+
+        rng = np.random.default_rng(5)
+        words = ["foo", "bar", "baz", "qux", "if", "ret", "x", "y1", "z"]
+        a, b = minhash_params(64, 7)
+        work = {}
+        for mode in ("token", "line", "char"):
+            for trial in range(15):
+                texts = []
+                for _ in range(rng.integers(1, 25)):
+                    nw = rng.integers(0, 40)
+                    sep = "\n" if rng.random() < 0.3 else " "
+                    texts.append(sep.join(rng.choice(words, size=nw).tolist()))
+                if trial % 7 == 0:
+                    texts[0] = ""  # empty doc
+                if trial % 5 == 0:
+                    texts.append(None)  # null content
+                sh = Shingler(k=3, mode=mode)
+                flat, offs = sh.shingle_hashes_batch(texts)
+                sigs = batch_minhash(flat, offs, a, b, work=work)
+                sims = batch_simhash(flat, offs, work=work)
+                ref_sh = Shingler(k=3, mode=mode)
+                for i, t in enumerate(texts):
+                    ref = ref_sh.shingle_hashes(t if t is not None else "")
+                    np.testing.assert_array_equal(ref, flat[offs[i]:offs[i+1]])
+                    np.testing.assert_array_equal(
+                        minhash_signature(ref, a, b), sigs[i]
+                    )
+                    assert simhash64(ref) == int(sims[i])
+
+    def test_batch_all_empty_docs(self):
+        from duplicate_finder_ray.functions.shingles import (
+            Shingler,
+            batch_minhash,
+            batch_simhash,
+            minhash_params,
+        )
+
+        a, b = minhash_params(16, 3)
+        flat, offs = Shingler(k=5).shingle_hashes_batch(["", "a b", None])
+        assert len(flat) == 0 and offs.tolist() == [0, 0, 0, 0]
+        sigs = batch_minhash(flat, offs, a, b)
+        assert (sigs == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+        assert batch_simhash(flat, offs).tolist() == [0, 0, 0]
+
+    def test_batch_spans_row_blocks(self):
+        # one doc larger than _ROW_BLOCK shingles: the blocked kernels
+        # must min/vote-merge across block boundaries
+        from duplicate_finder_ray.functions.shingles import (
+            _ROW_BLOCK,
+            Shingler,
+            batch_minhash,
+            batch_simhash,
+            minhash_params,
+            minhash_signature,
+            simhash64,
+        )
+
+        rng = np.random.default_rng(11)
+        big = " ".join(
+            f"t{v}" for v in rng.integers(0, 1 << 30, size=_ROW_BLOCK + 500)
+        )
+        texts = ["small doc one two three four five", big]
+        sh = Shingler(k=3)
+        flat, offs = sh.shingle_hashes_batch(texts)
+        assert offs[2] - offs[1] > _ROW_BLOCK
+        a, b = minhash_params(32, 9)
+        sigs = batch_minhash(flat, offs, a, b)
+        sims = batch_simhash(flat, offs)
+        ref_sh = Shingler(k=3)
+        for i, t in enumerate(texts):
+            ref = ref_sh.shingle_hashes(t)
+            np.testing.assert_array_equal(minhash_signature(ref, a, b), sigs[i])
+            assert simhash64(ref) == int(sims[i])
