@@ -29,6 +29,17 @@ Each round is exactly one groupby shuffle over ≤ 2·|V| star edges plus
 one cheap checksum aggregate (map + driver sum of one scalar). No
 joins anywhere. The driver only orchestrates rounds and reads one
 scalar per round; edges stay distributed throughout.
+
+Skew bound (north_rule "break skew on mega-repos"): once a component
+has contracted toward its root, the root's bucket receives that
+component's full star — per-round peak bucket load is O(max component
+size) rows, NOT O(|E|). The per-bucket kernel is entirely vectorized
+(np.unique + min-label pointer jumping), so a 10^7-member boilerplate
+component is a ~160 MB in-bucket sort, seconds of one core (stress
+test: tests/test_neardup.py mega-component hub). Components at 10^9+
+members need root splitting (two-level roots or Kiveris et al.'s
+alternating large-star/small-star) — out of scope here and flagged as
+the documented partitioning assumption.
 """
 
 from __future__ import annotations

@@ -235,6 +235,34 @@ class TestConnectedComponents:
         assert labels["component"].nunique() == 1
         assert (labels["component"] == "n1").all()
 
+    def test_iterative_mega_component_hub_skew(self, ray_session):
+        """North_rule skew stress: one giant star component (a hub node
+        incident to every edge — the worst per-bucket concentration the
+        hash-to-min exchange can see) plus a long chain, through the
+        ITERATIVE path. The hub's complete incident set lands in one
+        bucket every round; the per-bucket kernel must stay vectorized
+        (seconds, not minutes) and exact."""
+        n = 50_000
+        star = pd.DataFrame(
+            {"a": ["a_hub"] * n, "b": [f"n{i:06d}" for i in range(n)]}
+        )
+        chain = pd.DataFrame(
+            {
+                "a": [f"z{i:04d}" for i in range(400)],
+                "b": [f"z{i + 1:04d}" for i in range(400)],
+            }
+        )
+        edges = pd.concat([star, chain], ignore_index=True)
+        cfg = PipelineConfig(cc_local_threshold=0)
+        labels = cc.connected_components(
+            ray_session.data.from_pandas(edges), cfg
+        ).to_pandas()
+        got = dict(zip(labels["file_id"], labels["component"]))
+        assert len(got) == n + 1 + 401
+        star_nodes = ["a_hub"] + [f"n{i:06d}" for i in range(n)]
+        assert all(got[x] == "a_hub" for x in star_nodes)
+        assert all(got[f"z{i:04d}"] == "z0000" for i in range(401))
+
 
 class TestSimHashPairs:
     def test_identical_zero_hamming(self, ray_session):
