@@ -15,15 +15,20 @@ Execution shape:
 * Band explosion is a stateless vectorized map_batches (n_docs × bands
   rows out).
 * Candidate generation is ONE shuffle on ``(band, band_hash)`` — the
-  skewed shuffle of this engine. Hot buckets (license headers,
-  generated code) are CAPPED at ``band_bucket_cap`` members per bucket:
-  pairs are emitted only among the first cap members (by file_id) and
-  every emitted pair carries ``bucket_size`` so truncation is
-  observable, never silent (SURVEY.md §7.3). Multiple bands keep recall
-  up for capped buckets.
-* Pair verification joins signatures back to pair endpoints with Ray's
-  hash-partitioned ``Dataset.join`` (two shuffles on file_id) and
-  filters on the MinHash Jaccard estimate ≥ τ.
+  skewed shuffle of this engine — or, below
+  ``band_exchange_broadcast_limit`` band rows, one fused remote lexsort
+  task with zero barriers. Hot buckets (license headers, generated
+  code) are CAPPED at ``band_bucket_cap`` members per bucket: pairs are
+  emitted only among the first cap members (by file_id) and every
+  emitted pair carries ``bucket_size`` so truncation is observable,
+  never silent (SURVEY.md §7.3). Multiple bands keep recall up for
+  capped buckets.
+* Pair verification re-reads NOTHING: exact mode scores candidate pairs
+  against the shingle sets already emitted by the signature pass,
+  assembled into CSR buffers in remote tasks (broadcast below
+  ``broadcast_verify_limit`` endpoints, a ``fid % n_shards``-partitioned
+  shard exchange above it); estimate mode hash-joins the minhash columns
+  and filters on the Jaccard estimate ≥ τ.
 """
 
 from __future__ import annotations
