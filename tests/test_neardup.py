@@ -82,6 +82,20 @@ class TestNearDupPipeline:
         }
         assert k1 == k2
 
+    def test_fused_band_exchange_matches_shuffle_path(self, corpus, corpus_ds):
+        """The fused single-task band exchange (bucketing + capped pair
+        emission + cross-band dedupe in one lexsort) must produce the
+        same pairs and n_bands as the two-level shuffle path."""
+        fused = PipelineConfig(jaccard_threshold=0.8)  # default: fused
+        shuffly = PipelineConfig(
+            jaccard_threshold=0.8, band_exchange_broadcast_limit=0
+        )
+        p1 = NearDupPipeline(fused).run_on(corpus_ds).pairs.to_pandas()
+        p2 = NearDupPipeline(shuffly).run_on(corpus_ds).pairs.to_pandas()
+        k1 = {(*sorted((r.a, r.b)), r.n_bands) for r in p1.itertuples()}
+        k2 = {(*sorted((r.a, r.b)), r.n_bands) for r in p2.itertuples()}
+        assert k1 == k2
+
     def test_estimate_mode_high_recall_on_clear_pairs(self, corpus, corpus_ds):
         """Estimate mode is noisy at the boundary; on pairs with true
         J ≥ τ + 3σ it must agree with exact mode."""
