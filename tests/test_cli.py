@@ -6,6 +6,7 @@ in-process (reusing the session Ray) plus one subprocess --help check.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
@@ -198,3 +199,27 @@ def test_cli_near_dup_checkpoint_resumes(ray_session, corpus_parquet,
     second = capsys.readouterr().out
     line = [l for l in first.splitlines() if "Near-duplicate clusters" in l]
     assert line and line[0] in second
+
+
+def test_ray_job_entry_in_process(ray_session, corpus_parquet, tmp_path, capsys):
+    """scripts/ray_job.py (the `ray job submit` surface) — in-process
+    against the session cluster (ray.is_initialized() guard skips init)."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_job", os.path.join(os.path.dirname(__file__), "..", "scripts", "ray_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out_dir = tmp_path / "job_out"
+    rc = mod.main([corpus_parquet, "--output", str(out_dir), "--near-dup",
+                   "--jaccard-threshold", "0.5",
+                   "--checkpoint-dir", str(tmp_path / "job_ckpt")])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exact_members"] > 0
+    assert summary["near_dup_members"] >= 0
+    assert (out_dir / "exact_members").is_dir()
+    assert (out_dir / "near_dup_labels").is_dir()
+    assert any((tmp_path / "job_ckpt").rglob("_SUCCESS"))
