@@ -18,7 +18,8 @@ wide steps, actor pools for stateful stages. Nothing here calls
 
 from duplicate_finder_ray.config import PipelineConfig
 from duplicate_finder_ray.pipelines.dedup import DedupPipeline
+from duplicate_finder_ray.pipelines.incremental import IncrementalDedup
 
-__all__ = ["PipelineConfig", "DedupPipeline"]
+__all__ = ["PipelineConfig", "DedupPipeline", "IncrementalDedup"]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -440,8 +440,44 @@ def q_token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(textstats.token_counts, batch_format="pyarrow")
 
 
+def _split_docs_code(sf_dir: str, increment: bool) -> ray.data.Dataset:
+    """documents split into baseline (doc_id % 5 ≠ 0) vs increment
+    (doc_id % 5 = 0), then the standard code-table derivation —
+    deterministic and SQL-expressible on both sides."""
+    from duplicate_finder_ray.sources.code_table import _derive_code_files_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = (ids % 5 == 0) if increment else (ids % 5 != 0)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow").map_batches(
+        _derive_code_files_batch, batch_format="pyarrow"
+    )
+
+
+def q_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Incremental exact dedup: documents with doc_id % 5 = 0 arrive as
+    the new increment against the rest as the already-digested
+    baseline; every increment file is labeled with its group, keeper
+    flag and (when it matches an existing group) the baseline keeper."""
+    from duplicate_finder_ray.pipelines.incremental import (
+        IncrementalDedup,
+        _digests,
+    )
+
+    baseline = _digests(_split_docs_code(sf_dir, increment=False))
+    inc = _split_docs_code(sf_dir, increment=True)
+    return IncrementalDedup(PipelineConfig()).run(baseline, inc).members
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
+    "incremental_dedup": q_incremental_dedup,
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dup_members": q_exact_dup_members,
     "exact_dup_members_verified": q_exact_dup_members_verified,
@@ -548,9 +584,52 @@ def _language_id_sql() -> str:
     """
 
 
+#: incremental dedup oracle: same doc_id % 5 split, same derivation,
+#: keeper rank on the (repo, path, commit) tuple on both sides
+_INCR_SQL = f"""
+WITH base_docs AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+inc_docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+base_files AS ({CODE_FILES_SQL.replace("FROM documents", "FROM base_docs")}),
+inc_files AS ({CODE_FILES_SQL.replace("FROM documents", "FROM inc_docs")}),
+d_base AS (
+  SELECT repo, path, "commit",
+         repo || ':' || path || '@' || "commit" AS file_id,
+         octet_length(encode(content)) AS size,
+         sha256(content) AS sha256
+  FROM base_files
+),
+d_inc AS (
+  SELECT repo, path, "commit",
+         repo || ':' || path || '@' || "commit" AS file_id,
+         octet_length(encode(content)) AS size,
+         sha256(content) AS sha256
+  FROM inc_files
+),
+bk AS (
+  SELECT size, sha256, file_id AS baseline_keeper
+  FROM (
+    SELECT d.*, row_number() OVER (
+      PARTITION BY size, sha256 ORDER BY repo, path, "commit") AS rn
+    FROM d_base d
+  ) WHERE rn = 1
+),
+i AS (
+  SELECT file_id, size, sha256,
+         row_number() OVER (
+           PARTITION BY size, sha256 ORDER BY repo, path, "commit") - 1 AS rnk
+  FROM d_inc
+)
+SELECT i.file_id, i.size, i.sha256, i.sha256 AS group_id,
+       CASE WHEN b.sha256 IS NOT NULL THEN FALSE ELSE i.rnk = 0 END AS is_keeper,
+       b.sha256 IS NOT NULL AS matched_baseline,
+       coalesce(b.baseline_keeper, '') AS baseline_keeper
+FROM i LEFT JOIN bk b ON b.size = i.size AND b.sha256 = i.sha256
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "code_files_derive": _D_SQL
     + 'SELECT file_id, repo, path, "commit", lang, size, sha256 FROM d',
+    "incremental_dedup": _INCR_SQL,
     "exact_dup_groups": _D_SQL
     + """
     SELECT sha256 AS group_id, size, count(*) AS n_files
