@@ -18,8 +18,16 @@ wide steps, actor pools for stateful stages. Nothing here calls
 
 from duplicate_finder_ray.config import PipelineConfig
 from duplicate_finder_ray.pipelines.dedup import DedupPipeline
-from duplicate_finder_ray.pipelines.incremental import IncrementalDedup
+from duplicate_finder_ray.pipelines.incremental import (
+    IncrementalDedup,
+    IncrementalNearDup,
+)
 
-__all__ = ["PipelineConfig", "DedupPipeline", "IncrementalDedup"]
+__all__ = [
+    "PipelineConfig",
+    "DedupPipeline",
+    "IncrementalDedup",
+    "IncrementalNearDup",
+]
 
 __version__ = "0.2.0"

@@ -140,6 +140,216 @@ def _baseline_keepers(*blocks: pa.Table) -> dict:
     return out
 
 
+NEARDUP_LABELS_SCHEMA = pa.schema(
+    [("file_id", pa.string()), ("component", pa.string())]
+)
+
+
+@dataclass
+class IncrementalNearDupResult:
+    #: verified pairs touching the increment: (a, b, n_bands, jaccard),
+    #: string file_ids, a < b — inc×inc and inc×baseline, never
+    #: baseline×baseline (those existed before this batch)
+    pairs: ray.data.Dataset
+    #: component per INCREMENT file (baseline partners pulled in via the
+    #: pair graph; component id = lexicographically smallest member, so
+    #: an increment file joining an existing cluster gets that cluster's
+    #: baseline-rooted id). Pairs bridging two pre-existing baseline
+    #: clusters are REPORTED in ``pairs`` but the baseline label table is
+    #: not rewritten here — fold them in with a global
+    #: ``cc.connected_components`` pass when compacting.
+    labels: ray.data.Dataset
+    #: increment files with ≥1 verified baseline partner
+    n_matched_baseline: int
+
+
+class IncrementalNearDup:
+    """Near-dup detection for a NEW batch against a baseline SIGNATURE
+    table (the `NearDupResult.signatures` a prior run persisted with
+    ``emit_shingles=True`` — fid, minhash, n_shingles, shingles).
+
+    Only the increment is shingled/hashed. The baseline streams twice,
+    both passes trivially parallel with no shuffle: once through the
+    band-explode + broadcast-membership probe (which bands collide with
+    the increment's), once through the verify stage's endpoint probe
+    (which shingle sets are needed). At 10^12-file scale partition the
+    stored signature table by ``fid % S`` and by band range to prune
+    both streams to touched partitions."""
+
+    def __init__(self, cfg: PipelineConfig | None = None) -> None:
+        self.cfg = cfg or PipelineConfig()
+
+    def run(
+        self,
+        baseline_sigs: ray.data.Dataset,
+        increment: ray.data.Dataset,
+    ) -> IncrementalNearDupResult:
+        from duplicate_finder_ray.stages import cc, neardup
+        from duplicate_finder_ray.stages.derive import add_identity
+
+        cfg = self.cfg
+        with_id = increment.map_batches(add_identity, batch_format="pyarrow")
+        inc_sigs = neardup.signatures(
+            with_id.select_columns(["file_id", "content"]),
+            cfg,
+            emit_shingles=True,
+        ).materialize()
+        inc_bands = neardup.explode_bands(inc_sigs, cfg).materialize()
+        inc_refs = inc_bands.to_arrow_refs()
+
+        @ray.remote(num_returns=2)
+        def inc_band_index(*blocks: pa.Table) -> tuple:
+            """(sorted unique inc band hashes, sorted inc fids)."""
+            blocks = tuple(
+                b for b in blocks if "band_hash" in b.column_names and len(b)
+            )
+            if not blocks:
+                return (
+                    np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.uint64),
+                )
+            tbl = pa.concat_tables(blocks)
+            return (
+                np.unique(tbl.column("band_hash").to_numpy().astype(np.uint64)),
+                np.unique(tbl.column("fid").to_numpy().astype(np.uint64)),
+            )
+
+        bands_ref, inc_fids_ref = inc_band_index.remote(*inc_refs)
+
+        def probe_bands(batch: pa.Table) -> pa.Table:
+            hot = ray.get(bands_ref)
+            col = batch.column("band_hash").to_numpy().astype(np.uint64)
+            if len(hot) == 0 or len(col) == 0:
+                return batch.slice(0, 0)
+            pos = np.searchsorted(hot, col)
+            pos[pos >= len(hot)] = 0
+            return batch.filter(pa.array(hot[pos] == col))
+
+        matched_bands = (
+            neardup.explode_bands(baseline_sigs, cfg)
+            .map_batches(probe_bands, batch_format="pyarrow")
+            .materialize()
+        )
+
+        @ray.remote
+        def inc_candidates(inc_fids: np.ndarray, *blocks: pa.Table) -> pa.Table:
+            """Bucket inc + matched-baseline band rows together, emit
+            capped pairs, DROP baseline×baseline pairs, dedupe across
+            bands — one lexsort task (both inputs are increment-sized
+            by construction)."""
+            blocks = tuple(
+                b for b in blocks if "band_hash" in b.column_names and len(b)
+            )
+            if not blocks:
+                return neardup.CAND_SCHEMA.empty_table()
+            tbl = pa.concat_tables([b.select(["band_hash", "fid"]) for b in blocks])
+            a, b, sz = neardup.bucket_pairs_arrays(
+                tbl.column("band_hash").to_numpy().astype(np.uint64),
+                tbl.column("fid").to_numpy().astype(np.uint64),
+                cfg.band_bucket_cap,
+            )
+            if len(a) == 0:
+                return neardup.CAND_SCHEMA.empty_table()
+
+            def is_inc(x: np.ndarray) -> np.ndarray:
+                if len(inc_fids) == 0:
+                    return np.zeros(len(x), dtype=bool)
+                pos = np.searchsorted(inc_fids, x)
+                pos[pos >= len(inc_fids)] = 0
+                return inc_fids[pos] == x
+
+            keep = is_inc(a) | is_inc(b)
+            return neardup.dedupe_pair_arrays(a[keep], b[keep], sz[keep])
+
+        cand_ref = inc_candidates.remote(
+            inc_fids_ref, *(inc_refs + matched_bands.to_arrow_refs())
+        )
+        candidates = ray.data.from_arrow_refs([cand_ref])
+
+        sig_union = inc_sigs.union(baseline_sigs)
+        verified = neardup.verify_pairs_exact(
+            candidates, sig_union, cfg
+        ).materialize()
+
+        labels_graph = cc.connected_components(verified, cfg).materialize()
+
+        @ray.remote(num_returns=2)
+        def finalize_labels(n_lab: int, *blocks: pa.Table) -> tuple:
+            """Labels for every increment file: graph component when it
+            appears in the pair graph, else its own file_id. Also count
+            inc files whose component contains ≥1 baseline member."""
+            lab = [
+                b
+                for b in blocks[:n_lab]
+                if "file_id" in b.column_names and len(b)
+            ]
+            ids = [
+                b
+                for b in blocks[n_lab:]
+                if "file_id" in b.column_names and len(b)
+            ]
+            lab_t = (
+                pa.concat_tables([b.select(["file_id", "component"]) for b in lab])
+                if lab
+                else NEARDUP_LABELS_SCHEMA.empty_table()
+            )
+            inc_ids = (
+                np.unique(
+                    np.concatenate(
+                        [
+                            b.column("file_id").to_numpy(zero_copy_only=False)
+                            for b in ids
+                        ]
+                    )
+                )
+                if ids
+                else np.empty(0, dtype=object)
+            )
+            lf = lab_t.column("file_id").to_numpy(zero_copy_only=False)
+            lc = lab_t.column("component").to_numpy(zero_copy_only=False)
+            order = np.argsort(lf)
+            lf, lc = lf[order], lc[order]
+
+            def member_of(sorted_arr: np.ndarray, probe: np.ndarray) -> np.ndarray:
+                if len(sorted_arr) == 0 or len(probe) == 0:
+                    return np.zeros(len(probe), dtype=bool)
+                pos = np.searchsorted(sorted_arr, probe)
+                pos[pos >= len(sorted_arr)] = 0
+                return sorted_arr[pos] == probe
+
+            if len(lf):
+                pos = np.searchsorted(lf, inc_ids)
+                pos[pos >= len(lf)] = 0
+                hit = lf[pos] == inc_ids
+                comp = np.where(hit, lc[pos], inc_ids)
+            else:
+                comp = inc_ids.copy()
+            out = pa.table(
+                {
+                    "file_id": pa.array(inc_ids, pa.string()),
+                    "component": pa.array(comp, pa.string()),
+                }
+            )
+            # every labeled node NOT in inc_ids is a baseline member;
+            # an inc file matches iff its component is one of theirs
+            node_is_inc = member_of(inc_ids, lf)
+            base_components = np.unique(lc[~node_is_inc])
+            n_matched = int(np.sum(member_of(base_components, comp)))
+            return out, n_matched
+
+        lab_refs = list(labels_graph.to_arrow_refs())
+        id_refs = list(
+            inc_sigs.select_columns(["file_id"]).materialize().to_arrow_refs()
+        )
+        out_ref, n_ref = finalize_labels.remote(
+            len(lab_refs), *(lab_refs + id_refs)
+        )
+        labels = ray.data.from_arrow_refs([out_ref])
+        return IncrementalNearDupResult(
+            pairs=verified, labels=labels, n_matched_baseline=int(ray.get(n_ref))
+        )
+
+
 class IncrementalDedup:
     def __init__(self, cfg: PipelineConfig | None = None) -> None:
         self.cfg = cfg or PipelineConfig()

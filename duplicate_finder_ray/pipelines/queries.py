@@ -475,9 +475,30 @@ def q_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
     return IncrementalDedup(PipelineConfig()).run(baseline, inc).members
 
 
+def q_incremental_near_dup(sf_dir: str) -> ray.data.Dataset:
+    """Incremental NEAR-dup: the doc_id % 5 = 0 increment probed
+    against the rest's persisted signature table; returns verified
+    pairs touching the increment (rows-only — LSH; full-rescan
+    equivalence oracle in tests/test_incremental.py)."""
+    from duplicate_finder_ray.pipelines.incremental import IncrementalNearDup
+    from duplicate_finder_ray.stages import neardup
+    from duplicate_finder_ray.stages.derive import add_identity
+
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    wid = _split_docs_code(sf_dir, increment=False).map_batches(
+        add_identity, batch_format="pyarrow"
+    )
+    base_sigs = neardup.signatures(
+        wid.select_columns(["file_id", "content"]), cfg, emit_shingles=True
+    ).materialize()
+    inc = _split_docs_code(sf_dir, increment=True)
+    return IncrementalNearDup(cfg).run(base_sigs, inc).pairs
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_near_dup": q_incremental_near_dup,
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dup_members": q_exact_dup_members,
     "exact_dup_members_verified": q_exact_dup_members_verified,

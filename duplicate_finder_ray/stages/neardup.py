@@ -232,6 +232,76 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def bucket_pairs_arrays(
+    bh: np.ndarray, ids: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized pair emission over a band-row array: lexsort by
+    (band_hash, fid), cap each bucket at ``cap`` members, emit all
+    intra-bucket pairs per distinct capped size (np.triu block trick).
+    Returns raw (a, b, true_bucket_size) — NOT yet deduped across
+    bands. Shared by the fused candidate path and the incremental
+    probe."""
+    none = (
+        np.empty(0, dtype=np.uint64),
+        np.empty(0, dtype=np.uint64),
+        np.empty(0, dtype=np.int64),
+    )
+    if len(bh) == 0:
+        return none
+    order = np.lexsort((ids, bh))
+    bh, ids = bh[order], ids[order]
+    first = np.empty(len(bh), dtype=bool)
+    first[0] = True
+    np.not_equal(bh[1:], bh[:-1], out=first[1:])
+    starts = np.nonzero(first)[0]
+    sizes = np.diff(np.append(starts, len(bh)))
+    capped = np.minimum(sizes, cap)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_sz: list[np.ndarray] = []
+    for m in np.unique(capped):
+        if m < 2:
+            continue
+        sel = capped == m
+        st = starts[sel]
+        ia, ib = np.triu_indices(int(m), k=1)
+        out_a.append(ids[(st[:, None] + ia[None, :]).ravel()])
+        out_b.append(ids[(st[:, None] + ib[None, :]).ravel()])
+        out_sz.append(np.repeat(sizes[sel], len(ia)))
+    if not out_a:
+        return none
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_sz).astype(np.int64),
+    )
+
+
+def dedupe_pair_arrays(
+    a: np.ndarray, b: np.ndarray, sz: np.ndarray
+) -> pa.Table:
+    """Cross-band dedupe of raw pair arrays by run-length reduce:
+    (a, b, n_bands = collision count, bucket_size = max true size)."""
+    if len(a) == 0:
+        return CAND_SCHEMA.empty_table()
+    order = np.lexsort((b, a))
+    a, b, sz = a[order], b[order], sz[order]
+    first = np.empty(len(a), dtype=bool)
+    first[0] = True
+    np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=first[1:])
+    pstarts = np.nonzero(first)[0]
+    n_bands = np.diff(np.append(pstarts, len(a))).astype(np.int64)
+    bucket = np.maximum.reduceat(sz, pstarts)
+    return pa.table(
+        {
+            "a": pa.array(a[pstarts], pa.uint64()),
+            "b": pa.array(b[pstarts], pa.uint64()),
+            "n_bands": pa.array(n_bands),
+            "bucket_size": pa.array(bucket),
+        }
+    )
+
+
 def candidate_pairs(
     band_rows: ray.data.Dataset, cfg: PipelineConfig
 ) -> ray.data.Dataset:
@@ -281,51 +351,15 @@ def candidate_pairs(
                 outs = [empty] * out_parts
                 return outs[0] if out_parts == 1 else tuple(outs)
             tbl = pa.concat_tables(blocks)
-            bh = tbl.column("band_hash").to_numpy().astype(np.uint64)
-            ids = tbl.column("fid").to_numpy().astype(np.uint64)
-            order = np.lexsort((ids, bh))
-            bh, ids = bh[order], ids[order]
-            first = np.empty(len(bh), dtype=bool)
-            first[0] = True
-            np.not_equal(bh[1:], bh[:-1], out=first[1:])
-            starts = np.nonzero(first)[0]
-            sizes = np.diff(np.append(starts, len(bh)))
-            capped = np.minimum(sizes, cap)
-            out_a: list[np.ndarray] = []
-            out_b: list[np.ndarray] = []
-            out_sz: list[np.ndarray] = []
-            for m in np.unique(capped):
-                if m < 2:
-                    continue
-                sel = capped == m
-                st = starts[sel]
-                ia, ib = np.triu_indices(int(m), k=1)
-                out_a.append(ids[(st[:, None] + ia[None, :]).ravel()])
-                out_b.append(ids[(st[:, None] + ib[None, :]).ravel()])
-                out_sz.append(np.repeat(sizes[sel], len(ia)))
-            if not out_a:
+            a, b, sz = bucket_pairs_arrays(
+                tbl.column("band_hash").to_numpy().astype(np.uint64),
+                tbl.column("fid").to_numpy().astype(np.uint64),
+                cap,
+            )
+            if len(a) == 0:
                 outs = [empty] * out_parts
                 return outs[0] if out_parts == 1 else tuple(outs)
-            a = np.concatenate(out_a)
-            b = np.concatenate(out_b)
-            sz = np.concatenate(out_sz).astype(np.int64)
-            # cross-band dedupe in the same pass (run-length reduce)
-            order = np.lexsort((b, a))
-            a, b, sz = a[order], b[order], sz[order]
-            first = np.empty(len(a), dtype=bool)
-            first[0] = True
-            np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=first[1:])
-            pstarts = np.nonzero(first)[0]
-            n_bands = np.diff(np.append(pstarts, len(a))).astype(np.int64)
-            bucket = np.maximum.reduceat(sz, pstarts)
-            out = pa.table(
-                {
-                    "a": pa.array(a[pstarts], pa.uint64()),
-                    "b": pa.array(b[pstarts], pa.uint64()),
-                    "n_bands": pa.array(n_bands),
-                    "bucket_size": pa.array(bucket),
-                }
-            )
+            out = dedupe_pair_arrays(a, b, sz)
             step = (len(out) + out_parts - 1) // out_parts
             outs = [out.slice(i * step, step) for i in range(out_parts)]
             outs = [o if len(o) else empty for o in outs]

@@ -135,3 +135,123 @@ def test_full_rescan_equivalence(ray_session):
     assert m.loc["r2:i1.py@c"].is_keeper
     assert fm.loc["r2:i1.py@c"].is_keeper
     assert not fm.loc["r2:i2.py@c"].is_keeper
+
+
+class TestIncrementalNearDup:
+    @staticmethod
+    def _mk(ray_session, cfg, base_rows):
+        from duplicate_finder_ray.stages import neardup
+        from duplicate_finder_ray.stages.derive import add_identity
+
+        wid = ray_session.data.from_pandas(base_rows).map_batches(
+            add_identity, batch_format="pyarrow"
+        )
+        return neardup.signatures(
+            wid.select_columns(["file_id", "content"]), cfg, emit_shingles=True
+        ).materialize()
+
+    @staticmethod
+    def _docs():
+        import numpy as np
+
+        words = [f"w{i}" for i in range(60)]
+
+        def doc(seed, n=120):
+            r = np.random.default_rng(seed)
+            return " ".join(r.choice(words, size=n).tolist())
+
+        base_docs = [doc(i) for i in range(6)]
+        near = base_docs[2].split()
+        near[0], near[5] = "CHANGED", "ALSO"
+        inc_docs = [" ".join(near), doc(100), doc(101)]
+        t = inc_docs[1].split()
+        t[3] = "X"
+        inc_docs[2] = " ".join(t)
+        return base_docs, inc_docs
+
+    def test_joins_baseline_cluster_and_forms_new(self, ray_session):
+        from duplicate_finder_ray.pipelines.incremental import IncrementalNearDup
+
+        base_docs, inc_docs = self._docs()
+        base = pd.DataFrame(
+            {"repo": ["b"] * 6, "path": [f"f{i}.py" for i in range(6)],
+             "commit": ["c"] * 6, "content": base_docs}
+        )
+        inc = pd.DataFrame(
+            {"repo": ["i"] * 3, "path": [f"g{i}.py" for i in range(3)],
+             "commit": ["c"] * 3, "content": inc_docs}
+        )
+        cfg = PipelineConfig(jaccard_threshold=0.5)
+        res = IncrementalNearDup(cfg).run(
+            self._mk(ray_session, cfg, base), ray_session.data.from_pandas(inc)
+        )
+        p = res.pairs.to_pandas()
+        lab = res.labels.to_pandas().set_index("file_id")
+        assert res.n_matched_baseline == 1
+        assert lab.loc["i:g0.py@c"].component == "b:f2.py@c"
+        assert (
+            lab.loc["i:g1.py@c"].component
+            == lab.loc["i:g2.py@c"].component
+            == "i:g1.py@c"
+        )
+        # baseline×baseline pairs are never re-reported
+        assert not (
+            p.a.str.startswith("b:") & p.b.str.startswith("b:")
+        ).any()
+
+    def test_matches_full_rescan_on_increment_pairs(self, ray_session):
+        """Pairs touching the increment must equal the full pipeline's
+        increment-touching pairs over baseline ∪ increment (identical
+        shingle/signature config ⇒ identical band collisions)."""
+        from duplicate_finder_ray.pipelines.incremental import IncrementalNearDup
+        from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+
+        base_docs, inc_docs = self._docs()
+        base = pd.DataFrame(
+            {"repo": ["b"] * 6, "path": [f"f{i}.py" for i in range(6)],
+             "commit": ["c"] * 6, "content": base_docs}
+        )
+        inc = pd.DataFrame(
+            {"repo": ["i"] * 3, "path": [f"g{i}.py" for i in range(3)],
+             "commit": ["c"] * 3, "content": inc_docs}
+        )
+        cfg = PipelineConfig(jaccard_threshold=0.5)
+        res = IncrementalNearDup(cfg).run(
+            self._mk(ray_session, cfg, base), ray_session.data.from_pandas(inc)
+        )
+        got = {
+            (r.a, r.b, round(r.jaccard, 9))
+            for r in res.pairs.to_pandas().itertuples()
+        }
+        full = NearDupPipeline(cfg).run_on(
+            ray_session.data.from_pandas(pd.concat([base, inc]))
+        )
+        want = {
+            (r.a, r.b, round(r.jaccard, 9))
+            for r in full.pairs.to_pandas().itertuples()
+            if r.a.startswith("i:") or r.b.startswith("i:")
+        }
+        assert got == want
+
+    def test_empty_increment_near_dup(self, ray_session):
+        import pyarrow as pa
+
+        from duplicate_finder_ray.pipelines.incremental import IncrementalNearDup
+
+        base = pd.DataFrame(
+            {"repo": ["b"], "path": ["f.py"], "commit": ["c"],
+             "content": ["some content words here beyond the shingle size ok"]}
+        )
+        cfg = PipelineConfig(jaccard_threshold=0.5)
+        inc = ray_session.data.from_arrow(
+            pa.table(
+                {"repo": pa.array([], pa.string()),
+                 "path": pa.array([], pa.string()),
+                 "commit": pa.array([], pa.string()),
+                 "content": pa.array([], pa.string())}
+            )
+        )
+        res = IncrementalNearDup(cfg).run(self._mk(ray_session, cfg, base), inc)
+        assert res.pairs.count() == 0
+        assert res.labels.count() == 0
+        assert res.n_matched_baseline == 0
