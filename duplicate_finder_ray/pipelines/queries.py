@@ -495,6 +495,202 @@ def q_incremental_near_dup(sf_dir: str) -> ray.data.Dataset:
     return IncrementalNearDup(cfg).run(base_sigs, inc).pairs
 
 
+# --------------------------------------------------------------------------
+# relational operators (joins, set ops, sampling, top-k, quantiles) —
+# SURVEY.md §2.5 lists these as absent from the reference; they are
+# first-class here because a training-data pipeline needs them
+# --------------------------------------------------------------------------
+
+
+def q_join_segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast hash join (fact orders × dim customer, small side
+    ray.put once) + partial-aggregate rollup: revenue per market
+    segment in exact integer cents."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = rel.broadcast_hash_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_mktsegment"]
+    )
+    return rel.grouped_sum_rollup(
+        joined, ["c_mktsegment"], {"o_totalprice": "revenue_cents"}
+    )
+
+
+def q_lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-style rollup with an explicit per-batch combiner: the
+    shuffle carries one partial row per (flag, status) per block, never
+    raw lineitems."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return rel.grouped_sum_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum_qty_cents", "l_extendedprice": "sum_price_cents"},
+    )
+
+
+def q_asof_last_purchase(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: every event annotated with the value (cents) of the
+    same user's most recent STRICTLY-earlier purchase event (-1 if
+    none). One shuffle keyed by user_id; per-user searchsorted."""
+    from ray.data.aggregate import Max
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": ts_us,
+                "event_type": batch["event_type"],
+                "cents": rel.cents(batch["value"]),
+            }
+        )
+
+    base = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    left = base.select_columns(["event_id", "user_id", "ts_us"])
+    purchases = (
+        base.filter(lambda r: r["event_type"] == "purchase")
+        .select_columns(["user_id", "ts_us", "cents"])
+        .groupby(["user_id", "ts_us"])
+        .aggregate(Max("cents", alias_name="cents"))
+    )
+    return rel.asof_join(
+        left,
+        purchases,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        value_col="cents",
+        out_col="last_purchase_cents",
+    )
+
+
+#: half-open price ranges (cents) for the range-join query — sorted,
+#: non-overlapping, covering lineitem's l_extendedprice domain
+_PRICE_BUCKETS = [
+    (0, 0, 2_000_000),
+    (1, 2_000_000, 4_000_000),
+    (2, 4_000_000, 6_000_000),
+    (3, 6_000_000, 8_000_000),
+    (4, 8_000_000, 20_000_000),
+]
+
+
+def q_range_join_price_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Range (interval) join: each lineitem's price against a broadcast
+    table of half-open cent ranges, then a per-bucket rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"price_cents": rel.cents(batch["l_extendedprice"])})
+
+    bucketed = rel.range_join_buckets(
+        li.map_batches(to_cents, batch_format="pyarrow"),
+        "price_cents",
+        _PRICE_BUCKETS,
+    )
+    return bucketed.groupby("bucket_id").aggregate(
+        Count(alias_name="n_items"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+    )
+
+
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate (1h windows every 15min): row-local
+    window fan-out (amplification = 4, data-independent) + one groupby."""
+    from duplicate_finder_ray.stages import events as ev
+
+    return ev.sliding_rollup(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"),
+        window_minutes=60,
+        step_minutes=15,
+    )
+
+
+def q_topk_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-group top-k: the 3 longest documents per language (ties by
+    doc_id); per-batch local top-k combiner before the shuffle."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    top = rel.topk_per_group(docs, "lang", "n_chars", "doc_id", k=3)
+    return top.select_columns(["lang", "rank", "doc_id", "n_chars"])
+
+
+def q_set_intersect_repos(sf_dir: str) -> ray.data.Dataset:
+    """Distributed INTERSECT: content sha256 values present in both the
+    org0-org2 and the org3-org6 repo halves (flag partials + one
+    max-flag groupby; raw rows never shuffled)."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    d = _derived(sf_dir).select_columns(["repo", "sha256"]).materialize()
+    a = d.filter(lambda r: r["repo"] < "org3")
+    b = d.filter(lambda r: r["repo"] >= "org3")
+    return rel.intersect_keys(a, b, "sha256")
+
+
+def q_set_except_repos(sf_dir: str) -> ray.data.Dataset:
+    """Distributed EXCEPT: sha256 values exclusive to the org0-org2
+    half."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    d = _derived(sf_dir).select_columns(["repo", "sha256"]).materialize()
+    a = d.filter(lambda r: r["repo"] < "org3")
+    b = d.filter(lambda r: r["repo"] >= "org3")
+    return rel.except_keys(a, b, "sha256")
+
+
+def q_sample_docs_md5(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic Bernoulli sample (~5.1%): md5(doc_id) first byte
+    < 0x0d — reproducible at any parallelism, unlike random_sample."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return rel.deterministic_sample(docs, "doc_id", hex_lt="0d")
+
+
+def q_doclen_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language length quantiles (p50/p90 of n_chars, in
+    centi-units) — the exact oracle shape a t-digest sketch would be
+    validated against."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return rel.grouped_quantiles(
+        docs, "lang", "n_chars", [("p50_x100", 0.5), ("p90_x100", 0.9)]
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -537,6 +733,17 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "language_id": q_language_id,
     "doc_fingerprints": q_doc_fingerprints,
     "token_counts_bpe": q_token_counts_bpe,
+    # relational operators (absent from the reference, SURVEY.md §2.5)
+    "join_segment_revenue": q_join_segment_revenue,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "asof_last_purchase": q_asof_last_purchase,
+    "range_join_price_buckets": q_range_join_price_buckets,
+    "events_sliding": q_events_sliding,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
+    "set_intersect_repos": q_set_intersect_repos,
+    "set_except_repos": q_set_except_repos,
+    "sample_docs_md5": q_sample_docs_md5,
+    "doclen_quantiles": q_doclen_quantiles,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -885,4 +1092,102 @@ ORACLE_SQL: dict[str, str] = {
     FROM documents
     """,
     "language_id": _language_id_sql(),
+    "join_segment_revenue": """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    "lineitem_pricing_summary": """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    "asof_last_purchase": """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts_us, CAST(max(cents) AS BIGINT) AS cents
+      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts_us,
+           coalesce(p.cents, -1) AS last_purchase_cents
+    FROM e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts_us > p.ts_us
+    """,
+    "range_join_price_buckets": """
+    WITH b(bucket_id, lo, hi) AS (VALUES
+      (0, 0, 2000000), (1, 2000000, 4000000), (2, 4000000, 6000000),
+      (3, 6000000, 8000000), (4, 8000000, 20000000)),
+    l AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM lineitem
+    )
+    SELECT CAST(b.bucket_id AS BIGINT) AS bucket_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l.price_cents) AS BIGINT) AS sum_price_cents
+    FROM l JOIN b ON l.price_cents >= b.lo AND l.price_cents < b.hi
+    GROUP BY 1
+    """,
+    "events_sliding": """
+    WITH e AS (
+      SELECT epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT (ts_us // 900000000) * 900000000
+               - CAST(k.k AS BIGINT) * 900000000 AS window_start_us,
+             cents
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    )
+    SELECT window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_value_cents
+    FROM w GROUP BY 1
+    """,
+    "topk_docs_per_lang": """
+    SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 3
+    """,
+    "set_intersect_repos": _D_SQL
+    + """
+    SELECT sha256 FROM (
+      SELECT DISTINCT sha256 FROM d WHERE repo < 'org3'
+      INTERSECT
+      SELECT DISTINCT sha256 FROM d WHERE repo >= 'org3')
+    """,
+    "set_except_repos": _D_SQL
+    + """
+    SELECT sha256 FROM (
+      SELECT DISTINCT sha256 FROM d WHERE repo < 'org3'
+      EXCEPT
+      SELECT DISTINCT sha256 FROM d WHERE repo >= 'org3')
+    """,
+    "sample_docs_md5": """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+    """,
+    "doclen_quantiles": """
+    SELECT lang,
+           CAST(floor(quantile_cont(n_chars, 0.5) * 100 + 0.5) AS BIGINT)
+             AS p50_x100,
+           CAST(floor(quantile_cont(n_chars, 0.9) * 100 + 0.5) AS BIGINT)
+             AS p90_x100
+    FROM documents GROUP BY 1
+    """,
 }

@@ -65,6 +65,52 @@ def hourly_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def sliding_rollup(
+    events: ray.data.Dataset,
+    window_minutes: int = 60,
+    step_minutes: int = 15,
+) -> ray.data.Dataset:
+    """Sliding-window aggregate: windows of ``window_minutes`` starting
+    every ``step_minutes`` (window_minutes must be a multiple of
+    step_minutes). Each event lands in window_minutes/step_minutes
+    windows — the fan-out is done ROW-LOCALLY inside map_batches
+    (numpy tile/repeat, no shuffle), then ONE distributed groupby sums
+    integer cents. Amplification = window/step (bounded, chosen by the
+    caller), never data-dependent. Output: (window_start_us, n_events,
+    sum_value_cents) for windows with ≥1 event."""
+    if window_minutes % step_minutes:
+        raise ValueError("window_minutes must be a multiple of step_minutes")
+    step_us = step_minutes * 60_000_000
+    fanout = window_minutes // step_minutes
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        cents = (
+            np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        )
+        base = (ts_us // step_us) * step_us
+        ks = np.arange(fanout, dtype=np.int64) * step_us
+        starts = np.repeat(base, fanout) - np.tile(ks, len(base))
+        return pa.table(
+            {
+                "window_start_us": pa.array(starts, pa.int64()),
+                "value_cents": pa.array(np.repeat(cents, fanout), pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "value"])
+        .map_batches(explode_windows, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
 def sessionize(
     events: ray.data.Dataset, gap_minutes: int = 30
 ) -> ray.data.Dataset:

@@ -1,0 +1,434 @@
+"""Relational operators beyond the reference's surface.
+
+The reference implements no joins, set ops, sampling, top-k or
+quantiles (SURVEY.md §2.5) — but a training-data engine needs them, so
+each is built here as a first-class Ray Data operator with the scale
+shape stated up front:
+
+* ``broadcast_hash_join`` — small dimension side is concatenated in ONE
+  remote task and ``ray.put`` once; every probe task reads it zero-copy
+  from the object store and gathers matches vectorized. No shuffle of
+  the big side at all (ray_guide "broadcast the small side").
+* ``asof_join`` — both sides are tagged, union'ed and shuffled ONCE by
+  the equality key; per-key groups do a numpy ``searchsorted`` against
+  the sorted right timestamps. Skew bound = the hottest key's row count
+  (same bound as sessionization; key cardinality ≫ cores keeps
+  partitions balanced).
+* ``range_join_buckets`` — the bucket table (sorted, non-overlapping
+  ranges) is broadcast; assignment is a row-local ``searchsorted``, so
+  an interval join costs exactly one map pass.
+* ``topk_per_group`` — per-batch LOCAL top-k first (the combiner), so
+  the shuffle carries ≤ k rows per group per block, never the corpus.
+* ``intersect_keys`` / ``except_keys`` — distributed set ops as
+  per-batch flag partials + one groupby(max-flag) reduce; raw rows never
+  cross the wire twice.
+* ``deterministic_sample`` — md5-keyed Bernoulli sample: reproducible
+  across engines and runs (the same rows at any parallelism), unlike
+  ``Dataset.random_sample``. The md5 is per-row Python, which is the
+  actual work of a portable cryptographic sampler (same cost class as
+  the sha256 stage).
+* ``grouped_quantiles`` — exact linear-interpolation quantiles per
+  group via one groupby; per-group numpy kernel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+
+# --------------------------------------------------------------------------
+# broadcast hash join
+# --------------------------------------------------------------------------
+
+
+def collect_small_side(ds: ray.data.Dataset, columns: list[str]):
+    """Concatenate a SMALL dataset into one Arrow table inside a remote
+    task and return the object ref — the driver never holds the rows;
+    probe tasks ``ray.get`` the ref zero-copy."""
+
+    @ray.remote
+    def concat(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables).combine_chunks()
+
+    refs = ds.select_columns(columns).materialize().to_arrow_refs()
+    if not refs:
+        return ray.put(pa.table({c: [] for c in columns}))
+    return concat.remote(*refs)
+
+
+def broadcast_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    right_cols: list[str],
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Equi-join where ``right`` is dimension-sized. Output columns:
+    all left columns + ``right_cols``. ``how`` ∈ {"inner", "left"}."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    ref = collect_small_side(right, [right_key, *right_cols])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        lk = batch.column(left_key).to_numpy(zero_copy_only=False)
+        rk = rt.column(right_key).to_numpy(zero_copy_only=False)
+        m = pd.DataFrame({"k": lk, "i": np.arange(len(lk))}).merge(
+            pd.DataFrame({"k": rk, "j": np.arange(len(rk))}),
+            on="k",
+            how="inner" if how == "inner" else "left",
+        )
+        lt = batch.take(pa.array(m["i"].to_numpy()))
+        arrays = list(lt.columns)
+        names = list(lt.column_names)
+        if how == "inner":
+            rsel = rt.take(pa.array(m["j"].to_numpy()))
+            for c in right_cols:
+                arrays.append(rsel.column(c))
+                names.append(c)
+        else:
+            j = m["j"].to_numpy()
+            jj = np.where(pd.isna(j), 0, j).astype(np.int64)
+            rsel = rt.take(pa.array(jj))
+            mask = pa.array(pd.isna(j))
+            for c in right_cols:
+                col = rsel.column(c).combine_chunks()
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.chunk(0) if col.num_chunks else pa.nulls(0, col.type)
+                arrays.append(pc.if_else(mask, pa.nulls(len(jj), col.type), col))
+                names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str,
+    fill: int = -1,
+) -> ray.data.Dataset:
+    """For every left row, the ``value_col`` of the right row with the
+    same ``key`` and the greatest ``right_ts`` STRICTLY before
+    ``left_ts`` (DuckDB ``ASOF LEFT JOIN ... ON l.key = r.key AND
+    l.ts > r.ts`` semantics). Rows with no match get ``fill``
+    (sentinel, not NULL — keeps the output a non-nullable int64 so
+    distributed blocks never widen to float).
+
+    Timestamps must be int64 (µs). Right side must be unique per
+    (key, ts) — pre-aggregate ties upstream or the match is ambiguous.
+    """
+    lschema = left.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    lcols = [c for c in lschema.names]
+    out_fields = [(c, ltypes[c]) for c in lcols] + [(out_col, pa.int64())]
+    out_schema = pa.schema(out_fields)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in lcols}
+        cols["__v"] = pa.nulls(len(batch), pa.int64())
+        cols["__rts"] = pa.nulls(len(batch), pa.int64())
+        cols["__side"] = pa.array(np.zeros(len(batch), dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+        for c in lcols:
+            if c == key:
+                cols[c] = batch.column(key)
+            elif c == left_ts:
+                cols[c] = pa.nulls(n, ltypes[left_ts])
+            else:
+                cols[c] = pa.nulls(n, ltypes[c])
+        cols["__v"] = pc.cast(batch.column(value_col), pa.int64())
+        cols["__rts"] = pc.cast(batch.column(right_ts), pa.int64())
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_key(part: pa.Table) -> pa.Table:
+        if "__side" not in part.column_names:  # empty zero-column block
+            return out_schema.empty_table()
+        side = part.column("__side").to_numpy()
+        lsel = np.nonzero(side == 0)[0]
+        if len(lsel) == 0:
+            return out_schema.empty_table()
+        lt = part.take(pa.array(lsel))
+        rsel = np.nonzero(side == 1)[0]
+        lts = lt.column(left_ts).to_numpy()
+        if len(rsel) == 0:
+            vals = np.full(len(lsel), fill, dtype=np.int64)
+        else:
+            rts = part.column("__rts").to_numpy()[rsel]
+            rv = part.column("__v").to_numpy()[rsel]
+            order = np.argsort(rts, kind="stable")
+            rts, rv = rts[order], rv[order]
+            idx = np.searchsorted(rts, lts, side="left") - 1
+            vals = np.where(idx >= 0, rv[np.maximum(idx, 0)], fill).astype(np.int64)
+        arrays = [lt.column(c) for c in lcols] + [pa.array(vals, pa.int64())]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return both.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# range join
+# --------------------------------------------------------------------------
+
+
+def range_join_buckets(
+    ds: ray.data.Dataset,
+    value_col: str,
+    bounds: list[tuple[int, int, int]],
+) -> ray.data.Dataset:
+    """Interval (range) join of each row's int ``value_col`` against a
+    small table of ``(bucket_id, lo, hi)`` half-open ranges. Ranges must
+    be sorted by ``lo`` and non-overlapping; rows outside every range
+    are dropped (inner semantics). Adds a ``bucket_id:int64`` column.
+    The bucket table is closure-captured (tiny); assignment is one
+    row-local searchsorted — the interval join costs a map pass, not a
+    shuffle."""
+    ids = np.array([b[0] for b in bounds], dtype=np.int64)
+    los = np.array([b[1] for b in bounds], dtype=np.int64)
+    his = np.array([b[2] for b in bounds], dtype=np.int64)
+    if not (np.all(np.diff(los) > 0) and np.all(los < his)):
+        raise ValueError("bounds must be sorted by lo and well-formed")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy()
+        idx = np.searchsorted(los, v, side="right") - 1
+        ok = (idx >= 0) & (v < his[np.maximum(idx, 0)])
+        kept = batch.filter(pa.array(ok))
+        bid = ids[idx[ok]]
+        return kept.append_column("bucket_id", pa.array(bid, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# per-group top-k
+# --------------------------------------------------------------------------
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Top-k rows per group by (``order_col`` desc, ``tie_col`` asc),
+    with a 1-based ``rank`` column. Two phases: a per-batch LOCAL top-k
+    (so the shuffle carries ≤ k rows per group per block), then one
+    groupby.map_groups final selection — the standard combiner shape
+    that keeps a 10^10-row corpus's shuffle at k × groups × blocks."""
+
+    def local_topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            [group_col, order_col, tie_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return part.groupby(group_col, sort=False).head(k)
+
+    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            [order_col, tie_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        part = part.reset_index(drop=True)
+        part["rank"] = np.arange(1, len(part) + 1, dtype=np.int64)
+        return part
+
+    pruned = ds.map_batches(local_topk, batch_format="pandas")
+    return pruned.groupby(group_col).map_groups(final_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# distributed set ops
+# --------------------------------------------------------------------------
+
+
+def _flag_partials(ds: ray.data.Dataset, key: str, flag: str) -> ray.data.Dataset:
+    """Per-batch combiner: one (key, 1) row per distinct key per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column(key).combine_chunks())
+        return pa.table(
+            {key: keys, flag: pa.array(np.ones(len(keys), dtype=np.int64))}
+        )
+
+    return ds.select_columns([key]).map_batches(partial, batch_format="pyarrow")
+
+
+def _set_op(
+    a: ray.data.Dataset, b: ray.data.Dataset, key: str, keep_b: bool
+) -> ray.data.Dataset:
+    za = _flag_partials(a, key, "in_a").map_batches(
+        lambda t: t.append_column("in_b", pa.array(np.zeros(len(t), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    zb = _flag_partials(b, key, "in_b").map_batches(
+        lambda t: pa.table(
+            {
+                key: t.column(key),
+                "in_a": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "in_b": t.column("in_b"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    flags = za.union(zb).groupby(key).aggregate(
+        Max("in_a", alias_name="a"), Max("in_b", alias_name="b")
+    )
+    if keep_b:
+        cond = lambda t: pc.and_(pc.equal(t["a"], 1), pc.equal(t["b"], 1))  # noqa: E731
+    else:
+        cond = lambda t: pc.and_(pc.equal(t["a"], 1), pc.equal(t["b"], 0))  # noqa: E731
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(cond(batch)).select([key])
+
+    return flags.map_batches(pick, batch_format="pyarrow")
+
+
+def intersect_keys(
+    a: ray.data.Dataset, b: ray.data.Dataset, key: str
+) -> ray.data.Dataset:
+    """Distinct ``key`` values present in BOTH datasets (SQL INTERSECT)."""
+    return _set_op(a, b, key, keep_b=True)
+
+
+def except_keys(
+    a: ray.data.Dataset, b: ray.data.Dataset, key: str
+) -> ray.data.Dataset:
+    """Distinct ``key`` values in ``a`` and NOT in ``b`` (SQL EXCEPT)."""
+    return _set_op(a, b, key, keep_b=False)
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling
+# --------------------------------------------------------------------------
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset, key_col: str, hex_lt: str = "0d"
+) -> ray.data.Dataset:
+    """Keep rows whose ``md5(str(key))`` hex digest's first
+    ``len(hex_lt)`` chars sort below ``hex_lt`` — a reproducible
+    Bernoulli sample at rate int(hex_lt, 16) / 16**len(hex_lt),
+    identical at any parallelism and expressible in any SQL engine with
+    an md5() function (fixed-width lowercase hex compares numerically)."""
+    n = len(hex_lt)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        mask = [
+            hashlib.md5(str(v).encode()).hexdigest()[:n] < hex_lt for v in keys
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# grouped quantiles
+# --------------------------------------------------------------------------
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: list[tuple[str, float]],
+) -> ray.data.Dataset:
+    """Exact linear-interpolation quantiles per group, emitted as int
+    centi-units (floor(q*100 + 0.5)) so the result is order-proof and
+    dtype-stable across engines (matches DuckDB quantile_cont). One
+    groupby; per-group numpy kernel. For corpora where a single group
+    exceeds worker memory, swap in a t-digest partial — exactness is the
+    point here (it is the oracle for that sketch)."""
+    names = [n for n, _ in qs]
+    fracs = [f for _, f in qs]
+    out_schema = pa.schema(
+        [(group_col, pa.string())] + [(n, pa.int64()) for n in names]
+    )
+
+    def per_group(part: pd.DataFrame) -> pa.Table:
+        v = part[value_col].to_numpy(dtype=np.float64)
+        res = np.quantile(v, fracs, method="linear")
+        cols = {group_col: [str(part[group_col].iloc[0])]}
+        for n, r in zip(names, res):
+            cols[n] = [int(np.floor(r * 100 + 0.5))]
+        return pa.Table.from_pydict(cols, schema=out_schema)
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# partial-aggregate rollup helpers (TPC-H-style summaries)
+# --------------------------------------------------------------------------
+
+
+def cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """double → exact integer cents with half-up rounding — the same
+    IEEE expression the oracle SQL uses (floor(x*100 + 0.5)), immune to
+    Arrow/DuckDB round-half mode differences."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+def grouped_sum_rollup(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    cent_cols: dict[str, str],
+) -> ray.data.Dataset:
+    """groupby(group_cols): row count + exact cent-sums of the given
+    double columns. The map pass emits ONE partial row per distinct
+    group per batch (explicit combiner), so the shuffle carries
+    partials, never raw rows."""
+    out_names = list(cent_cols.values())
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        for src, out in cent_cols.items():
+            part[out] = np.floor(part[src].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        part["n_rows"] = np.int64(1)
+        g = (
+            part.groupby(group_cols, sort=False)[["n_rows", *out_names]]
+            .sum()
+            .reset_index()
+        )
+        return g
+
+    partial_ds = ds.select_columns(
+        group_cols + list(cent_cols.keys())
+    ).map_batches(partials, batch_format="pandas")
+    aggs = [Sum("n_rows", alias_name="n_rows")] + [
+        Sum(c, alias_name=c) for c in out_names
+    ]
+    return partial_ds.groupby(group_cols).aggregate(*aggs)

@@ -76,8 +76,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    only = set(sys.argv[2:])  # optional: check just these query names
     failures = 0
     for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
         got = to_pandas(fn(sf_dir))
         sql = e.oracle_sql().get(name)
         if sql is None:

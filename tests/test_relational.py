@@ -1,0 +1,219 @@
+"""Unit tests for stages/relational.py + the sliding-window rollup —
+semantics edges the driver-gate queries don't isolate: strict-before
+as-of matching, fill on no-match, range-join drops, top-k ties, set-op
+duplicates, sample determinism, left-join null padding."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from duplicate_finder_ray.stages import relational as rel
+
+
+def _ds(d: dict) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table(d))
+
+
+def _rows(ds) -> list[dict]:
+    return sorted(ds.take_all(), key=lambda r: sorted(r.items()).__repr__())
+
+
+class TestBroadcastHashJoin:
+    def test_inner(self):
+        left = _ds({"k": [1, 2, 3, 2], "x": ["a", "b", "c", "d"]})
+        right = _ds({"rk": [2, 3, 9], "y": [20, 30, 90]})
+        out = rel.broadcast_hash_join(left, right, "k", "rk", ["y"]).take_all()
+        got = sorted((r["k"], r["x"], r["y"]) for r in out)
+        assert got == [(2, "b", 20), (2, "d", 20), (3, "c", 30)]
+
+    def test_left_pads_nulls(self):
+        left = _ds({"k": [1, 2], "x": ["a", "b"]})
+        right = _ds({"rk": [2], "y": [20]})
+        out = rel.broadcast_hash_join(
+            left, right, "k", "rk", ["y"], how="left"
+        ).take_all()
+        got = {r["k"]: r["y"] for r in out}
+        assert got == {1: None, 2: 20}
+
+    def test_duplicate_right_keys_fan_out(self):
+        left = _ds({"k": [1], "x": ["a"]})
+        right = _ds({"rk": [1, 1], "y": [10, 11]})
+        out = rel.broadcast_hash_join(left, right, "k", "rk", ["y"]).take_all()
+        assert sorted(r["y"] for r in out) == [10, 11]
+
+
+class TestAsofJoin:
+    def _run(self, lts, rts, rv, fill=-1):
+        left = _ds(
+            {
+                "id": list(range(len(lts))),
+                "u": [1] * len(lts),
+                "ts": pa.array(lts, pa.int64()),
+            }
+        )
+        right = _ds(
+            {
+                "u": [1] * len(rts),
+                "rts": pa.array(rts, pa.int64()),
+                "v": pa.array(rv, pa.int64()),
+            }
+        )
+        out = rel.asof_join(left, right, "u", "ts", "rts", "v", "got", fill=fill)
+        return {r["id"]: r["got"] for r in out.take_all()}
+
+    def test_strictly_before(self):
+        # event at ts=10 must NOT see the right row at ts=10
+        got = self._run([5, 10, 11], [10], [100])
+        assert got == {0: -1, 1: -1, 2: 100}
+
+    def test_latest_of_several(self):
+        got = self._run([50], [10, 20, 30], [1, 2, 3])
+        assert got == {0: 3}
+
+    def test_no_right_rows_fill(self):
+        left = _ds({"id": [0], "u": [1], "ts": pa.array([5], pa.int64())})
+        right = _ds(
+            {
+                "u": pa.array([], pa.int64()),
+                "rts": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+            }
+        )
+        out = rel.asof_join(left, right, "u", "ts", "rts", "v", "got").take_all()
+        assert out[0]["got"] == -1
+
+    def test_keys_do_not_cross(self):
+        left = _ds({"id": [0], "u": [1], "ts": pa.array([100], pa.int64())})
+        right = _ds(
+            {"u": [2], "rts": pa.array([5], pa.int64()), "v": pa.array([9], pa.int64())}
+        )
+        out = rel.asof_join(left, right, "u", "ts", "rts", "v", "got").take_all()
+        assert out[0]["got"] == -1
+
+
+class TestRangeJoin:
+    def test_assign_and_drop(self):
+        ds = _ds({"v": pa.array([5, 10, 19, 20, 35, -1], pa.int64())})
+        out = rel.range_join_buckets(
+            ds, "v", [(0, 0, 10), (1, 10, 20), (2, 30, 40)]
+        ).take_all()
+        got = sorted((r["v"], r["bucket_id"]) for r in out)
+        # 20 falls in the gap [20,30) and -1 below all ranges -> dropped
+        assert got == [(5, 0), (10, 1), (19, 1), (35, 2)]
+
+    def test_rejects_unsorted(self):
+        with pytest.raises(ValueError):
+            rel.range_join_buckets(_ds({"v": [1]}), "v", [(0, 10, 20), (1, 0, 5)])
+
+
+class TestTopkPerGroup:
+    def test_rank_and_ties(self):
+        ds = _ds(
+            {
+                "g": ["a", "a", "a", "a", "b"],
+                "score": pa.array([5, 9, 9, 1, 7], pa.int64()),
+                "id": pa.array([4, 2, 1, 3, 0], pa.int64()),
+            }
+        )
+        out = rel.topk_per_group(ds, "g", "score", "id", k=3).take_all()
+        a = sorted(
+            ((r["rank"], r["id"], r["score"]) for r in out if r["g"] == "a")
+        )
+        # ties on score=9 break by id asc: id=1 first
+        assert a == [(1, 1, 9), (2, 2, 9), (3, 4, 5)]
+        b = [(r["rank"], r["id"]) for r in out if r["g"] == "b"]
+        assert b == [(1, 0)]
+
+
+class TestSetOps:
+    def test_intersect_and_except_dedupe(self):
+        a = _ds({"k": ["x", "x", "y", "z"]})
+        b = _ds({"k": ["y", "y", "w"]})
+        inter = sorted(r["k"] for r in rel.intersect_keys(a, b, "k").take_all())
+        exc = sorted(r["k"] for r in rel.except_keys(a, b, "k").take_all())
+        assert inter == ["y"]
+        assert exc == ["x", "z"]
+
+
+class TestDeterministicSample:
+    def test_matches_hashlib(self):
+        ids = list(range(200))
+        ds = _ds({"doc_id": pa.array(ids, pa.int64())})
+        got = sorted(
+            r["doc_id"] for r in rel.deterministic_sample(ds, "doc_id", "20").take_all()
+        )
+        want = [
+            i
+            for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] < "20"
+        ]
+        assert got == want
+        assert 0 < len(want) < 200
+
+
+class TestGroupedQuantiles:
+    def test_linear_interp_centi(self):
+        ds = _ds(
+            {
+                "g": ["a"] * 4 + ["b"],
+                "v": pa.array([1, 2, 3, 4, 10], pa.int64()),
+            }
+        )
+        out = {r["g"]: (r["p50_x100"], r["p90_x100"]) for r in rel.grouped_quantiles(
+            ds, "g", "v", [("p50_x100", 0.5), ("p90_x100", 0.9)]
+        ).take_all()}
+        # a: p50 = 2.5 -> 250; p90 = 3.7 -> 370 (numpy linear)
+        assert out["a"] == (250, int(np.floor(np.quantile([1, 2, 3, 4], 0.9) * 100 + 0.5)))
+        assert out["b"] == (1000, 1000)
+
+
+class TestGroupedSumRollup:
+    def test_cents_exact(self):
+        ds = _ds(
+            {
+                "g": ["a", "a", "b"],
+                "v": pa.array([1.005, 2.0, 0.1], pa.float64()),
+            }
+        )
+        out = {r["g"]: (r["n_rows"], r["vc"]) for r in rel.grouped_sum_rollup(
+            ds, ["g"], {"v": "vc"}
+        ).take_all()}
+        # 1.005 stores as 1.00499999... -> floor(100.499..+0.5)=100? No:
+        # floor(1.005*100 + 0.5) = floor(101.0) = 101 when the double
+        # rounds up, 100 when down — assert the same IEEE expression.
+        want_a = int(np.floor(1.005 * 100 + 0.5)) + 200
+        assert out["a"] == (2, want_a)
+        assert out["b"] == (1, 10)
+
+
+class TestSlidingRollup:
+    def test_fanout_and_sums(self):
+        from duplicate_finder_ray.stages.events import sliding_rollup
+
+        ts = pa.array(
+            np.array([0, 900, 3600], dtype="datetime64[s]").astype("datetime64[us]")
+        )
+        ds = ray.data.from_arrow(
+            pa.table({"ts": ts, "value": pa.array([1.0, 2.0, 4.0])})
+        )
+        out = {
+            r["window_start_us"]: (r["n_events"], r["sum_value_cents"])
+            for r in sliding_rollup(ds, 60, 15).take_all()
+        }
+        # event@0 -> windows starting at -45,-30,-15,0 min
+        assert out[0] == (2, 300)  # events at 0s and 900s
+        assert out[900 * 10**6] == (2, 600)  # events at 900s and 3600s
+        assert out[3600 * 10**6] == (1, 400)
+        # union of the 3 events' window-start sets:
+        # {-45,-30,-15,0} ∪ {-30,-15,0,15} ∪ {15,30,45,60} minutes
+        assert len(out) == 8
+
+    def test_rejects_nonmultiple(self):
+        from duplicate_finder_ray.stages.events import sliding_rollup
+
+        with pytest.raises(ValueError):
+            sliding_rollup(_ds({"ts": [1], "value": [1.0]}), 50, 15)
