@@ -32,6 +32,24 @@ from duplicate_finder_ray.functions.globs import globs_to_regex
 from duplicate_finder_ray.functions.sizes import validate_size_string
 
 
+def banding_for(num_perms: int, tau: float, target_recall: float) -> int:
+    """Recall-targeted LSH banding: the band count b = K // r for the
+    LARGEST rows-per-band r whose S-curve detection probability for a
+    pair exactly at Jaccard τ, 1 - (1 - τ^r)^(K//r), still meets
+    ``target_recall``. Larger r ⇒ sharper S-curve ⇒ fewer noise
+    candidates, so the largest feasible r is the cheapest banding that
+    cannot cost recall at the verify threshold. Falls back to r=1
+    (b=K, the max-recall banding) when even that misses the target
+    (tiny τ)."""
+    if not (0 < tau <= 1):
+        raise ValueError(f"tau must be in (0, 1]: {tau}")
+    for r in range(num_perms, 0, -1):
+        b = num_perms // r
+        if 1.0 - (1.0 - tau**r) ** b >= target_recall:
+            return b
+    return num_perms
+
+
 def normalize_dir_path(folder_path: str, must_exist: bool = True) -> str:
     """Resolve a directory path; raise ValueError when missing (reference
     duplicate_finder_config.py:129-140)."""
@@ -113,8 +131,15 @@ class PipelineConfig:
     minhash_perms: int = 128                # signature length K
     #: b bands of r = K // b rows. Default (32, 4): detection prob for
     #: Jaccard 0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8 — recall is set by the
-    #: verify tier, not banding.
+    #: verify tier, not banding. 0 = AUTO: derive the banding from
+    #: (minhash_perms, jaccard_threshold, lsh_target_recall) — the
+    #: largest rows-per-band r whose S-curve detection probability AT τ
+    #: still meets the target (most selective banding that cannot cost
+    #: recall; a fixed 32×4 at τ=0.5 only detects 87% of pairs exactly
+    #: at the threshold).
     lsh_bands: int = 32
+    #: candidate-recall floor AT τ used by lsh_bands=0 (auto) banding.
+    lsh_target_recall: float = 0.995
     minhash_seed: int = 42
     jaccard_threshold: float = 0.8          # verify threshold τ
     #: "exact": candidates re-shingled (broadcast semi-join on pair
@@ -178,7 +203,7 @@ class PipelineConfig:
             raise ValueError(f"invalid prefilter_mode: {self.prefilter_mode}")
         if self.verify_mode not in ("exact", "estimate"):
             raise ValueError(f"invalid verify_mode: {self.verify_mode}")
-        if self.minhash_perms % self.lsh_bands != 0:
+        if self.lsh_bands and self.minhash_perms % self.lsh_bands != 0:
             raise ValueError(
                 f"minhash_perms ({self.minhash_perms}) must be divisible by "
                 f"lsh_bands ({self.lsh_bands})"
@@ -187,8 +212,18 @@ class PipelineConfig:
         self.exclude_regex = globs_to_regex(self.exclude_patterns)
 
     @property
+    def resolved_lsh_bands(self) -> int:
+        """The band count actually used: the explicit ``lsh_bands``, or
+        (when 0) the recall-targeted auto derivation."""
+        if self.lsh_bands:
+            return self.lsh_bands
+        return banding_for(
+            self.minhash_perms, self.jaccard_threshold, self.lsh_target_recall
+        )
+
+    @property
     def lsh_rows_per_band(self) -> int:
-        return self.minhash_perms // self.lsh_bands
+        return self.minhash_perms // self.resolved_lsh_bands
 
     def config_hash(self) -> str:
         """Stable hash of the semantic fields, used to key checkpoint

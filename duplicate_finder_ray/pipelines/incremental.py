@@ -147,9 +147,10 @@ NEARDUP_LABELS_SCHEMA = pa.schema(
 
 @dataclass
 class IncrementalNearDupResult:
-    #: verified pairs touching the increment: (a, b, n_bands, jaccard),
-    #: string file_ids, a < b — inc×inc and inc×baseline, never
-    #: baseline×baseline (those existed before this batch)
+    #: verified pairs touching the increment: (a, b, n_bands, jaccard,
+    #: n_inter, n_union), string file_ids, a < b — inc×inc and
+    #: inc×baseline, never baseline×baseline (those existed before this
+    #: batch)
     pairs: ray.data.Dataset
     #: component per INCREMENT file (baseline partners pulled in via the
     #: pair graph; component id = lexicographically smallest member, so

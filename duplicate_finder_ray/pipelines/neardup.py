@@ -29,8 +29,9 @@ from duplicate_finder_ray.stages.derive import add_identity
 @dataclass
 class NearDupResult:
     signatures: ray.data.Dataset   # file_id, minhash, simhash, n_shingles
-    #: a, b, n_bands, jaccard — exact Jaccard in verify_mode="exact",
-    #: MinHash estimate in "estimate" mode
+    #: a, b, n_bands, jaccard, n_inter, n_union — exact Jaccard plus the
+    #: integer set sizes in verify_mode="exact"; MinHash estimate (and
+    #: -1 sentinels for the sizes) in "estimate" mode
     pairs: ray.data.Dataset
     labels: ray.data.Dataset       # file_id, component
     metrics: dict = field(default_factory=dict)

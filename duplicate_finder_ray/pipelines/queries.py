@@ -186,11 +186,13 @@ def q_minhash_signatures(sf_dir: str) -> ray.data.Dataset:
 
 def q_lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     """M4: LSH candidate pairs (rows-only; recall oracle in
-    tests/test_neardup.py)."""
+    tests/test_neardup.py). lsh_bands=0 = recall-targeted auto banding
+    (r=3, b=42 at τ=0.5 — the fixed 32×4 banding only detects 87% of
+    pairs exactly at 0.5)."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
     from duplicate_finder_ray.stages import neardup
 
-    cfg = PipelineConfig(jaccard_threshold=0.5)
+    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
     sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
     sigs = sigs.materialize()  # consumed by both the bands and the id map
     bands = neardup.explode_bands(sigs, cfg)
@@ -199,20 +201,28 @@ def q_lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
 
 def q_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     """M4/M5: verified near-dup pairs at τ=0.5 over the documents-derived
-    code table (word-salad texts need a low τ to produce pairs)."""
+    code table (word-salad texts need a low τ to produce pairs).
+
+    HASH-MATCH oracle: with recall-targeted auto banding (lsh_bands=0)
+    the LSH+exact-verify pipeline returns the complete ≥τ pair set, so
+    the brute-force n-gram-Jaccard SQL is its oracle. The comparison
+    rides on the INTEGER intersection/union sizes — exact twins of the
+    float jaccard that no rounding mode can smudge."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
 
-    cfg = PipelineConfig(jaccard_threshold=0.5)
+    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
     res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
-    return res.pairs
+    return res.pairs.select_columns(["a", "b", "n_inter", "n_union"])
 
 
 def q_near_dup_clusters(sf_dir: str) -> ray.data.Dataset:
-    """M5: connected-component labels over verified pairs (rows-only;
-    union-find oracle in tests/test_neardup.py)."""
+    """M5: connected-component labels over verified pairs — with auto
+    banding the pair graph equals the brute-force graph, so the WITH
+    RECURSIVE transitive-closure SQL is a full hash-match oracle
+    (union-find oracle also in tests/test_neardup.py)."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
 
-    cfg = PipelineConfig(jaccard_threshold=0.5)
+    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
     res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
     return res.labels
 
@@ -224,7 +234,7 @@ def q_near_dup_spans(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.stages.derive import add_identity
     from duplicate_finder_ray.stages.spans import common_spans
 
-    cfg = PipelineConfig(jaccard_threshold=0.5)
+    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
     code = code_files_from_documents(sf_dir)
     res = NearDupPipeline(cfg).run_on(code)
     with_id = code.map_batches(add_identity, batch_format="pyarrow")
@@ -484,7 +494,7 @@ def q_incremental_near_dup(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.stages import neardup
     from duplicate_finder_ray.stages.derive import add_identity
 
-    cfg = PipelineConfig(jaccard_threshold=0.5)
+    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
     wid = _split_docs_code(sf_dir, increment=False).map_batches(
         add_identity, batch_format="pyarrow"
     )
@@ -919,10 +929,40 @@ ORACLE_SQL: dict[str, str] = {
     JOIN n nb ON nb.doc_key = inter.b
     WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     """,
+    # the LSH pipeline's full oracle: same pair set (auto banding ⇒
+    # recall ≥ target at τ), compared on exact integer set sizes
+    "near_dup_pairs": "WITH "
+    + _NGRAM_CTES
+    + """
+    SELECT a, b, CAST(c AS BIGINT) AS n_inter,
+           CAST(na.n + nb.n - c AS BIGINT) AS n_union
+    FROM inter
+    JOIN n na ON na.doc_key = inter.a
+    JOIN n nb ON nb.doc_key = inter.b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    """,
     # distributed connected components vs a WITH RECURSIVE transitive
     # closure + min-label reduction over the same exact-Jaccard pair
     # graph (component id = lexicographically smallest member)
     "ngram_jaccard_clusters": "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + """,
+    e AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    )
+    SELECT src AS file_id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    "near_dup_clusters": "WITH RECURSIVE "
     + _NGRAM_CTES
     + """,
     e AS (

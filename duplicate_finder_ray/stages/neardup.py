@@ -83,6 +83,11 @@ VERIFIED_SCHEMA = pa.schema(
         ("b", pa.string()),
         ("n_bands", pa.int64()),
         ("jaccard", pa.float64()),
+        # exact shingle-set intersection/union sizes — integer twins of
+        # ``jaccard`` (= n_inter / n_union) that survive any float
+        # canonicalization; -1 on the estimate path (no sets in hand)
+        ("n_inter", pa.int64()),
+        ("n_union", pa.int64()),
     ]
 )
 
@@ -208,7 +213,7 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
     into the hash itself, and the file identity travels as the compact
     fid surrogate, not the file_id string — the skewed exchange moves
     bands × corpus rows, so every byte here is multiplied by both."""
-    num_bands = cfg.lsh_bands
+    num_bands = cfg.resolved_lsh_bands
 
     def explode(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
@@ -634,6 +639,8 @@ def verify_pairs(
                 "b": pa.array(np.where(swap, fa, fb), pa.string()),
                 "n_bands": pa.compute.cast(batch["n_bands"], pa.int64()),
                 "jaccard": pa.array(est, pa.float64()),
+                "n_inter": pa.array(np.full(len(est), -1, dtype=np.int64)),
+                "n_union": pa.array(np.full(len(est), -1, dtype=np.int64)),
             }
         )
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
@@ -981,6 +988,8 @@ def _score_pairs_two_csr(
     offs_a, flat_a = _csr_views(csr_a[2])
     offs_b, flat_b = _csr_views(csr_b[2])
     jac = np.empty(len(batch), dtype=np.float64)
+    n_inter = np.zeros(len(batch), dtype=np.int64)
+    n_union = np.zeros(len(batch), dtype=np.int64)
     for i in range(len(batch)):
         ra, rb = row_a[i], row_b[i]
         if ra < 0 or rb < 0:
@@ -988,7 +997,10 @@ def _score_pairs_two_csr(
             continue
         xa = flat_a[offs_a[ra] : offs_a[ra + 1]]
         xb = flat_b[offs_b[rb] : offs_b[rb + 1]]
-        jac[i] = _jaccard_arrays(xa, xb)
+        inter = len(np.intersect1d(xa, xb, assume_unique=True))
+        union = len(xa) + len(xb) - inter
+        n_inter[i], n_union[i] = inter, union
+        jac[i] = 1.0 if union == 0 else inter / union
     keep = jac >= threshold
     if not keep.any():
         return VERIFIED_SCHEMA.empty_table()
@@ -1008,32 +1020,10 @@ def _score_pairs_two_csr(
                 batch.column("n_bands").filter(pa.array(keep)), pa.int64()
             ),
             "jaccard": pa.array(jac[keep], pa.float64()),
+            "n_inter": pa.array(n_inter[keep]),
+            "n_union": pa.array(n_union[keep]),
         }
     )
-
-
-def _jaccard_arrays(xa: np.ndarray, xb: np.ndarray) -> float:
-    """Exact Jaccard of two deduped uint64 shingle arrays."""
-    na, nb = len(xa), len(xb)
-    if na == 0 and nb == 0:
-        return 1.0
-    if na == 0 or nb == 0:
-        return 0.0
-    inter = len(np.intersect1d(xa, xb, assume_unique=True))
-    return inter / (na + nb - inter)
-
-
-def _jaccard_bytes(ba: bytes, bb: bytes) -> float:
-    """Exact Jaccard of two uint64-serialized shingle sets."""
-    xa = np.frombuffer(ba, dtype=np.uint64)
-    xb = np.frombuffer(bb, dtype=np.uint64)
-    na, nb = len(xa), len(xb)
-    if na == 0 and nb == 0:
-        return 1.0
-    if na == 0 or nb == 0:
-        return 0.0
-    inter = len(np.intersect1d(xa, xb, assume_unique=True))
-    return inter / (na + nb - inter)
 
 
 def simhash_candidate_pairs(

@@ -209,6 +209,34 @@ class TestConfig:
         with pytest.raises(ValueError):
             PipelineConfig(minhash_perms=100, lsh_bands=16)
 
+    def test_lsh_auto_banding(self):
+        from duplicate_finder_ray.config import banding_for
+
+        # τ=0.8, K=128: r=4 (b=32) — detection at 0.8 is 1-(1-0.41)^32
+        # ≈ 1-5e-8, and r=5 (b=25) still meets 0.995, r=6 does not? —
+        # assert via the defining property instead of pinned numbers:
+        for tau in (0.5, 0.7, 0.8, 0.9):
+            b = banding_for(128, tau, 0.995)
+            r = 128 // b
+            assert 1 - (1 - tau**r) ** b >= 0.995
+            # largest feasible r: one more row per band must miss target
+            if r < 128:
+                r2 = r + 1
+                b2 = 128 // r2
+                assert 1 - (1 - tau**r2) ** b2 < 0.995
+        # the τ=0.5 case that motivated auto mode: fixed 32×4 detects
+        # only ~87% at the threshold; auto must pick r=3
+        assert banding_for(128, 0.5, 0.995) == 128 // 3
+        # tiny τ: even r=1 misses → falls back to b=K
+        assert banding_for(16, 0.01, 0.999) == 16
+
+    def test_lsh_auto_resolution(self):
+        cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
+        assert cfg.resolved_lsh_bands == 42  # K=128, r=3
+        assert cfg.lsh_rows_per_band == 3
+        # explicit value bypasses auto
+        assert PipelineConfig(jaccard_threshold=0.5).resolved_lsh_bands == 32
+
     def test_config_hash_stable(self):
         a = PipelineConfig(min_file_size_str="1KB")
         b = PipelineConfig(min_file_size_str="1KB")
