@@ -352,14 +352,31 @@ def q_embedding_cosine_pairs(sf_dir: str) -> ray.data.Dataset:
 
 def q_embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     """Scale-path ANN pairs: random-hyperplane LSH buckets + exact
-    verify (rows-only driver check; recall oracle in
-    tests/test_similarity.py)."""
+    cosine verify, with recall-targeted auto parameters (54 tables ×
+    4 bits at τ=0.4 / target 0.9999 — the old fixed 8×8 detected ~18%
+    of threshold pairs). HASH-MATCH oracle: the pair set equals the
+    brute-force cosine truth, so it shares embedding_cosine_pairs' SQL
+    (recall property also gated in tests/test_similarity.py)."""
     from duplicate_finder_ray.stages import similarity
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return similarity.lsh_cosine_pairs(emb, threshold=0.4, n_tables=8, n_bits=8)
+    n_tables, n_bits = similarity.hyperplane_params_for(0.4, 0.9999)
+    pairs = similarity.lsh_cosine_pairs(
+        emb, threshold=0.4, n_tables=n_tables, n_bits=n_bits
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "score": pc.round(batch["score"], ndigits=6),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
 
 
 def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
@@ -488,8 +505,9 @@ def q_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
 def q_incremental_near_dup(sf_dir: str) -> ray.data.Dataset:
     """Incremental NEAR-dup: the doc_id % 5 = 0 increment probed
     against the rest's persisted signature table; returns verified
-    pairs touching the increment (rows-only — LSH; full-rescan
-    equivalence oracle in tests/test_incremental.py)."""
+    pairs touching the increment. HASH-MATCH oracle: the brute-force
+    n-gram truth restricted to increment-touching pairs (full-rescan
+    equivalence also in tests/test_incremental.py)."""
     from duplicate_finder_ray.pipelines.incremental import IncrementalNearDup
     from duplicate_finder_ray.stages import neardup
     from duplicate_finder_ray.stages.derive import add_identity
@@ -502,7 +520,8 @@ def q_incremental_near_dup(sf_dir: str) -> ray.data.Dataset:
         wid.select_columns(["file_id", "content"]), cfg, emit_shingles=True
     ).materialize()
     inc = _split_docs_code(sf_dir, increment=True)
-    return IncrementalNearDup(cfg).run(base_sigs, inc).pairs
+    pairs = IncrementalNearDup(cfg).run(base_sigs, inc).pairs
+    return pairs.select_columns(["a", "b", "n_inter", "n_union"])
 
 
 # --------------------------------------------------------------------------
@@ -929,6 +948,26 @@ ORACLE_SQL: dict[str, str] = {
     JOIN n nb ON nb.doc_key = inter.b
     WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     """,
+    # incremental near-dup: brute-force truth restricted to pairs with
+    # ≥1 endpoint in the doc_id % 5 = 0 increment
+    "incremental_near_dup": "WITH "
+    + _NGRAM_CTES
+    + f""",
+    inck AS (
+      SELECT repo || ':' || path || '@' || "commit" AS doc_key
+      FROM ({CODE_FILES_SQL.replace(
+          "FROM documents",
+          "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0)")})
+    )
+    SELECT a, b, CAST(c AS BIGINT) AS n_inter,
+           CAST(na.n + nb.n - c AS BIGINT) AS n_union
+    FROM inter
+    JOIN n na ON na.doc_key = inter.a
+    JOIN n nb ON nb.doc_key = inter.b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+      AND (inter.a IN (SELECT doc_key FROM inck)
+           OR inter.b IN (SELECT doc_key FROM inck))
+    """,
     # the LSH pipeline's full oracle: same pair set (auto banding ⇒
     # recall ≥ target at τ), compared on exact integer set sizes
     "near_dup_pairs": "WITH "
@@ -1022,6 +1061,15 @@ ORACLE_SQL: dict[str, str] = {
     FROM r WHERE "rank" <= 10
     """,
     "embedding_cosine_pairs": """
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                 CAST(y.embedding AS DOUBLE[])) >= 0.4
+    """,
+    # auto-tuned LSH returns the complete >=0.4 pair set -> same truth
+    "embedding_lsh_pairs": """
     SELECT x.vec_id AS a, y.vec_id AS b,
            round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                         CAST(y.embedding AS DOUBLE[])), 6) AS score

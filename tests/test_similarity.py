@@ -183,3 +183,21 @@ class TestIVFTopK:
         ds = ray_session.data.from_pandas(df)
         got = similarity.ivf_topk_neighbors(ds, [0], k=3)
         assert got.count() == 0
+
+
+class TestHyperplaneParams:
+    def test_meets_target_with_largest_feasible_bits(self):
+        import math
+
+        for tau in (0.3, 0.4, 0.6, 0.8, 0.95):
+            L, bits = similarity.hyperplane_params_for(tau, 0.9999, max_tables=64)
+            p = 1.0 - math.acos(tau) / math.pi
+            assert L <= 64
+            assert 1 - (1 - p**bits) ** L >= 0.9999
+            # one more bit per table must blow the table budget
+            if bits < 16:
+                q = p ** (bits + 1)
+                assert math.log(1e-4) / math.log(1.0 - q) > 64
+
+    def test_degenerate_tau_one(self):
+        assert similarity.hyperplane_params_for(1.0, 0.9999) == (1, 1)
