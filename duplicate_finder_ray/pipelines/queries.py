@@ -720,6 +720,30 @@ def q_doclen_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_top_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Distributed exact heavy hitters: global top-20 tokens by
+    frequency (ties by token) — per-batch count partials, one
+    vocabulary-keyed groupby, local-top-k final."""
+    from duplicate_finder_ray.stages import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return textstats.top_tokens(docs, "text", k=20)
+
+
+def q_distinct_tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct-token cardinality per language (two-level
+    distinct: batch dedupe partials → (lang, token) groupby → per-lang
+    count)."""
+    from duplicate_finder_ray.stages import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    return textstats.distinct_token_counts(docs, "text", "lang")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -773,6 +797,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "set_except_repos": q_set_except_repos,
     "sample_docs_md5": q_sample_docs_md5,
     "doclen_quantiles": q_doclen_quantiles,
+    "top_tokens": q_top_tokens,
+    "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1277,5 +1303,27 @@ ORACLE_SQL: dict[str, str] = {
            CAST(floor(quantile_cont(n_chars, 0.9) * 100 + 0.5) AS BIGINT)
              AS p90_x100
     FROM documents GROUP BY 1
+    """,
+    "top_tokens": """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    r AS (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS "rank"
+      FROM c
+    )
+    SELECT token, n, "rank" FROM r WHERE "rank" <= 20
+    """,
+    "distinct_tokens_per_lang": """
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+      FROM documents
+    )
+    SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+    FROM tok GROUP BY 1
     """,
 }

@@ -244,3 +244,179 @@ def language_stage(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def fingerprint_stage(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fingerprint_docs, batch_format="pyarrow")
+
+
+# -- corpus token statistics (distributed heavy hitters / cardinality) --
+
+#: ASCII identifier-ish token class — same class the n-gram Jaccard
+#: twins use, so one SQL expression (regexp_extract_all) oracles all
+#: token statistics.
+TOKEN_SPLIT_REGEX = r"[^A-Za-z0-9_]+"
+
+
+def _token_partials(
+    ds: ray.data.Dataset, text_col: str, group_col: str | None
+) -> ray.data.Dataset:
+    """Per-batch token-count partials: one (token[, group], n) row per
+    distinct token per batch — the combiner that keeps the global
+    token shuffle at vocabulary size × blocks, never corpus token
+    count. Tokenization is vectorized Arrow (split on the non-token
+    class + drop empties)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+        flat = pc.list_flatten(toks)
+        if group_col is not None:
+            reps = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            grp = np.repeat(
+                batch[group_col].to_numpy(zero_copy_only=False), reps
+            )
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        if group_col is not None:
+            grp = grp[nonempty.to_numpy(zero_copy_only=False)]
+        if group_col is None:
+            vals, counts = np.unique(
+                flat.to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {
+                    "token": pa.array(vals, pa.string()),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+        key = pd.DataFrame(
+            {"g": grp, "t": flat.to_numpy(zero_copy_only=False)}
+        )
+        agg = key.groupby(["g", "t"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                group_col: pa.array(agg["g"], pa.string()),
+                "token": pa.array(agg["t"], pa.string()),
+                "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cols = [text_col] if group_col is None else [text_col, group_col]
+    return ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
+
+
+def top_tokens(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
+    """Exact global top-k most frequent tokens (ties by token asc),
+    with a 1-based rank. Shape: per-batch count partials → one
+    groupby-sum keyed by token → per-block local top-k → tiny final
+    selection. The full vocabulary crosses the shuffle once as
+    (token, n) partials; only k rows reach the final task."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.relational import topk_per_group
+
+    totals = (
+        _token_partials(ds, text_col, None)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(len(batch), dtype=np.int64))
+        )
+
+    top = topk_per_group(
+        totals.map_batches(tag, batch_format="pyarrow"), "__g", "n", "token", k
+    )
+    return top.select_columns(["token", "n", "rank"])
+
+
+def distinct_token_counts(
+    ds: ray.data.Dataset, text_col: str, group_col: str
+) -> ray.data.Dataset:
+    """Exact distinct-token count per group: per-batch (group, token)
+    dedupe partials → groupby(group, token) → count rows per group.
+    The widest shuffle is vocabulary × groups, not corpus tokens."""
+    from ray.data.aggregate import Count
+
+    per_token = (
+        _token_partials(ds, text_col, group_col)
+        .groupby([group_col, "token"])
+        .aggregate(Count(alias_name="_dup"))
+    )
+    return (
+        per_token.select_columns([group_col])
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n_distinct_tokens"))
+    )
+
+
+# -- HLL cardinality sketch (mergeable, vectorized) ---------------------
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """HyperLogLog register array (2^p uint8) for a batch of uint64
+    hashes — the per-batch combiner. Mergeable by elementwise max."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    idx = (values >> np.uint64(64 - p)).astype(np.int64)
+    rest = values << np.uint64(p)
+    # rank = leading zeros of the remaining 64-p bits + 1, capped
+    rank = np.zeros(len(values), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    rem = rest.copy()
+    r = np.ones(len(values), dtype=np.uint8)
+    alive = np.ones(len(values), dtype=bool)
+    for _ in range(64 - p + 1):
+        hit = alive & ((rem & mask) != 0)
+        rank[hit] = r[hit]
+        alive &= ~hit
+        if not alive.any():
+            break
+        rem[alive] = rem[alive] << np.uint64(1)
+        r += np.uint8(1)
+    rank[alive] = np.uint8(64 - p + 1)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction — adequate for the 1–5% error class."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = float(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct_tokens(
+    ds: ray.data.Dataset, text_col: str, p: int = 12
+) -> float:
+    """Approximate global distinct-token count: per-batch HLL register
+    partials (2^p bytes each) merged by elementwise max in a tiny
+    driver reduce — the scale path where the exact
+    ``distinct_token_counts`` shuffle (vocabulary-sized) is too wide.
+    Exactness oracle: tests gate the relative error vs the exact count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        hashes = pd.util.hash_array(
+            toks.to_numpy(zero_copy_only=False).astype(object)
+        )
+        regs = hll_partial(np.unique(hashes), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts:
+        merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return hll_estimate(merged)

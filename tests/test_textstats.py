@@ -129,3 +129,75 @@ class TestTokenCounts:
         assert out.iloc[6]["n_tokens_bpe"] == 13
         oracle = len(re.findall(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]", DOCS[8]))
         assert out.iloc[8]["n_tokens_bpe"] == oracle
+
+
+class TestTokenStats:
+    def _docs(self, ray_session):
+        import pandas as pd
+
+        return ray_session.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "text": [
+                        "a b b c! c,c d",
+                        "b c d d",
+                        "",
+                        "  a  ",
+                    ],
+                    "lang": ["en", "en", "fr", "fr"],
+                }
+            )
+        )
+
+    def test_top_tokens_exact(self, ray_session):
+        from duplicate_finder_ray.stages.textstats import top_tokens
+
+        got = [
+            (r["rank"], r["token"], r["n"])
+            for r in top_tokens(self._docs(ray_session), "text", 3).take_all()
+        ]
+        got.sort()
+        # counts: c=4, b=3, d=3, a=2 — tie b/d broken by token asc
+        assert got == [(1, "c", 4), (2, "b", 3), (3, "d", 3)]
+
+    def test_distinct_tokens_per_lang(self, ray_session):
+        from duplicate_finder_ray.stages.textstats import distinct_token_counts
+
+        got = {
+            r["lang"]: r["n_distinct_tokens"]
+            for r in distinct_token_counts(
+                self._docs(ray_session), "text", "lang"
+            ).take_all()
+        }
+        assert got == {"en": 4, "fr": 1}
+
+    def test_hll_error_bound(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from duplicate_finder_ray.stages.textstats import (
+            approx_distinct_tokens,
+            hll_estimate,
+            hll_partial,
+        )
+
+        # pure-sketch check: 50k distinct full-range uint64 hashes
+        # (the same siphash the stage feeds it), p=12 → σ≈1.6%
+        vals = np.unique(
+            pd.util.hash_array(np.arange(50_000).astype(object))
+        )
+        est = hll_estimate(hll_partial(vals, p=12))
+        assert abs(est - len(vals)) / len(vals) < 0.05
+        # merge property: split partials must estimate like the whole
+        a = hll_partial(vals[: len(vals) // 2], p=12)
+        b = hll_partial(vals[len(vals) // 2 :], p=12)
+        est2 = hll_estimate(np.maximum(a, b))
+        assert est2 == est
+        # end-to-end over a Dataset vs the exact distinct count
+        texts = [
+            " ".join(f"tok{i}" for i in range(j * 500, j * 500 + 500))
+            for j in range(20)
+        ]
+        ds = ray_session.data.from_pandas(pd.DataFrame({"text": texts}))
+        approx = approx_distinct_tokens(ds, "text", p=12)
+        assert abs(approx - 10_000) / 10_000 < 0.05
