@@ -134,10 +134,23 @@ def run_bench() -> dict:
     def token_counts_sf():
         return QUERIES["token_counts"](SF_DIR).count()
 
+    def relational_sf():
+        # the round-2 relational suite over the sf events/TPC-H tables:
+        # as-of join (one shuffle + per-key searchsorted), sliding
+        # windows (×4 row-local fan-out + one groupby), broadcast hash
+        # join + rollup, global exact heavy hitters
+        return (
+            QUERIES["asof_last_purchase"](SF_DIR).count()
+            + QUERIES["events_sliding"](SF_DIR).count()
+            + QUERIES["join_segment_revenue"](SF_DIR).count()
+            + QUERIES["top_tokens"](SF_DIR).count()
+        )
+
     timed("exact_dedup", exact_dedup)
     timed("near_dup", near_dup)
     timed("exact_dedup_sfdocs", exact_dedup_sfdocs)
     timed("token_counts_sfdocs", token_counts_sf)
+    timed("relational_sfdocs", relational_sf)
 
     total = round(sum(queries.values()), 3)
     dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)

@@ -595,9 +595,14 @@ def q_asof_last_purchase(sf_dir: str) -> ray.data.Dataset:
 
     base = ev.map_batches(prep, batch_format="pyarrow").materialize()
     left = base.select_columns(["event_id", "user_id", "ts_us"])
+
+    def only_purchases(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["event_type"], "purchase")).select(
+            ["user_id", "ts_us", "cents"]
+        )
+
     purchases = (
-        base.filter(lambda r: r["event_type"] == "purchase")
-        .select_columns(["user_id", "ts_us", "cents"])
+        base.map_batches(only_purchases, batch_format="pyarrow")
         .groupby(["user_id", "ts_us"])
         .aggregate(Max("cents", alias_name="cents"))
     )
@@ -672,6 +677,14 @@ def q_topk_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
     return top.select_columns(["lang", "rank", "doc_id", "n_chars"])
 
 
+def _repo_below_org3(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.less(batch["repo"], "org3"))
+
+
+def _repo_from_org3(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.greater_equal(batch["repo"], "org3"))
+
+
 def q_set_intersect_repos(sf_dir: str) -> ray.data.Dataset:
     """Distributed INTERSECT: content sha256 values present in both the
     org0-org2 and the org3-org6 repo halves (flag partials + one
@@ -679,8 +692,8 @@ def q_set_intersect_repos(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.stages import relational as rel
 
     d = _derived(sf_dir).select_columns(["repo", "sha256"]).materialize()
-    a = d.filter(lambda r: r["repo"] < "org3")
-    b = d.filter(lambda r: r["repo"] >= "org3")
+    a = d.map_batches(_repo_below_org3, batch_format="pyarrow")
+    b = d.map_batches(_repo_from_org3, batch_format="pyarrow")
     return rel.intersect_keys(a, b, "sha256")
 
 
@@ -690,8 +703,8 @@ def q_set_except_repos(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.stages import relational as rel
 
     d = _derived(sf_dir).select_columns(["repo", "sha256"]).materialize()
-    a = d.filter(lambda r: r["repo"] < "org3")
-    b = d.filter(lambda r: r["repo"] >= "org3")
+    a = d.map_batches(_repo_below_org3, batch_format="pyarrow")
+    b = d.map_batches(_repo_from_org3, batch_format="pyarrow")
     return rel.except_keys(a, b, "sha256")
 
 

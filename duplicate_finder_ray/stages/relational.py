@@ -10,10 +10,11 @@ shape stated up front:
   from the object store and gathers matches vectorized. No shuffle of
   the big side at all (ray_guide "broadcast the small side").
 * ``asof_join`` — both sides are tagged, union'ed and shuffled ONCE by
-  the equality key; per-key groups do a numpy ``searchsorted`` against
-  the sorted right timestamps. Skew bound = the hottest key's row count
-  (same bound as sessionization; key cardinality ≫ cores keeps
-  partitions balanced).
+  ``hash(key) % B`` buckets (NOT by raw key: a per-key map_groups pays
+  a Python call per key; bucketing amortizes it to B calls and each
+  bucket runs pandas' C ``merge_asof`` across all its keys at once).
+  Skew bound = the hottest key's row count (same bound as
+  sessionization; key cardinality ≫ cores keeps partitions balanced).
 * ``range_join_buckets`` — the bucket table (sorted, non-overlapping
   ranges) is broadcast; assignment is a row-local ``searchsorted``, so
   an interval join costs exactly one map pass.
@@ -126,6 +127,7 @@ def asof_join(
     value_col: str,
     out_col: str,
     fill: int = -1,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """For every left row, the ``value_col`` of the right row with the
     same ``key`` and the greatest ``right_ts`` STRICTLY before
@@ -136,18 +138,32 @@ def asof_join(
 
     Timestamps must be int64 (µs). Right side must be unique per
     (key, ts) — pre-aggregate ties upstream or the match is ambiguous.
+    One shuffle keyed by ``hash(key) % num_buckets``; each bucket runs
+    pandas' C ``merge_asof`` (sorted-merge across all the bucket's
+    keys at once — no per-key Python).
     """
+    if num_buckets is None:
+        try:
+            num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
     lschema = left.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
     lcols = [c for c in lschema.names]
     out_fields = [(c, ltypes[c]) for c in lcols] + [(out_col, pa.int64())]
     out_schema = pa.schema(out_fields)
 
+    def bucket_col(batch: pa.Table) -> pa.Array:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k, dtype=object))
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in lcols}
         cols["__v"] = pa.nulls(len(batch), pa.int64())
         cols["__rts"] = pa.nulls(len(batch), pa.int64())
         cols["__side"] = pa.array(np.zeros(len(batch), dtype=np.int8))
+        cols["__bucket"] = bucket_col(batch)
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -163,13 +179,14 @@ def asof_join(
         cols["__v"] = pc.cast(batch.column(value_col), pa.int64())
         cols["__rts"] = pc.cast(batch.column(right_ts), pa.int64())
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["__bucket"] = bucket_col(batch)
         return pa.table(cols)
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def per_key(part: pa.Table) -> pa.Table:
+    def per_bucket(part: pa.Table) -> pa.Table:
         if "__side" not in part.column_names:  # empty zero-column block
             return out_schema.empty_table()
         side = part.column("__side").to_numpy()
@@ -179,19 +196,43 @@ def asof_join(
         lt = part.take(pa.array(lsel))
         rsel = np.nonzero(side == 1)[0]
         lts = lt.column(left_ts).to_numpy()
+        lkey = lt.column(key).to_numpy(zero_copy_only=False)
+        n = len(lsel)
         if len(rsel) == 0:
-            vals = np.full(len(lsel), fill, dtype=np.int64)
+            vals = np.full(n, fill, dtype=np.int64)
         else:
-            rts = part.column("__rts").to_numpy()[rsel]
-            rv = part.column("__v").to_numpy()[rsel]
-            order = np.argsort(rts, kind="stable")
-            rts, rv = rts[order], rv[order]
-            idx = np.searchsorted(rts, lts, side="left") - 1
-            vals = np.where(idx >= 0, rv[np.maximum(idx, 0)], fill).astype(np.int64)
+            ldf = pd.DataFrame(
+                {"k": lkey, "ts": lts, "i": np.arange(n, dtype=np.int64)}
+            ).sort_values("ts", kind="mergesort")
+            rt = part.take(pa.array(rsel))
+            rdf = pd.DataFrame(
+                {
+                    # null-free after the row take — stays int64 (the
+                    # full nullable union column would convert to float)
+                    "k": rt.column(key).to_numpy(zero_copy_only=False),
+                    "ts": rt.column("__rts").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    "v": rt.column("__v").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                }
+            ).sort_values("ts", kind="mergesort")
+            m = pd.merge_asof(
+                ldf,
+                rdf,
+                on="ts",
+                by="k",
+                direction="backward",
+                allow_exact_matches=False,
+            )
+            vals = np.full(n, fill, dtype=np.float64)
+            vals[m["i"].to_numpy()] = m["v"].to_numpy()
+            vals = np.where(np.isnan(vals), fill, vals).astype(np.int64)
         arrays = [lt.column(c) for c in lcols] + [pa.array(vals, pa.int64())]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return both.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
