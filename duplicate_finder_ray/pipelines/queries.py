@@ -757,6 +757,28 @@ def q_distinct_tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
     return textstats.distinct_token_counts(docs, "text", "lang")
 
 
+def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Curation: deterministic text normalization (lowercase, collapse
+    whitespace, strip) — pure RE2 ops with a bit-identical SQL twin."""
+    from duplicate_finder_ray.stages import textstats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(textstats.normalize_text, batch_format="pyarrow")
+
+
+def q_quality_prune(sf_dir: str) -> ray.data.Dataset:
+    """Curation: keep documents at or above the per-language median
+    quality score — tiny per-group quantile aggregate, broadcast to a
+    vectorized filter (the corpus never shuffles)."""
+    from duplicate_finder_ray.stages import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return textstats.quality_prune(docs, frac=0.5, group_col="lang")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -812,6 +834,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doclen_quantiles": q_doclen_quantiles,
     "top_tokens": q_top_tokens,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
+    "normalize_text": q_normalize_text,
+    "quality_prune": q_quality_prune,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1340,3 +1364,28 @@ ORACLE_SQL: dict[str, str] = {
     FROM tok GROUP BY 1
     """,
 }
+
+ORACLE_SQL["normalize_text"] = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                      '^ | $', '', 'g') AS text_norm,
+       CAST(length(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                                  '^ | $', '', 'g')) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+#: per-language median-quality pruning — reuses the quality_scores twin
+#: so the score expression stays defined in exactly one place per engine
+ORACLE_SQL["quality_prune"] = f"""
+WITH qs AS ({ORACLE_SQL["quality_scores"]}),
+j AS (
+  SELECT qs.doc_id, d.lang, qs.quality_score
+  FROM qs JOIN documents d USING (doc_id)
+),
+cut AS (
+  SELECT lang, quantile_cont(quality_score, 0.5) AS c FROM j GROUP BY 1
+)
+SELECT j.doc_id, j.lang, j.quality_score
+FROM j JOIN cut USING (lang)
+WHERE j.quality_score >= cut.c
+"""

@@ -18,6 +18,22 @@ from duplicate_finder_ray.functions.hashing import (
 )
 
 
+def drop_poison_rows(batch: pa.Table) -> pa.Table:
+    """Skip-don't-crash parity: the reference drops a file whose hash
+    read fails, with a printed warning (duplicate_finder.py:235-237).
+    The table analogue of an unreadable file is a NULL ``content`` cell;
+    such rows cannot be sized, hashed or compared, so they are dropped
+    here — with a warning carrying the count, never silently."""
+    mask = batch["content"].is_valid()
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    n_bad = len(batch) - pc.sum(mask).as_py()
+    if n_bad:
+        print(f"Warning: skipping {n_bad} row(s) with NULL content")
+        return batch.filter(mask)
+    return batch
+
+
 def add_identity(batch: pa.Table) -> pa.Table:
     """Append ``file_id`` and ``size`` (content byte length).
 
@@ -29,7 +45,11 @@ def add_identity(batch: pa.Table) -> pa.Table:
     path extension (same convention as the filesystem source,
     sources/filesystem.py), so the library surface accepts the minimal
     ``(repo, path, commit, content)`` schema.
+
+    Rows with NULL content are dropped first (``drop_poison_rows`` —
+    reference skip-don't-crash semantics).
     """
+    batch = drop_poison_rows(batch)
     if "lang" not in batch.column_names:
         ext = pc.extract_regex(batch["path"], r"\.(?P<ext>[^./\\]+)$")
         lang = pc.coalesce(pc.struct_field(ext, "ext"), pa.scalar("none"))

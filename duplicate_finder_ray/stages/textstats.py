@@ -420,3 +420,79 @@ def approx_distinct_tokens(
     for row in parts:
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# -- curation: normalization + quality pruning --------------------------
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic text normalization (training-data hygiene):
+    lowercase → collapse \\s+ runs to one space → strip edge spaces.
+    Pure RE2 ops so the SQL twin (lower + regexp_replace) is
+    bit-identical; deliberately NOT utf8_trim_whitespace, whose Unicode
+    whitespace class diverges from RE2's ASCII \\s."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.replace_substring_regex(t, r"^ | $", "")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text_norm": t,
+            "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+        }
+    )
+
+
+def quality_prune(
+    docs: ray.data.Dataset, frac: float = 0.5, group_col: str = "lang"
+) -> ray.data.Dataset:
+    """Keep documents whose quality_score is ≥ the per-group
+    ``frac``-quantile — the canonical curation shape: ONE tiny
+    distributed aggregate (per-group exact quantile via
+    groupby.map_groups), its few-row result broadcast to a vectorized
+    filter pass. The corpus itself is scored twice but never shuffled.
+    Output: (doc_id, lang, quality_score) of the surviving rows."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        qs = quality_scores(batch)
+        return pa.table(
+            {
+                "doc_id": qs["doc_id"],
+                group_col: batch[group_col],
+                "quality_score": qs["quality_score"],
+            }
+        )
+
+    scored = docs.select_columns(["doc_id", "text", group_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+    def cutoff(part: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                group_col: [part[group_col].iloc[0]],
+                "cut": [
+                    float(
+                        np.quantile(
+                            part["quality_score"].to_numpy(), frac, method="linear"
+                        )
+                    )
+                ],
+            }
+        )
+
+    cuts = {
+        r[group_col]: r["cut"]
+        for r in scored.select_columns([group_col, "quality_score"])
+        .groupby(group_col)
+        .map_groups(cutoff, batch_format="pandas")
+        .take_all()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        c = np.array([cuts[x] for x in g], dtype=np.float64)
+        mask = batch["quality_score"].to_numpy() >= c
+        return batch.filter(pa.array(mask))
+
+    return scored.map_batches(keep, batch_format="pyarrow")

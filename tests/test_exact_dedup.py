@@ -252,3 +252,28 @@ class TestReport:
             {"group_id": [], "rank": [], "size": [], "file_id": []}
         )
         assert render_text_report(empty) == "No duplicate files found.\n"
+
+
+class TestPoisonRows:
+    def test_null_content_skipped_with_warning(self, ray_session):
+        """Reference skip-don't-crash parity (duplicate_finder.py:235-237):
+        a NULL content cell (the table analogue of an unreadable file)
+        drops that row, never the pipeline."""
+        import pandas as pd
+
+        from duplicate_finder_ray import DedupPipeline, PipelineConfig
+
+        df = pd.DataFrame(
+            {
+                "repo": ["r"] * 4,
+                "path": ["a.py", "b.py", "c.py", "d.py"],
+                "commit": ["c"] * 4,
+                "lang": ["py"] * 4,
+                "content": ["x" * 10, "x" * 10, None, "y"],
+            }
+        )
+        res = DedupPipeline(PipelineConfig()).run_on(
+            ray_session.data.from_pandas(df)
+        )
+        got = sorted((r["path"], r["is_keeper"]) for r in res.members.take_all())
+        assert got == [("a.py", True), ("b.py", False)]

@@ -201,3 +201,53 @@ class TestTokenStats:
         ds = ray_session.data.from_pandas(pd.DataFrame({"text": texts}))
         approx = approx_distinct_tokens(ds, "text", p=12)
         assert abs(approx - 10_000) / 10_000 < 0.05
+
+
+class TestCuration:
+    def test_normalize_text(self, ray_session):
+        import pandas as pd
+
+        from duplicate_finder_ray.stages.textstats import normalize_text
+
+        ds = ray_session.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "text": ["  A \t B\n\nc ", "", "x"]}
+            )
+        )
+        got = {
+            r["doc_id"]: (r["text_norm"], r["n_chars_norm"])
+            for r in ds.map_batches(
+                normalize_text, batch_format="pyarrow"
+            ).take_all()
+        }
+        assert got == {1: ("a b c", 5), 2: ("", 0), 3: ("x", 1)}
+
+    def test_quality_prune_median(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from duplicate_finder_ray.stages.textstats import (
+            quality_prune,
+            quality_scores,
+        )
+        import pyarrow as pa
+
+        texts = [
+            "the cat and the dog are in the house",     # prosey
+            "x1 9388 !!!! 0x3f ____",                    # junk
+            "it was the best of times it was the worst", # prosey
+            "0000 1111 2222 3333",                       # junk
+        ]
+        df = pd.DataFrame(
+            {"doc_id": range(4), "text": texts, "lang": ["en"] * 4}
+        )
+        ds = ray_session.data.from_pandas(df)
+        kept = sorted(
+            r["doc_id"] for r in quality_prune(ds, frac=0.5).take_all()
+        )
+        scores = quality_scores(pa.Table.from_pandas(df))[
+            "quality_score"
+        ].to_numpy()
+        cut = np.quantile(scores, 0.5, method="linear")
+        assert kept == sorted(np.nonzero(scores >= cut)[0].tolist())
+        assert kept == [0, 2]
