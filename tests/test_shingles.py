@@ -228,3 +228,50 @@ class TestBatchKernels:
             ref = ref_sh.shingle_hashes(t)
             np.testing.assert_array_equal(minhash_signature(ref, a, b), sigs[i])
             assert simhash64(ref) == int(sims[i])
+
+
+class TestBatchKernelProperty:
+    def test_batch_equals_per_doc_on_random_texts(self):
+        """Hypothesis: the whole-batch CSR kernels (shingle_hashes_batch
+        → batch_minhash/batch_simhash) are bit-identical to the per-doc
+        reference functions on arbitrary unicode texts, all modes."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from duplicate_finder_ray.functions.shingles import (
+            batch_minhash,
+            batch_simhash,
+        )
+
+        a, b = minhash_params(32, seed=7)
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.text(
+                    st.characters(codec="utf-8"),
+                    min_size=0,
+                    max_size=80,
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+            st.sampled_from(["token", "char", "line"]),
+            st.sampled_from([2, 3, 5]),
+        )
+        def check(texts, mode, k):
+            sh = Shingler(k=k, mode=mode)
+            flat, offs = sh.shingle_hashes_batch(texts)
+            sigs = batch_minhash(flat, offs, a, b)
+            sims = batch_simhash(flat, offs)
+            for i, t in enumerate(texts):
+                hs = sh.shingle_hashes(t)
+                np.testing.assert_array_equal(
+                    np.sort(np.unique(hs)), np.sort(flat[offs[i] : offs[i + 1]])
+                )
+                np.testing.assert_array_equal(
+                    sigs[i], minhash_signature(np.unique(hs), a, b)
+                )
+                assert sims[i] == simhash64(np.unique(hs))
+
+        check()

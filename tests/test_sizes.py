@@ -102,3 +102,37 @@ def test_layer_divergence():
     assert parse_size("10M") == 10**7  # loose layer accepts
     with pytest.raises(ValueError):
         validate_size_string("10M")  # strict layer rejects
+
+
+class TestSizeGrammarProperty:
+    def test_parse_matches_unit_arithmetic(self):
+        """Hypothesis: for any magnitude and any unit in the reference's
+        table, parse(f'{x} {unit}') == int(x * multiplier) — i.e. the
+        grammar is exactly the two-layer unit arithmetic the reference
+        defines (utils.py:19-59), across whitespace and case variants."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from duplicate_finder_ray.functions.sizes import parse_size
+
+        units = {
+            "B": 1,
+            "KB": 10**3, "MB": 10**6, "GB": 10**9, "TB": 10**12,
+            "KIB": 2**10, "MIB": 2**20, "GIB": 2**30, "TIB": 2**40,
+        }
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.floats(min_value=0, max_value=1e6, allow_nan=False,
+                      allow_infinity=False),
+            st.sampled_from(sorted(units)),
+            st.sampled_from(["{}{}", "{} {}", "  {}  {}  "]),
+            st.booleans(),
+        )
+        def check(x, unit, fmt, lower):
+            mag = round(x, 3)  # the grammar takes decimal literals
+            u = unit.lower() if lower else unit
+            s = fmt.format(mag, u)
+            assert parse_size(s) == int(mag * units[unit])
+
+        check()
