@@ -779,6 +779,54 @@ def q_quality_prune(sf_dir: str) -> ray.data.Dataset:
     return textstats.quality_prune(docs, frac=0.5, group_col="lang")
 
 
+def q_signature_shingle_counts(sf_dir: str) -> ray.data.Dataset:
+    """Hash-checks the signature stage's shingling itself: the per-doc
+    DISTINCT 5-token-gram count (n_shingles) must equal the SQL
+    set-size CTE the n-gram oracle uses. (The minhash/simhash values
+    are not SQL-expressible; their determinism/estimator properties are
+    gated in tests/test_shingles.py.)"""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+
+    sigs = NearDupPipeline(PipelineConfig()).signatures_for(
+        code_files_from_documents(sf_dir)
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n_shingles"], 0)).select(
+            ["file_id", "n_shingles"]
+        )
+
+    return sigs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_normalized_dup_groups(sf_dir: str) -> ray.data.Dataset:
+    """Curation composition: exact-dup groups AFTER deterministic text
+    normalization (catches case/whitespace-only duplicates the byte
+    dedup misses). Normalize → sha256 → one groupby; content never
+    shuffles."""
+    from ray.data.aggregate import Count
+
+    from duplicate_finder_ray.functions.hashing import sha256_hex_array
+
+    def norm_sha(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["content"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.replace_substring_regex(t, r"^ | $", "")
+        return pa.table({"group_id": sha256_hex_array(t)})
+
+    groups = (
+        code_files_from_documents(sf_dir)
+        .map_batches(norm_sha, batch_format="pyarrow")
+        .groupby("group_id")
+        .aggregate(Count(alias_name="n_files"))
+    )
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n_files"], 1))
+
+    return groups.map_batches(dups_only, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -836,6 +884,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
+    "signature_shingle_counts": q_signature_shingle_counts,
+    "normalized_dup_groups": q_normalized_dup_groups,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1388,4 +1438,25 @@ cut AS (
 SELECT j.doc_id, j.lang, j.quality_score
 FROM j JOIN cut USING (lang)
 WHERE j.quality_score >= cut.c
+"""
+
+#: the signature stage's shingle-set sizes vs the n-gram oracle's CTE
+ORACLE_SQL["signature_shingle_counts"] = (
+    "WITH "
+    + _NGRAM_CTES
+    + """
+    SELECT doc_key AS file_id, CAST(n AS BIGINT) AS n_shingles FROM n
+    """
+)
+
+ORACLE_SQL["normalized_dup_groups"] = f"""
+WITH code_files AS ({CODE_FILES_SQL}),
+nrm AS (
+  SELECT sha256(regexp_replace(regexp_replace(lower(content),
+                                              '\\s+', ' ', 'g'),
+                               '^ | $', '', 'g')) AS group_id
+  FROM code_files
+)
+SELECT group_id, CAST(count(*) AS BIGINT) AS n_files
+FROM nrm GROUP BY 1 HAVING count(*) > 1
 """
