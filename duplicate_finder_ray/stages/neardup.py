@@ -811,44 +811,49 @@ def verify_pairs_exact(
     # measured unusable at 2.4M docs.)
     n_shards = max(4, effective_parallelism(cfg))
 
-    def add_shard(batch: pa.Table) -> pa.Table:
-        if "fid" not in batch.column_names or len(batch) == 0:
-            return pa.table(
+    # MAP-SIDE SPLIT EXCHANGE, not a groupby: Ray Data's sort-based
+    # groupby("shard") physically sorts the multi-GB shingle payload
+    # through a sample/boundary barrier — measured 77 s serial-ish at
+    # 2.4 M docs (vs ~2 s for everything else in this stage) and it was
+    # THE flat term pinning the 8→32-CPU scaling of the whole pipeline.
+    # Instead each endpoint block splits itself into n_shards sub-tables
+    # in parallel (every payload byte is copied exactly once, map-side),
+    # and each shard's CSR build consumes its own sub-objects — no sort,
+    # no sampling, and on a multi-node cluster each byte crosses the
+    # network once.
+    sets_blocks = shingle_sets.materialize().to_arrow_refs()
+
+    @ray.remote
+    def split_block(block: pa.Table):
+        cols = ["fid", "file_id", "shingles"]
+        if "fid" not in block.column_names or len(block) == 0:
+            empty = pa.table(
                 {
                     "fid": pa.array([], pa.uint64()),
                     "file_id": pa.array([], pa.string()),
                     "shingles": pa.array([], pa.large_binary()),
-                    "shard": pa.array([], pa.int32()),
                 }
             )
-        fid = batch.column("fid").to_numpy().astype(np.uint64)
-        return batch.append_column(
-            "shard",
-            pa.array((fid % np.uint64(n_shards)).astype(np.int32), pa.int32()),
-        )
+            parts = [empty] * n_shards
+        else:
+            block = block.select(cols)
+            fid = block.column("fid").to_numpy().astype(np.uint64)
+            shard = (fid % np.uint64(n_shards)).astype(np.int64)
+            parts = [
+                block.filter(pa.array(shard == s)) for s in range(n_shards)
+            ]
+        return parts[0] if n_shards == 1 else tuple(parts)
 
-    parted = (
-        shingle_sets.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(lambda t: t, batch_format="pyarrow")
-        .materialize()
-    )
-    refs = parted.to_arrow_refs()
-
-    @ray.remote
-    def shards_present(block: pa.Table) -> np.ndarray:
-        if "shard" not in block.column_names or len(block) == 0:
-            return np.empty(0, np.int32)
-        return np.unique(block.column("shard").to_numpy())
-
-    presence = ray.get([shards_present.remote(r) for r in refs])
-    blocks_of: dict[int, list] = {}
-    for ref, pres in zip(refs, presence):
-        for s in pres:
-            blocks_of.setdefault(int(s), []).append(ref)
+    split_refs = [
+        split_block.options(num_returns=n_shards).remote(r)
+        for r in sets_blocks
+    ]
+    if n_shards == 1:
+        split_refs = [[r] for r in split_refs]
     empty_ref = ray.put(_EMPTY_CSR)
     shard_refs = {
-        s: _build_csr_task.remote(s, n_shards, *bl) for s, bl in blocks_of.items()
+        s: _build_csr_task.remote(s, n_shards, *[row[s] for row in split_refs])
+        for s in range(n_shards)
     }
 
     def add_spair(batch: pa.Table) -> pa.Table:
