@@ -378,54 +378,39 @@ def candidate_pairs(
             out_refs = [out_refs]
         return ray.data.from_arrow_refs(list(out_refs))
 
-    def add_pkey(batch: pa.Table) -> pa.Table:
-        pkey = (
-            batch.column("band_hash").to_numpy().astype(np.uint64)
-            % np.uint64(num_parts)
-        ).astype(np.int32)
-        return batch.append_column("pkey", pa.array(pkey, pa.int32()))
+    # --- scale path: barrier-free hash exchange (stages/exchange.py) ---
+    # band_hash already folds the band index in, so it alone is the
+    # bucket key; partitioning by band_hash % P keeps buckets whole.
+    # Ray Data's sort-based groupby would sample+sort the 16-byte rows
+    # for an order nothing needs; the raw-task exchange has no barrier
+    # and each reduce runs the SAME vectorized kernel the fused path
+    # uses (path equality is test-guarded).
+    from duplicate_finder_ray.stages.exchange import hash_exchange
 
-    def emit_partition(part: pd.DataFrame) -> pa.Table:
-        # keep only buckets with ≥2 members (vectorized prefilter)
-        part = part[part.duplicated(["band_hash"], keep=False)]
-        if len(part) == 0:
-            return _EMPTY_PAIRS
-        part = part.sort_values(["band_hash", "fid"], kind="mergesort")
-        ids = part["fid"].to_numpy().astype(np.uint64)
-        sizes = (
-            part.groupby(["band_hash"], sort=False).size().to_numpy()
-        )  # run-lengths in sorted order
-        starts = np.zeros(len(sizes), dtype=np.int64)
-        np.cumsum(sizes[:-1], out=starts[1:])
-        capped = np.minimum(sizes, cap)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_sz: list[np.ndarray] = []
-        # vectorize per DISTINCT capped size (few distinct values), not
-        # per bucket — a python iteration per bucket is ~100µs × 10^5+
-        for m in np.unique(capped):
-            if m < 2:
-                continue
-            sel = capped == m
-            st = starts[sel]
-            ia, ib = np.triu_indices(int(m), k=1)
-            out_a.append(ids[(st[:, None] + ia[None, :]).ravel()])
-            out_b.append(ids[(st[:, None] + ib[None, :]).ravel()])
-            out_sz.append(np.repeat(sizes[sel], len(ia)))
-        if not out_a:
+    def band_part(tbl: pa.Table, n: int) -> np.ndarray:
+        return (
+            tbl.column("band_hash").to_numpy().astype(np.uint64)
+            % np.uint64(n)
+        ).astype(np.int64)
+
+    def emit_reduce(p: int, tbl: pa.Table) -> pa.Table:
+        a, b, sz = bucket_pairs_arrays(
+            tbl.column("band_hash").to_numpy().astype(np.uint64),
+            tbl.column("fid").to_numpy().astype(np.uint64),
+            cap,
+        )
+        if len(a) == 0:
             return _EMPTY_PAIRS
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a), pa.uint64()),
-                "b": pa.array(np.concatenate(out_b), pa.uint64()),
-                "bucket_size": pa.array(np.concatenate(out_sz).astype(np.int64)),
+                "a": pa.array(a, pa.uint64()),
+                "b": pa.array(b, pa.uint64()),
+                "bucket_size": pa.array(sz.astype(np.int64)),
             }
         )
 
-    pairs = (
-        band_rows.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(emit_partition, batch_format="pandas")
+    pairs = hash_exchange(
+        band_rows, band_part, num_parts, emit_reduce, _EMPTY_PAIRS
     )
 
     # dedupe pairs across bands. The raw (pre-dedupe) pair table is
@@ -486,39 +471,30 @@ def candidate_pairs(
             out_refs = [out_refs]
         return ray.data.from_arrow_refs(list(out_refs))
 
-    # distributed fallback: two-level pkey shuffle + pandas C agg
-    def dedupe_partition(part: pd.DataFrame) -> pd.DataFrame:
-        agg = (
-            part.groupby(["a", "b"], sort=False)
-            .agg(n_bands=("bucket_size", "size"), bucket_size=("bucket_size", "max"))
-            .reset_index()
-        )
-        agg["n_bands"] = agg["n_bands"].astype("int64")
-        return agg
+    # distributed fallback: barrier-free hash exchange keyed on the
+    # FULL (a, b) pair (fixed-key siphash mix — a hub file that
+    # near-matches much of the corpus would otherwise funnel its pairs
+    # into one partition), reduced by the same run-length kernel the
+    # single-task path uses.
+    from duplicate_finder_ray.stages.exchange import hash_exchange
 
-    def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        # pd.util.hash_array (fixed-key siphash), NOT builtin hash() —
-        # deterministic across processes. Key on the FULL (a, b) pair,
-        # not a alone: a hub file that near-matches a large fraction of
-        # the corpus (boilerplate, generated code) would otherwise send
-        # all its pairs to one partition; the group key is (a, b), so
-        # mixing b in costs nothing and distinct pairs spread uniformly
-        # regardless of per-node degree skew.
-        av = batch.column("a").to_numpy().astype(np.uint64)
-        bv = batch.column("b").to_numpy().astype(np.uint64)
+    def pair_part(tbl: pa.Table, n: int) -> np.ndarray:
+        av = tbl.column("a").to_numpy().astype(np.uint64)
+        bv = tbl.column("b").to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
             h = pd.util.hash_array(av * np.uint64(0x9E3779B97F4A7C15) ^ bv)
-        return batch.append_column(
-            "pkey",
-            pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),
+        return (h % np.uint64(n)).astype(np.int64)
+
+    def dedupe_reduce(p: int, tbl: pa.Table) -> pa.Table:
+        return dedupe_pair_arrays(
+            tbl.column("a").to_numpy().astype(np.uint64),
+            tbl.column("b").to_numpy().astype(np.uint64),
+            tbl.column("bucket_size").to_numpy().astype(np.int64),
         )
 
-    deduped = (
-        raw.map_batches(add_pair_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(dedupe_partition, batch_format="pandas")
+    return hash_exchange(
+        raw, pair_part, num_parts, dedupe_reduce, CAND_SCHEMA.empty_table()
     )
-    return deduped.select_columns(["a", "b", "n_bands", "bucket_size"])
 
 
 @ray.remote
