@@ -136,6 +136,67 @@ class Shingler:
             (len(u) for u in units_per_doc), dtype=np.int64, count=n_docs
         )
         ids = self._ids_batch([u for doc in units_per_doc for u in doc])
+        return self._csr_from_ids(ids, counts, n_docs)
+
+    def shingle_hashes_batch_column(
+        self, col: "pa.Array | pa.ChunkedArray"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Arrow-native twin of :meth:`shingle_hashes_batch` taking the
+        string column directly. For ALL-ASCII token-mode batches the
+        tokenize runs as RE2 split + dictionary-encode entirely in
+        Arrow C — no per-doc Python regex, no per-token Python string
+        objects (the dominant cost of the signature stage). Non-ASCII
+        batches fall back to the Python tokenizer, whose ``\w`` is
+        Unicode-aware where RE2's is ASCII (bit-identity over arbitrary
+        unicode is property-tested)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        is_text = pa.types.is_string(col.type) or pa.types.is_large_string(
+            col.type
+        )
+        if self.mode != "token" or not is_text or len(col) == 0:
+            return self.shingle_hashes_batch(col.to_pylist())
+        arr = pc.fill_null(col, "")
+        # ASCII gate: bytes == codepoints for every row ⇒ RE2's \W+
+        # split equals python re's unicode \w+ findall
+        ascii_ok = pc.all(
+            pc.equal(pc.binary_length(arr), pc.utf8_length(arr))
+        ).as_py()
+        if not ascii_ok:
+            return self.shingle_hashes_batch(col.to_pylist())
+        n_docs = len(arr)
+        split = pc.split_pattern_regex(arr, r"[^0-9A-Za-z_]+")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        if len(flat) == 0:
+            return np.empty(0, dtype=np.uint64), np.zeros(
+                n_docs + 1, dtype=np.int64
+            )
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = enc.dictionary.to_pylist()
+        vocab = self._vocab
+        uid = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):  # blake2b over DISTINCT tokens only
+            h = vocab.get(u)
+            if h is None:
+                h = token_id(u)
+                vocab[u] = h
+            uid[i] = h
+        return self._csr_from_ids(uid[codes], counts, n_docs)
+
+    def _csr_from_ids(
+        self, ids: np.ndarray, counts: np.ndarray, n_docs: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Rolling k-window hash + cross-doc mask + per-doc dedupe over a
+        flattened token-id stream — shared by both tokenize paths."""
         n = len(ids)
         k = self.k
         empty_offsets = np.zeros(n_docs + 1, dtype=np.int64)

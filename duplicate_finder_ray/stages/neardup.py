@@ -138,12 +138,14 @@ class SignatureStage:
         self._work: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        contents = batch.column("content").to_pylist()
-        n = len(contents)
-        # whole-batch CSR kernels (shingle_hashes_batch / batch_minhash /
-        # batch_simhash) — bit-identical to the per-doc functions
-        # (property-tested) but ~3× fewer Python-loop cycles per doc
-        flat, offsets = self.shingler.shingle_hashes_batch(contents)
+        n = len(batch)
+        # whole-batch CSR kernels (shingle_hashes_batch_column /
+        # batch_minhash / batch_simhash) — bit-identical to the per-doc
+        # functions (property-tested); ASCII token batches tokenize
+        # entirely in Arrow C (no per-token Python strings)
+        flat, offsets = self.shingler.shingle_hashes_batch_column(
+            batch.column("content")
+        )
         sigs = batch_minhash(flat, offsets, self.a, self.b, work=self._work)
         simhashes = batch_simhash(flat, offsets, work=self._work)
         n_shingles = np.diff(offsets)

@@ -275,3 +275,45 @@ class TestBatchKernelProperty:
                 assert sims[i] == simhash64(np.unique(hs))
 
         check()
+
+
+class TestColumnTokenizePath:
+    def test_column_equals_list_path(self):
+        import pyarrow as pa
+
+        from duplicate_finder_ray.functions.shingles import Shingler
+
+        ascii_texts = ["a b c d e f g", "x_1 y2 z! a b c d", "", None, "short"]
+        uni_texts = ["héllo wörld a b c d é", "中文 分词 a b c d e", "a b c d e"]
+        for texts in (ascii_texts, uni_texts, ascii_texts + uni_texts):
+            col = pa.array(texts, pa.string())
+            s1, s2 = Shingler(k=3), Shingler(k=3)
+            f1, o1 = s1.shingle_hashes_batch_column(col)
+            f2, o2 = s2.shingle_hashes_batch(texts)
+            np.testing.assert_array_equal(o1, o2)
+            np.testing.assert_array_equal(f1, f2)
+
+    def test_column_property_random_unicode(self):
+        import pyarrow as pa
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from duplicate_finder_ray.functions.shingles import Shingler
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            st.lists(
+                st.text(st.characters(codec="utf-8"), max_size=60),
+                min_size=1,
+                max_size=5,
+            )
+        )
+        def check(texts):
+            col = pa.array(texts, pa.string())
+            f1, o1 = Shingler(k=2).shingle_hashes_batch_column(col)
+            f2, o2 = Shingler(k=2).shingle_hashes_batch(texts)
+            np.testing.assert_array_equal(o1, o2)
+            np.testing.assert_array_equal(f1, f2)
+
+        check()
