@@ -480,9 +480,6 @@ def lsh_cosine_pairs(
         return pa.table(
             {
                 "bkey": pa.array(bkey, pa.uint64()),
-                "pkey": pa.array(
-                    (bkey % np.uint64(num_parts)).astype(np.int32), pa.int32()
-                ),
                 "vec_id": pa.array(np.tile(vec_ids, n_tables)),
             }
         )
@@ -531,36 +528,47 @@ def lsh_cosine_pairs(
         )
 
     signed = slim.map_batches(sign_batch, batch_format="pyarrow")
-    pairs = signed.groupby("pkey").map_groups(
-        emit_partition, batch_format="pandas"
-    )
 
-    # dedupe across tables (same pair may collide in several tables):
-    # two-level again — coarse pkey on hash(a, b), pandas C agg inside.
-    # Keying on the full pair (not a alone) keeps a hub vector that
-    # collides with much of the corpus from funnelling every one of its
-    # pairs into a single partition — the group key is (a, b), so the
-    # mix is free and degree skew cannot concentrate load.
-    def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        av = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bv = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+    # both exchanges run barrier-free (stages/exchange.py): bucket
+    # co-location keyed on the mixed bkey, then cross-table pair dedupe
+    # keyed on the FULL (a, b) pair — keying on a alone would let a hub
+    # vector that collides with much of the corpus funnel every one of
+    # its pairs into a single partition.
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    def bkey_part(tbl: pa.Table, n: int) -> np.ndarray:
+        return (
+            tbl.column("bkey").to_numpy().astype(np.uint64) % np.uint64(n)
+        ).astype(np.int64)
+
+    def emit_reduce(p: int, tbl: pa.Table) -> pa.Table:
+        return emit_partition(tbl.to_pandas())
+
+    pairs = hash_exchange(signed, bkey_part, num_parts, emit_reduce, _EMPTY)
+
+    def pair_part(tbl: pa.Table, n: int) -> np.ndarray:
+        av = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bv = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = pd.util.hash_array(av * np.uint64(0x9E3779B97F4A7C15) ^ bv)
-        return batch.append_column(
-            "pkey",
-            pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),
-        )
+        return (h % np.uint64(n)).astype(np.int64)
 
-    def dedupe_partition(part: pd.DataFrame) -> pd.DataFrame:
-        return (
-            part.groupby(["a", "b"], sort=False)
+    def dedupe_reduce(p: int, tbl: pa.Table) -> pa.Table:
+        agg = (
+            tbl.to_pandas()
+            .groupby(["a", "b"], sort=False)
             .agg(score=("score", "max"), bucket_size=("bucket_size", "max"))
             .reset_index()
         )
+        return pa.table(
+            {
+                "a": pa.array(agg["a"].to_numpy().astype(np.int64)),
+                "b": pa.array(agg["b"].to_numpy().astype(np.int64)),
+                "score": pa.array(agg["score"].to_numpy().astype(np.float64)),
+                "bucket_size": pa.array(
+                    agg["bucket_size"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
 
-    deduped = (
-        pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(dedupe_partition, batch_format="pandas")
-    )
-    return deduped.select_columns(["a", "b", "score", "bucket_size"])
+    return hash_exchange(pairs, pair_part, num_parts, dedupe_reduce, _EMPTY)
