@@ -827,6 +827,20 @@ def q_normalized_dup_groups(sf_dir: str) -> ray.data.Dataset:
     return groups.map_batches(dups_only, batch_format="pyarrow")
 
 
+def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by md5(doc_id) hex range
+    (~80/10/10): reproducible at any parallelism and across engines —
+    the split a training pipeline must be able to replay exactly."""
+    from duplicate_finder_ray.stages.relational import split_assign
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return split_assign(
+        docs, "doc_id", [("train", "cd"), ("val", "e6")], default="test"
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -884,6 +898,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
+    "dataset_split": q_dataset_split,
     "signature_shingle_counts": q_signature_shingle_counts,
     "normalized_dup_groups": q_normalized_dup_groups,
 }
@@ -1460,3 +1475,13 @@ nrm AS (
 SELECT group_id, CAST(count(*) AS BIGINT) AS n_files
 FROM nrm GROUP BY 1 HAVING count(*) > 1
 """
+
+ORACLE_SQL["dataset_split"] = '''
+SELECT doc_id, lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+'''

@@ -473,3 +473,37 @@ def grouped_sum_rollup(
         Sum(c, alias_name=c) for c in out_names
     ]
     return partial_ds.groupby(group_cols).aggregate(*aggs)
+
+
+def split_assign(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cuts: list[tuple[str, str]],
+    default: str,
+) -> ray.data.Dataset:
+    """Deterministic dataset splitting (train/val/test): each row's
+    md5(str(key)) hex prefix is compared against ascending ``cuts`` —
+    (name, upper_bound_hex) half-open ranges, remainder → ``default``.
+    Row-local, reproducible at any parallelism, and replayable in any
+    engine with an md5() (fixed-width lowercase hex compares
+    numerically)."""
+    n = max(len(hx) for _, hx in cuts)
+    if any(len(hx) != n for _, hx in cuts) or sorted(
+        hx for _, hx in cuts
+    ) != [hx for _, hx in cuts]:
+        raise ValueError("cuts must share one prefix length, ascending")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        out = []
+        for v in keys:
+            h = hashlib.md5(str(v).encode()).hexdigest()[:n]
+            for name, hx in cuts:
+                if h < hx:
+                    out.append(name)
+                    break
+            else:
+                out.append(default)
+        return batch.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

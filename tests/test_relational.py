@@ -217,3 +217,32 @@ class TestSlidingRollup:
 
         with pytest.raises(ValueError):
             sliding_rollup(_ds({"ts": [1], "value": [1.0]}), 50, 15)
+
+
+class TestSplitAssign:
+    def test_matches_md5_ranges(self):
+        import hashlib
+
+        ds = _ds({"doc_id": pa.array(list(range(300)), pa.int64())})
+        out = {
+            r["doc_id"]: r["split"]
+            for r in rel.split_assign(
+                ds, "doc_id", [("train", "cd"), ("val", "e6")], "test"
+            ).take_all()
+        }
+        for i in range(300):
+            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+            want = "train" if h < "cd" else ("val" if h < "e6" else "test")
+            assert out[i] == want
+        # ratios land near 80/10/10
+        from collections import Counter
+
+        c = Counter(out.values())
+        assert c["train"] > c["val"] and c["train"] > c["test"]
+
+    def test_rejects_bad_cuts(self):
+        ds = _ds({"doc_id": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError):
+            rel.split_assign(ds, "doc_id", [("a", "e6"), ("b", "cd")], "z")
+        with pytest.raises(ValueError):
+            rel.split_assign(ds, "doc_id", [("a", "c"), ("b", "e6")], "z")
