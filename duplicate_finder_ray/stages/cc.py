@@ -119,10 +119,26 @@ def _contract_round(
             }
         )
 
-    return (
-        edges.map_batches(add_buckets, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(_local_contract, batch_format="pandas")
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    doubled = edges.map_batches(add_buckets, batch_format="pyarrow")
+
+    def bucket_part(tbl: pa.Table, n: int) -> np.ndarray:
+        return tbl.column("__bucket").to_numpy().astype(np.int64)
+
+    def contract_reduce(p: int, tbl: pa.Table) -> pa.Table:
+        return _local_contract(tbl.select(["a", "b"]).to_pandas())
+
+    # barrier-free hash exchange (stages/exchange.py): the per-round
+    # co-location needs bucket membership, not sort order — Ray Data's
+    # sort-based groupby would pay a sample barrier + full sort of the
+    # edge table EVERY round
+    return hash_exchange(
+        doubled,
+        bucket_part,
+        num_buckets,
+        contract_reduce,
+        pa.schema([("a", pa.string()), ("b", pa.string())]).empty_table(),
     )
 
 
@@ -220,21 +236,19 @@ def connected_components(
             }
         )
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket",
-            pa.array(
-                _hash_buckets(
-                    batch.column("a").to_numpy(zero_copy_only=False), num_buckets
-                ),
-                pa.int32(),
-            ),
-        )
+    from duplicate_finder_ray.stages.exchange import hash_exchange
 
-    return (
-        edges.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(dedupe, batch_format="pandas")
+    def node_part(tbl: pa.Table, n: int) -> np.ndarray:
+        return _hash_buckets(
+            tbl.column("a").to_numpy(zero_copy_only=False), n
+        ).astype(np.int64)
+
+    def dedupe_reduce(p: int, tbl: pa.Table) -> pa.Table:
+        return dedupe(tbl.select(["a", "b"]).to_pandas())
+
+    return hash_exchange(
+        edges, node_part, num_buckets, dedupe_reduce,
+        _LABELS_SCHEMA.empty_table(),
     )
 
 
