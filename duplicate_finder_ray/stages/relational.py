@@ -232,7 +232,19 @@ def asof_join(
         arrays = [lt.column(c) for c in lcols] + [pa.array(vals, pa.int64())]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+    # barrier-free co-location (stages/exchange.py) — bucket membership
+    # is all the merge needs; per_bucket sorts its own rows
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    def bucket_part(tbl: pa.Table, n: int) -> np.ndarray:
+        return tbl.column("__bucket").to_numpy().astype(np.int64)
+
+    def bucket_reduce(p: int, tbl: pa.Table) -> pa.Table:
+        return per_bucket(tbl)
+
+    return hash_exchange(
+        both, bucket_part, num_buckets, bucket_reduce, out_schema.empty_table()
+    )
 
 
 # --------------------------------------------------------------------------
