@@ -45,6 +45,14 @@ def banding_for(num_perms: int, tau: float, target_recall: float) -> int:
         raise ValueError(f"tau must be in (0, 1]: {tau}")
     for r in range(num_perms, 0, -1):
         b = num_perms // r
+        if num_perms // b != r:
+            # not a rows-per-band the pipeline can actually run: it uses
+            # r_eff = K // b, which exceeds this nominal r and flattens
+            # the S-curve below the validated recall (e.g. K=128,
+            # τ=0.95, target=0.998: b=9 validates at r=13 but runs
+            # r=14 → 0.99757). The realizable twin of this banding is
+            # visited when the loop reaches r = K // b.
+            continue
         if 1.0 - (1.0 - tau**r) ** b >= target_recall:
             return b
     return num_perms

@@ -51,7 +51,21 @@ def hash_exchange(
         if len(block) == 0 or block.num_columns == 0:
             parts = [block.slice(0, 0)] * n_parts
         else:
-            pid = part_of(block, n_parts)
+            pid = np.asarray(part_of(block, n_parts))
+            # enforce the [0, n_parts) contract loudly: block.filter
+            # would silently DROP rows a buggy partitioner sends out of
+            # range, corrupting results with no error
+            if len(pid) != len(block):
+                raise ValueError(
+                    f"partitioner returned {len(pid)} ids for "
+                    f"{len(block)} rows"
+                )
+            lo, hi = int(pid.min()), int(pid.max())
+            if lo < 0 or hi >= n_parts:
+                raise ValueError(
+                    f"partitioner produced ids outside [0, {n_parts}): "
+                    f"min={lo} max={hi}"
+                )
             parts = [block.filter(pa.array(pid == p)) for p in range(n_parts)]
         return parts[0] if n_parts == 1 else tuple(parts)
 

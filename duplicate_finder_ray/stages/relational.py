@@ -97,6 +97,13 @@ def broadcast_hash_join(
             for c in right_cols:
                 arrays.append(rsel.column(c))
                 names.append(c)
+        elif len(rt) == 0:
+            # left join against an empty dimension table: every left row
+            # survives with all-null right columns (rt.take on a 0-row
+            # table would raise out-of-bounds)
+            for c in right_cols:
+                arrays.append(pa.nulls(len(m), rt.schema.field(c).type))
+                names.append(c)
         else:
             j = m["j"].to_numpy()
             jj = np.where(pd.isna(j), 0, j).astype(np.int64)

@@ -401,12 +401,20 @@ def hyperplane_params_for(
     auto-derivation is what makes the scale path recall-safe."""
     import math
 
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError(
+            f"target_recall must be in (0, 1): {target_recall} "
+            "(1.0 needs infinitely many tables)"
+        )
     p = 1.0 - math.acos(min(max(tau, -1.0), 1.0)) / math.pi
     if p >= 1.0:
         return (1, 1)
     for bits in range(16, 0, -1):
         q = p**bits
-        need = math.log(1.0 - target_recall) / math.log(1.0 - q)
+        denom = math.log1p(-q)  # log(1-q) without the 1-q==1.0 rounding
+        if denom == 0.0:  # q underflow (tau near -1): skip this width
+            continue
+        need = math.log(1.0 - target_recall) / denom
         if need <= max_tables:
             return (max(1, math.ceil(need)), bits)
     return (max_tables, 1)

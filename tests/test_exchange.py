@@ -66,6 +66,31 @@ class TestHashExchange:
         assert out.count() == 0
         assert out.schema().names == ["k", "n"]
 
+    def test_out_of_range_partition_ids_fail_loudly(self, ray_session):
+        # the old behavior silently dropped rows whose pid fell outside
+        # [0, n_parts) — a buggy partitioner must be an error, not data
+        # loss
+        import pytest
+
+        ds = ray_session.data.from_arrow(
+            pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        )
+
+        def bad_part(tbl: pa.Table, n: int) -> np.ndarray:
+            return tbl.column("k").to_numpy().astype(np.int64)  # 3 >= n
+
+        _, count_reduce = _make_fns()
+        with pytest.raises(Exception, match="outside"):
+            hash_exchange(ds, bad_part, 3, count_reduce, _EMPTY).take_all()
+
+        def negative_part(tbl: pa.Table, n: int) -> np.ndarray:
+            return -np.ones(len(tbl), dtype=np.int64)
+
+        with pytest.raises(Exception, match="outside"):
+            hash_exchange(
+                ds, negative_part, 3, count_reduce, _EMPTY
+            ).take_all()
+
     def test_single_partition(self, ray_session):
         ds = ray_session.data.from_arrow(
             pa.table({"k": pa.array([1, 1, 2], pa.int64())})

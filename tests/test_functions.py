@@ -230,6 +230,21 @@ class TestConfig:
         # tiny τ: even r=1 misses → falls back to b=K
         assert banding_for(16, 0.01, 0.999) == 16
 
+    def test_banding_validates_effective_rows(self):
+        from duplicate_finder_ray.config import banding_for
+
+        # the pipeline runs r_eff = K // b, which can exceed the nominal
+        # r the loop validated (ADVICE round 2: banding_for(128, 0.95,
+        # 0.998) returned b=9 validated at r=13 but ran r=14 → 0.99757
+        # < 0.998). The defining property must hold at r_eff for every
+        # (tau, target) combination:
+        for tau in (0.3, 0.5, 0.7, 0.8, 0.9, 0.95, 0.99):
+            for target in (0.9, 0.99, 0.995, 0.998, 0.9999):
+                b = banding_for(128, tau, target)
+                r_eff = 128 // b
+                got = 1 - (1 - tau**r_eff) ** b
+                assert got >= target or b == 128, (tau, target, b, got)
+
     def test_lsh_auto_resolution(self):
         cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
         assert cfg.resolved_lsh_bands == 42  # K=128, r=3

@@ -39,6 +39,24 @@ class TestBroadcastHashJoin:
         got = {r["k"]: r["y"] for r in out}
         assert got == {1: None, 2: 20}
 
+    def test_left_against_empty_right(self):
+        # a left join against an empty dimension table must return every
+        # left row with null right columns (used to crash on rt.take
+        # against the 0-row table)
+        left = _ds({"k": [1, 2, 3], "x": ["a", "b", "c"]})
+        right = _ds({"rk": [], "y": []})
+        out = rel.broadcast_hash_join(
+            left, right, "k", "rk", ["y"], how="left"
+        ).take_all()
+        got = sorted((r["k"], r["x"], r["y"]) for r in out)
+        assert got == [(1, "a", None), (2, "b", None), (3, "c", None)]
+
+    def test_inner_against_empty_right(self):
+        left = _ds({"k": [1, 2], "x": ["a", "b"]})
+        right = _ds({"rk": [], "y": []})
+        out = rel.broadcast_hash_join(left, right, "k", "rk", ["y"])
+        assert out.count() == 0
+
     def test_duplicate_right_keys_fan_out(self):
         left = _ds({"k": [1], "x": ["a"]})
         right = _ds({"rk": [1, 1], "y": [10, 11]})

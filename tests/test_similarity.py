@@ -201,3 +201,19 @@ class TestHyperplaneParams:
 
     def test_degenerate_tau_one(self):
         assert similarity.hyperplane_params_for(1.0, 0.9999) == (1, 1)
+
+    def test_rejects_unreachable_recall(self):
+        # target_recall >= 1.0 needs infinitely many tables (log(0));
+        # <= 0 is meaningless — both must fail loudly, not with a
+        # math-domain error
+        import pytest
+
+        for bad in (1.0, 1.5, 0.0, -0.1):
+            with pytest.raises(ValueError, match="target_recall"):
+                similarity.hyperplane_params_for(0.4, bad)
+
+    def test_extreme_negative_tau_no_crash(self):
+        # p -> 0 underflows q = p**bits to 0.0 for large bits; those
+        # bit-widths must be skipped, not divide by log(1) = 0
+        L, bits = similarity.hyperplane_params_for(-0.999999, 0.9)
+        assert L >= 1 and bits >= 1
