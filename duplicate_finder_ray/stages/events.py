@@ -12,10 +12,14 @@ Execution shape:
   sort-based aggregate. Monetary values aggregate as integer cents so
   distributed double-summation order can never change the result.
 * sessionization: per-user gap analysis needs each user's events
-  together and time-ordered ⇒ ONE groupby(user_id).map_groups with an
-  in-group vectorized gap scan (numpy diff > gap ⇒ cumsum session ids).
-  Skew note: the hottest user's event count bounds a group; user_id
-  cardinality ≫ cores keeps partitions balanced.
+  together and time-ordered ⇒ ONE barrier-free hash exchange keyed by
+  ``hash(user_id) % P`` (stages/exchange.py), then a fully vectorized
+  per-PARTITION kernel: lexsort by (user, ts, event_id), boundary flags
+  from diffs, sessions as index arithmetic over the flag positions —
+  the same two-level shape as exact.py's partition kernels, so the
+  interpreter cost is P calls, not one per user (round-2 VERDICT item).
+  Skew note: the hottest user's event count bounds nothing here (a
+  partition holds many users); balance needs user_id cardinality ≫ P.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
@@ -112,13 +117,28 @@ def sliding_rollup(
 
 
 def sessionize(
-    events: ray.data.Dataset, gap_minutes: int = 30
+    events: ray.data.Dataset,
+    gap_minutes: int = 30,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Gap-based sessions per user: a new session starts when the time
     since the user's previous event exceeds ``gap_minutes``. Output one
     row per session: (user_id, session_id, n_events, session_start_us,
-    session_end_us); session_id is 1-based in time order per user."""
+    session_end_us); session_id is 1-based in time order per user.
+
+    Two-level execution (coarse partition + vectorized in-partition
+    kernel, mirroring stages/exact.py): users are co-located by
+    ``hash(user_id) % P`` through the barrier-free hash exchange, and
+    each partition computes ALL of its users' sessions in one numpy
+    pass — a lexsort, two diff-derived boundary flag arrays, and index
+    arithmetic over the session-start positions. No per-user Python
+    call, no sort-based groupby barrier."""
     gap_us = gap_minutes * 60_000_000
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
 
     out_schema = pa.schema(
         [
@@ -130,34 +150,61 @@ def sessionize(
         ]
     )
 
-    def make_sessions(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        # normalize to µs regardless of the column's datetime64 unit
-        ts_us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        new_session = np.ones(len(ts_us), dtype=np.int64)
-        if len(ts_us) > 1:
-            new_session[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
-        session_id = np.cumsum(new_session)
-        df = pd.DataFrame(
+    def to_us(batch: pa.Table) -> pa.Table:
+        # normalize ts to int64 µs row-locally so the exchange carries
+        # fixed-width ints only
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
             {
-                "user_id": g["user_id"].to_numpy(),
-                "session_id": session_id,
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
                 "ts_us": ts_us,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
             }
         )
-        agg = df.groupby("session_id", sort=True).agg(
-            user_id=("user_id", "first"),
-            n_events=("ts_us", "size"),
-            session_start_us=("ts_us", "min"),
-            session_end_us=("ts_us", "max"),
+
+    def user_part(tbl: pa.Table, n: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy()
+        return (pd.util.hash_array(u.copy()) % np.uint64(n)).astype(np.int64)
+
+    def sessions_partition(p: int, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        order = np.lexsort((e, t, u))  # by user, then ts, then event_id
+        u, t = u[order], t[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (t[1:] - t[:-1]) > gap_us
+        starts = np.nonzero(new_user | brk)[0]
+        ends = np.append(starts[1:], n)  # exclusive session ends
+        user_of = u[starts]
+        # 1-based per-user session index: position minus the index of
+        # the user's first session (sessions are user-contiguous)
+        first_of_user = np.maximum.accumulate(
+            np.where(new_user[starts], np.arange(len(starts)), 0)
         )
-        agg = agg.reset_index()
-        return pa.Table.from_pandas(
-            agg[[f.name for f in out_schema]], schema=out_schema, preserve_index=False
+        session_id = np.arange(len(starts)) - first_of_user + 1
+        return pa.table(
+            {
+                "user_id": pa.array(user_of, pa.int64()),
+                "session_id": pa.array(session_id, pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "session_start_us": pa.array(t[starts], pa.int64()),
+                "session_end_us": pa.array(t[ends - 1], pa.int64()),
+            }
         )
 
-    return (
-        events.select_columns(["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(make_sessions, batch_format="pandas")
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = events.select_columns(["event_id", "ts", "user_id"]).map_batches(
+        to_us, batch_format="pyarrow"
+    )
+    return hash_exchange(
+        slim, user_part, num_partitions, sessions_partition, out_schema.empty_table()
     )
