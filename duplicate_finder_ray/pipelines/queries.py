@@ -733,6 +733,23 @@ def q_doclen_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doclen_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Mergeable t-digest twin of ``doclen_quantiles`` — the 100-TB
+    path: per-batch bounded centroid partials + associative merge, so
+    no task ever holds a whole language's values (the exact oracle's
+    groupby.map_groups does). Rows-only at the driver (a sketch is
+    approximate by construction); rank error vs the exact oracle is
+    gated in tests/test_sketches.py."""
+    from duplicate_finder_ray.stages.sketches import grouped_quantiles_sketch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles_sketch(
+        docs, "lang", "n_chars", [("p50_x100", 0.5), ("p90_x100", 0.9)]
+    )
+
+
 def q_top_tokens(sf_dir: str) -> ray.data.Dataset:
     """Distributed exact heavy hitters: global top-20 tokens by
     frequency (ties by token) — per-batch count partials, one
@@ -894,6 +911,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "set_except_repos": q_set_except_repos,
     "sample_docs_md5": q_sample_docs_md5,
     "doclen_quantiles": q_doclen_quantiles,
+    "doclen_quantiles_sketch": q_doclen_quantiles_sketch,
     "top_tokens": q_top_tokens,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,

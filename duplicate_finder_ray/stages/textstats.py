@@ -444,14 +444,24 @@ def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def quality_prune(
-    docs: ray.data.Dataset, frac: float = 0.5, group_col: str = "lang"
+    docs: ray.data.Dataset,
+    frac: float = 0.5,
+    group_col: str = "lang",
+    use_sketch: bool = False,
 ) -> ray.data.Dataset:
     """Keep documents whose quality_score is ≥ the per-group
     ``frac``-quantile — the canonical curation shape: ONE tiny
-    distributed aggregate (per-group exact quantile via
-    groupby.map_groups), its few-row result broadcast to a vectorized
+    distributed aggregate, its few-row result broadcast to a vectorized
     filter pass. The corpus itself is scored twice but never shuffled.
-    Output: (doc_id, lang, quality_score) of the surviving rows."""
+    Output: (doc_id, lang, quality_score) of the surviving rows.
+
+    ``use_sketch=False`` (default, the oracle): exact per-group quantile
+    via groupby.map_groups — one task holds a whole group's scores,
+    fine while rows-per-group fits a worker. ``use_sketch=True`` (the
+    100-TB path): mergeable t-digest cutoffs
+    (stages/sketches.py:grouped_quantiles_sketch) — bounded partials,
+    no task ever holds a group's values; cutoff rank error is the
+    sketch's tested O(1/delta) bound."""
 
     def score(batch: pa.Table) -> pa.Table:
         qs = quality_scores(batch)
@@ -467,27 +477,44 @@ def quality_prune(
         score, batch_format="pyarrow"
     )
 
-    def cutoff(part: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                group_col: [part[group_col].iloc[0]],
-                "cut": [
-                    float(
-                        np.quantile(
-                            part["quality_score"].to_numpy(), frac, method="linear"
-                        )
-                    )
-                ],
-            }
-        )
+    if use_sketch:
+        from duplicate_finder_ray.stages.sketches import grouped_quantiles_sketch
 
-    cuts = {
-        r[group_col]: r["cut"]
-        for r in scored.select_columns([group_col, "quality_score"])
-        .groupby(group_col)
-        .map_groups(cutoff, batch_format="pandas")
-        .take_all()
-    }
+        cuts = {
+            r[group_col]: r["cut_fp"] / 1e6
+            for r in grouped_quantiles_sketch(
+                scored.select_columns([group_col, "quality_score"]),
+                group_col,
+                "quality_score",
+                [("cut_fp", frac)],
+                unit_scale=1_000_000,
+            ).take_all()
+        }
+    else:
+
+        def cutoff(part: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    group_col: [part[group_col].iloc[0]],
+                    "cut": [
+                        float(
+                            np.quantile(
+                                part["quality_score"].to_numpy(),
+                                frac,
+                                method="linear",
+                            )
+                        )
+                    ],
+                }
+            )
+
+        cuts = {
+            r[group_col]: r["cut"]
+            for r in scored.select_columns([group_col, "quality_score"])
+            .groupby(group_col)
+            .map_groups(cutoff, batch_format="pandas")
+            .take_all()
+        }
 
     def keep(batch: pa.Table) -> pa.Table:
         g = batch[group_col].to_numpy(zero_copy_only=False)
