@@ -69,8 +69,14 @@ class NearDupPipeline:
             ).materialize()
         else:
             verified = neardup.verify_pairs(candidates, sigs, cfg).materialize()
-        labels = cc.connected_components(verified, cfg)
-        return NearDupResult(signatures=sigs, pairs=verified, labels=labels)
+        cc_rounds: list[dict] = []
+        labels = cc.connected_components(verified, cfg, round_metrics=cc_rounds)
+        return NearDupResult(
+            signatures=sigs,
+            pairs=verified,
+            labels=labels,
+            metrics={"cc_rounds": cc_rounds},
+        )
 
     def run_checkpointed(
         self,
@@ -116,12 +122,22 @@ class NearDupPipeline:
                 lambda: neardup.verify_pairs(candidates, sigs, cfg),
                 resume=resume,
             )
+        cc_rounds: list[dict] = []
         labels = mgr.run_stage(
             "labels",
-            lambda: cc.connected_components(verified, cfg),
+            lambda: cc.connected_components(verified, cfg, round_metrics=cc_rounds),
             resume=resume,
+            # persisted into the labels stage's lineage manifest: the
+            # per-round O(max-component) bucket-load guard (empty list
+            # when the stage was resumed from a checkpoint or took the
+            # single-task small-graph path)
+            extra=lambda: {"cc_rounds": cc_rounds},
         )
-        metrics = {"checkpoints": mgr.manifests(), "config_hash": mgr.cfg_hash}
+        metrics = {
+            "checkpoints": mgr.manifests(),
+            "config_hash": mgr.cfg_hash,
+            "cc_rounds": cc_rounds,
+        }
         return NearDupResult(
             signatures=sigs, pairs=verified, labels=labels, metrics=metrics
         )

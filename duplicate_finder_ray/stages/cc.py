@@ -160,8 +160,15 @@ def _edge_checksum(edges: ray.data.Dataset) -> int:
     return int(np.sum(parts["s"].to_numpy(dtype=np.uint64), dtype=np.uint64))
 
 
+@ray.remote
+def _block_rows(t: pa.Table) -> int:
+    return len(t)
+
+
 def connected_components(
-    pairs: ray.data.Dataset, cfg: PipelineConfig
+    pairs: ray.data.Dataset,
+    cfg: PipelineConfig,
+    round_metrics: list[dict] | None = None,
 ) -> ray.data.Dataset:
     """Label every node in the pair graph with its component id (the
     lexicographically smallest file_id in the component).
@@ -169,7 +176,16 @@ def connected_components(
     pairs: Dataset with string columns (a, b). Returns (file_id,
     component). Nodes not touched by any pair are singletons by
     definition and never enter the computation.
-    """
+
+    ``round_metrics``: optional list the iterative path APPENDS one dict
+    per contraction round — {round, num_buckets, max_bucket_rows,
+    total_star_rows}. ``max_bucket_rows`` is the documented
+    O(max-component) per-bucket bound made OBSERVABLE: each bucket
+    emits one star edge per node it saw, so a bucket's output row count
+    tracks the largest component contracting into it. A 10^9-member
+    component shows up as a runaway max_bucket_rows rounds before it
+    OOMs a worker (round-2 VERDICT item 9); pipelines persist these
+    rows into the checkpoint lineage."""
     from duplicate_finder_ray.stages.neardup import effective_parallelism
 
     edges = pairs.select_columns(["a", "b"]).materialize()
@@ -218,8 +234,24 @@ def connected_components(
         num_buckets = max(4, min(effective_parallelism(cfg) * 2, n_edges // 2_000))
 
         prev = None
-        for _ in range(cfg.cc_max_rounds):
+        for rnd in range(cfg.cc_max_rounds):
             edges = _contract_round(edges, num_buckets).materialize()
+            if round_metrics is not None:
+                # one output block per bucket (hash_exchange invariant):
+                # per-block row counts ARE the per-bucket star sizes.
+                # len(pa.Table) is metadata; blocks are plasma-mapped,
+                # not copied.
+                sizes = ray.get(
+                    [_block_rows.remote(r) for r in edges.to_arrow_refs()]
+                )
+                round_metrics.append(
+                    {
+                        "round": rnd,
+                        "num_buckets": num_buckets,
+                        "max_bucket_rows": max(sizes, default=0),
+                        "total_star_rows": sum(sizes),
+                    }
+                )
             cur = _edge_checksum(edges)
             if cur == prev:
                 break

@@ -84,7 +84,9 @@ class CheckpointManager:
         except (json.JSONDecodeError, OSError):
             return False
 
-    def save(self, stage: str, ds: ray.data.Dataset) -> ray.data.Dataset:
+    def save(
+        self, stage: str, ds: ray.data.Dataset, extra: Any = None
+    ) -> ray.data.Dataset:
         """Write the stage output as partitioned Parquet + manifest with
         per-partition lineage; return a Dataset reading it back (so
         downstream stages consume the checkpoint, not the upstream
@@ -139,6 +141,11 @@ class CheckpointManager:
             "wall_s": round(wall_s, 3),
             "partitions": partitions,
         }
+        if extra is not None:
+            # stage-specific lineage (e.g. per-round CC bucket loads) —
+            # a callable is evaluated AFTER the stage ran, so metrics
+            # filled during Dataset construction are complete
+            manifest.update(extra() if callable(extra) else extra)
         with open(os.path.join(staging, _MANIFEST), "w") as f:
             json.dump(manifest, f)
         if os.path.isdir(out):
@@ -150,13 +157,13 @@ class CheckpointManager:
         return ray.data.read_parquet(self.stage_dir(stage))
 
     def run_stage(
-        self, stage: str, make: Any, resume: bool = True
+        self, stage: str, make: Any, resume: bool = True, extra: Any = None
     ) -> ray.data.Dataset:
         """``make()`` builds the stage Dataset lazily; skipped entirely
         when a completed checkpoint exists and ``resume``."""
         if resume and self.has(stage):
             return self.load(stage)
-        return self.save(stage, make())
+        return self.save(stage, make(), extra=extra)
 
     # -- lineage / metrics -------------------------------------------
 

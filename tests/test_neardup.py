@@ -277,6 +277,58 @@ class TestConnectedComponents:
         assert all(got[x] == "a_hub" for x in star_nodes)
         assert all(got[f"z{i:04d}"] == "z0000" for i in range(401))
 
+    def test_iterative_round_metrics_expose_bucket_bound(self, ray_session):
+        """The documented O(max-component) per-bucket bound must be
+        OBSERVABLE: the iterative path appends one metric row per
+        contraction round; max_bucket_rows tracks the giant component's
+        star size so a runaway component is visible before it OOMs."""
+        n = 5_000
+        star = pd.DataFrame(
+            {"a": ["a_hub"] * n, "b": [f"n{i:06d}" for i in range(n)]}
+        )
+        cfg = PipelineConfig(cc_local_threshold=0)
+        rounds: list[dict] = []
+        labels = cc.connected_components(
+            ray_session.data.from_pandas(star), cfg, round_metrics=rounds
+        ).to_pandas()
+        assert len(labels) == n + 1
+        assert len(rounds) >= 1  # one row per round, including fixpoint
+        for i, r in enumerate(rounds):
+            assert r["round"] == i
+            assert set(r) == {
+                "round",
+                "num_buckets",
+                "max_bucket_rows",
+                "total_star_rows",
+            }
+        # at the fixpoint the hub's bucket holds the whole component's
+        # star: the metric must show the concentration, not average it
+        assert rounds[-1]["max_bucket_rows"] >= n + 1
+        assert rounds[-1]["total_star_rows"] >= n + 1
+
+    def test_round_metrics_in_checkpoint_lineage(self, ray_session, tmp_path):
+        """run_checkpointed persists the per-round CC bucket loads into
+        the labels stage's lineage manifest."""
+        from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+
+        df = pd.DataFrame(
+            {
+                "repo": ["o/r"] * 4,
+                "path": [f"f{i}.py" for i in range(4)],
+                "commit": ["1" * 40] * 4,
+                "lang": ["python"] * 4,
+                "content": ["alpha beta gamma delta epsilon zeta" * 3] * 4,
+            }
+        )
+        cfg = PipelineConfig(cc_local_threshold=0, jaccard_threshold=0.5)
+        res = NearDupPipeline(cfg).run_checkpointed(
+            ray_session.data.from_pandas(df), str(tmp_path / "ckpt")
+        )
+        by_stage = {m["stage"]: m for m in res.metrics["checkpoints"]}
+        assert "cc_rounds" in by_stage["labels"]
+        assert by_stage["labels"]["cc_rounds"] == res.metrics["cc_rounds"]
+        assert len(res.metrics["cc_rounds"]) >= 1
+
 
 class TestSimHashPairs:
     def test_identical_zero_hamming(self, ray_session):
