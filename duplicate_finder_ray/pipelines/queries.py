@@ -762,6 +762,22 @@ def q_top_tokens(sf_dir: str) -> ray.data.Dataset:
     return textstats.top_tokens(docs, "text", k=20)
 
 
+def q_top_tokens_approx(sf_dir: str) -> ray.data.Dataset:
+    """Capacity-bounded (SpaceSaving-style) top-20 tokens — the scale
+    path whose shuffle carries ≤ capacity+1 rows per block instead of
+    the full vocabulary. On this corpus the k-th count clears the
+    underestimate bound, so the result HASH-MATCHES the exact
+    top_tokens oracle (the bound itself is gated in
+    tests/test_textstats.py)."""
+    from duplicate_finder_ray.stages import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    top = textstats.approx_top_tokens(docs, "text", k=20)
+    return top.select_columns(["token", "n", "rank"])
+
+
 def q_distinct_tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
     """Exact distinct-token cardinality per language (two-level
     distinct: batch dedupe partials → (lang, token) groupby → per-lang
@@ -913,6 +929,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doclen_quantiles": q_doclen_quantiles,
     "doclen_quantiles_sketch": q_doclen_quantiles_sketch,
     "top_tokens": q_top_tokens,
+    "top_tokens_approx": q_top_tokens_approx,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -1447,6 +1464,11 @@ ORACLE_SQL: dict[str, str] = {
     FROM tok GROUP BY 1
     """,
 }
+
+# the capacity-bounded top-k shares the exact oracle: on this corpus
+# the k-th count clears the SpaceSaving underestimate bound, so the
+# sketch's answer IS the exact answer (bound gated in tests)
+ORACLE_SQL["top_tokens_approx"] = ORACLE_SQL["top_tokens"]
 
 ORACLE_SQL["normalize_text"] = """
 SELECT doc_id,

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 # -- quality scoring ---------------------------------------------------
@@ -346,6 +347,112 @@ def distinct_token_counts(
         .groupby(group_col)
         .aggregate(Count(alias_name="n_distinct_tokens"))
     )
+
+
+# -- SpaceSaving heavy hitters (capacity-bounded, mergeable) ------------
+
+
+def approx_top_tokens(
+    ds: ray.data.Dataset, text_col: str, k: int, capacity: int = 4096
+) -> ray.data.Dataset:
+    """Capacity-bounded top-k tokens — the scale path next to the exact
+    ``top_tokens`` oracle, completing the mergeable-sketch family
+    (HLL: cardinality, t-digest: quantiles, SpaceSaving-style summary:
+    heavy hitters).
+
+    The exact path's shuffle carries the FULL vocabulary × blocks as
+    (token, n) partials; at web scale the vocabulary is unbounded
+    (typos, hashes, UUIDs). Here each batch keeps only its ``capacity``
+    highest-count tokens (ties broken by token asc — deterministic)
+    plus one sentinel row carrying eps = the largest DROPPED count, the
+    batch's underestimate bound. A single tiny merge task (≤ blocks ×
+    (capacity+1) rows) sums lower-bound counts and reports
+    ``max_underestimate`` = Σ eps — the classic mergeable-summary
+    guarantee: any token's true count exceeds its reported count by at
+    most Σ eps over the batches that dropped it, so on skewed (Zipfian)
+    corpora the top-k is EXACT whenever the k-th count clears the bound
+    (tests gate this; the driver query hash-matches the exact oracle).
+    At extreme block counts the merge is associative — tree it; the
+    one-task merge here is already ≤ a few hundred k rows.
+
+    Output: (token, n, rank, max_underestimate); n is the lower bound.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vals, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        eps = np.int64(0)
+        if len(vals) > capacity:
+            # deterministic keep-set: count desc, token asc
+            order = np.lexsort((vals, -counts))
+            kept, dropped = order[:capacity], order[capacity:]
+            eps = np.int64(counts[dropped].max())
+            vals, counts = vals[kept], counts[kept]
+        # sentinel row: the empty token cannot occur (filtered above)
+        return pa.table(
+            {
+                "token": pa.array(np.append(vals, ""), pa.string()),
+                "n": pa.array(
+                    np.append(counts.astype(np.int64), eps), pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("n", pa.int64()),
+            ("rank", pa.int64()),
+            ("max_underestimate", pa.int64()),
+        ]
+    )
+
+    @ray.remote
+    def merge(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if "token" in b.column_names and len(b))
+        if not blocks:
+            return out_schema.empty_table()
+        tbl = pa.concat_tables(blocks)
+        df = tbl.to_pandas()
+        is_sentinel = df["token"] == ""
+        eps_total = int(df.loc[is_sentinel, "n"].sum())
+        agg = (
+            df[~is_sentinel]
+            .groupby("token", sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        agg = agg.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        n_out = len(agg)
+        return pa.table(
+            {
+                "token": pa.array(agg["token"].to_numpy(), pa.string()),
+                "n": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, n_out + 1, dtype=np.int64), pa.int64()
+                ),
+                "max_underestimate": pa.array(
+                    np.full(n_out, eps_total, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    refs = parts.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow_refs([merge.remote(*refs)])
 
 
 # -- HLL cardinality sketch (mergeable, vectorized) ---------------------

@@ -171,6 +171,55 @@ class TestTokenStats:
         }
         assert got == {"en": 4, "fr": 1}
 
+    def test_approx_top_tokens_exact_on_small_vocab(self, ray_session):
+        # vocabulary below capacity: zero drops, identical to exact
+        from duplicate_finder_ray.stages.textstats import approx_top_tokens
+
+        got = [
+            (r["rank"], r["token"], r["n"], r["max_underestimate"])
+            for r in approx_top_tokens(
+                self._docs(ray_session), "text", 3
+            ).take_all()
+        ]
+        got.sort()
+        assert got == [(1, "c", 4, 0), (2, "b", 3, 0), (3, "d", 3, 0)]
+
+    def test_approx_top_tokens_zipf_matches_exact(self, ray_session):
+        # skewed corpus with vocabulary >> capacity: heavy hitters must
+        # survive the per-batch truncation and match the exact oracle,
+        # and any underestimate must respect the reported bound
+        import numpy as np
+        import pandas as pd
+
+        from duplicate_finder_ray.stages.textstats import (
+            approx_top_tokens,
+            top_tokens,
+        )
+
+        rng = np.random.default_rng(5)
+        # Zipf token ids over a 30k vocabulary, 800 docs x 150 tokens
+        ids = rng.zipf(1.3, size=800 * 150)
+        ids = ids[ids < 30_000]
+        docs = [
+            " ".join(f"t{v}" for v in chunk)
+            for chunk in np.array_split(ids, 800)
+        ]
+        ds = ray_session.data.from_pandas(
+            pd.DataFrame({"text": docs})
+        ).repartition(8)
+        exact = {
+            r["token"]: (r["rank"], r["n"])
+            for r in top_tokens(ds, "text", 10).take_all()
+        }
+        approx_rows = approx_top_tokens(ds, "text", 10, capacity=512).take_all()
+        bound = approx_rows[0]["max_underestimate"]
+        approx = {r["token"]: (r["rank"], r["n"]) for r in approx_rows}
+        assert set(approx) == set(exact)
+        for tok, (rank, n) in approx.items():
+            true_rank, true_n = exact[tok]
+            assert rank == true_rank
+            assert 0 <= true_n - n <= bound  # lower bound within Σ eps
+
     def test_hll_error_bound(self, ray_session):
         import numpy as np
         import pandas as pd
