@@ -725,7 +725,8 @@ def verify_pairs_exact(
         return batch.filter(pa.array(keep))
 
     source_cols = code_with_id.schema().names
-    if "shingles" in source_cols:
+    has_shingles = "shingles" in source_cols
+    if has_shingles:
         # the signature pass already carried the shingle sets — filter to
         # the endpoints; content is never re-read or re-shingled
         shingle_sets = code_with_id.select_columns(
@@ -799,7 +800,22 @@ def verify_pairs_exact(
     # and each shard's CSR build consumes its own sub-objects — no sort,
     # no sampling, and on a multi-node cluster each byte crosses the
     # network once.
-    sets_blocks = shingle_sets.materialize().to_arrow_refs()
+    #
+    # When the source already carries the shingle sets, the endpoint
+    # PROBE is fused into the split task itself (one pass: filter +
+    # shard in the same block visit) — the previous separate probe
+    # map_batches + materialize re-wrote the endpoint slice of the
+    # multi-GB signature table through the object store once more for
+    # no structural gain (round-3 fixed-term trim on the verify stage).
+    if has_shingles:
+        # callers pass the already-materialized signature table; the
+        # column projection happens inside the split task (zero-copy
+        # Arrow select), so NO new materialization of the payload at all
+        sets_blocks = code_with_id.materialize().to_arrow_refs()
+        fuse_probe = True
+    else:
+        sets_blocks = shingle_sets.materialize().to_arrow_refs()
+        fuse_probe = False
 
     @ray.remote
     def split_block(block: pa.Table):
@@ -815,6 +831,8 @@ def verify_pairs_exact(
             parts = [empty] * n_shards
         else:
             block = block.select(cols)
+            if fuse_probe:
+                block = probe(block)
             fid = block.column("fid").to_numpy().astype(np.uint64)
             shard = (fid % np.uint64(n_shards)).astype(np.int64)
             parts = [
