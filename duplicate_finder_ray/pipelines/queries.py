@@ -379,6 +379,43 @@ def q_embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     return pairs.map_batches(finish, batch_format="pyarrow")
 
 
+def q_incremental_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Incremental embedding dedup: vectors with vec_id % 10 == 0 are
+    the NEW batch, the rest the persisted baseline; report every
+    cosine ≥ 0.4 pair touching the increment. The increment matrix is
+    broadcast once; the baseline streams through one scoring pass —
+    never re-scored against itself (the point of incremental mode)."""
+    from duplicate_finder_ray.stages import similarity
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def split(batch: pa.Table, keep_inc: bool) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        is_inc = (vid % 10) == 0
+        return batch.filter(pa.array(is_inc if keep_inc else ~is_inc))
+
+    import functools
+
+    baseline = emb.map_batches(
+        functools.partial(split, keep_inc=False), batch_format="pyarrow"
+    )
+    increment = emb.map_batches(
+        functools.partial(split, keep_inc=True), batch_format="pyarrow"
+    )
+    pairs = similarity.incremental_cosine_pairs(baseline, increment, 0.4)
+
+    def round_score(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("score"),
+            "score",
+            pc.round(batch["score"], ndigits=6),
+        )
+
+    return pairs.map_batches(round_score, batch_format="pyarrow")
+
+
 def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour windowed aggregate over events (row-local window
     key + one distributed groupby; integer-cent sums ⇒ order-proof)."""
@@ -904,6 +941,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "incremental_embedding_pairs": q_incremental_embedding_pairs,
     # windowed aggregates over events
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1464,6 +1502,16 @@ ORACLE_SQL: dict[str, str] = {
     FROM tok GROUP BY 1
     """,
 }
+
+ORACLE_SQL["incremental_embedding_pairs"] = """
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                 CAST(y.embedding AS DOUBLE[])) >= 0.4
+      AND (x.vec_id % 10 = 0 OR y.vec_id % 10 = 0)
+    """
 
 # the capacity-bounded top-k shares the exact oracle: on this corpus
 # the k-th count clears the SpaceSaving underestimate bound, so the

@@ -431,6 +431,78 @@ def ivf_topk_neighbors(
     return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
+def incremental_cosine_pairs(
+    baseline: ray.data.Dataset,
+    increment: ray.data.Dataset,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Embedding near-dup for a NEW batch of vectors against a persisted
+    baseline — the embedding twin of ``pipelines/incremental.py``'s
+    IncrementalNearDup: only pairs touching ≥1 increment vector are
+    produced, and the baseline is never re-scored against itself.
+
+    Execution shape (the asymmetry drives every choice, as in the
+    incremental exact/MinHash paths): the increment is the SMALL side —
+    its normalized matrix is assembled in one remote task and broadcast
+    with ``ray.put``; the 100-TB-class baseline STREAMS through one
+    ``map_batches`` scoring pass (a (B × n_inc) matmul per batch, no
+    shuffle, no baseline materialization); increment-vs-increment pairs
+    come from one tiny in-task brute force. Output: (a, b, score) with
+    a < b, every pair with cosine ≥ threshold and ≥1 increment
+    endpoint. Partitioning assumption (documented per north_rule): the
+    increment fits one broadcast object (~10^7 × 768-d ≈ 60 GB ceiling;
+    for increment ≈ corpus run ``lsh_cosine_pairs`` on the union
+    instead)."""
+    inc_slim = increment.select_columns(["vec_id", "embedding"]).materialize()
+    inc_refs = inc_slim.to_arrow_refs()
+    if not inc_refs:
+        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+    inc_ref = _build_shard_matrix.remote(*inc_refs)
+    ids_probe, _ = ray.get(inc_ref)  # driver reads ids only for emptiness
+    if len(ids_probe) == 0:
+        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+
+    def score_baseline(batch: pa.Table) -> pa.Table:
+        inc_ids, inc_mat = ray.get(inc_ref)
+        bids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _normalize(_matrix(batch))
+        scores = m @ inc_mat.T  # (B, n_inc)
+        ii, jj = np.nonzero(scores >= threshold)
+        if len(ii) == 0:
+            return PAIRS_SCHEMA.empty_table()
+        x, y = bids[ii], inc_ids[jj]
+        keep = x != y  # guard against overlap between the two inputs
+        x, y, s = x[keep], y[keep], scores[ii[keep], jj[keep]]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(x, y)),
+                "b": pa.array(np.maximum(x, y)),
+                "score": pa.array(s),
+            }
+        )
+
+    @ray.remote
+    def inc_self_pairs() -> pa.Table:
+        inc_ids, inc_mat = ray.get(inc_ref)
+        scores = inc_mat @ inc_mat.T
+        ia, ib = np.triu_indices(len(inc_ids), k=1)
+        s = scores[ia, ib]
+        keep = s >= threshold
+        return pa.table(
+            {
+                "a": pa.array(inc_ids[ia[keep]]),
+                "b": pa.array(inc_ids[ib[keep]]),
+                "score": pa.array(s[keep]),
+            }
+        )
+
+    cross = baseline.select_columns(["vec_id", "embedding"]).map_batches(
+        score_baseline, batch_format="pyarrow"
+    )
+    within = ray.data.from_arrow_refs([inc_self_pairs.remote()])
+    return cross.union(within)
+
+
 def hyperplane_params_for(
     tau: float, target_recall: float, max_tables: int = 64
 ) -> tuple[int, int]:

@@ -185,6 +185,52 @@ class TestIVFTopK:
         assert got.count() == 0
 
 
+class TestIncrementalCosinePairs:
+    def _split(self, ray_session, emb_df):
+        inc_mask = (emb_df["vec_id"] % 7) == 0
+        baseline = ray_session.data.from_pandas(
+            emb_df[~inc_mask].reset_index(drop=True)
+        ).repartition(3)
+        increment = ray_session.data.from_pandas(
+            emb_df[inc_mask].reset_index(drop=True)
+        )
+        return baseline, increment, set(emb_df.loc[inc_mask, "vec_id"])
+
+    def test_matches_brute_force_restriction(self, emb_df, ray_session):
+        # incremental = full brute-force pair set restricted to pairs
+        # touching >= 1 increment vector (incl. inc-vs-inc)
+        baseline, increment, inc_ids = self._split(ray_session, emb_df)
+        got = {
+            (r["a"], r["b"])
+            for r in similarity.incremental_cosine_pairs(
+                baseline, increment, 0.5
+            ).take_all()
+        }
+        want = {
+            (a, b)
+            for (a, b) in brute_force_pairs(emb_df, 0.5)
+            if a in inc_ids or b in inc_ids
+        }
+        assert got == want
+        assert want, "fixture must contain increment-touching pairs"
+
+    def test_empty_increment(self, emb_df, ray_session):
+        baseline = ray_session.data.from_pandas(emb_df)
+        increment = ray_session.data.from_pandas(emb_df.iloc[0:0])
+        out = similarity.incremental_cosine_pairs(baseline, increment, 0.5)
+        assert out.count() == 0
+
+    def test_overlap_guard_no_self_pairs(self, emb_df, ray_session):
+        # passing the increment inside the baseline too must not emit
+        # (v, v) self pairs or duplicates of inc-vs-inc pairs... self
+        # pairs are guarded; inc-inc dupes are the caller's contract,
+        # so only assert the self-pair guard here
+        ds_all = ray_session.data.from_pandas(emb_df)
+        inc = ray_session.data.from_pandas(emb_df.head(10))
+        rows = similarity.incremental_cosine_pairs(ds_all, inc, 0.5).take_all()
+        assert all(r["a"] != r["b"] for r in rows)
+
+
 class TestHyperplaneParams:
     def test_meets_target_with_largest_feasible_bits(self):
         import math
