@@ -911,6 +911,74 @@ def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_shuffle_join_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Large × large shuffle hash join (lineitem ⋈ orders — NEITHER
+    side broadcastable at 100 TB) on the barrier-free hash exchange,
+    then a partial-aggregate rollup per order priority."""
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = shuffle_hash_join(li, orders, "l_orderkey", "o_orderkey", 16)
+    return rel.grouped_sum_rollup(
+        joined, ["o_orderpriority"], {"l_extendedprice": "revenue_cents"}
+    )
+
+
+def q_bloom_semi_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """EXACT semi-join via Bloom prefilter: lineitems of high-value
+    orders. The bitmap crosses the wire once (ray.put); non-matching
+    lineitems are dropped map-side BEFORE the exchange, so the shuffle
+    carries matches + false positives, not the corpus; the exchange's
+    exact pass removes the false positives."""
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.bloom import bloom_semi_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    )
+    hot = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000.0")
+    matched = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey", 16)
+    return rel.grouped_sum_rollup(
+        matched, ["l_returnflag"], {"l_extendedprice": "revenue_cents"}
+    )
+
+
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style per-document repetition counters (token / 2-gram
+    duplication) — integer counts so the oracle hash-matches."""
+    from duplicate_finder_ray.stages.textstats import repetition_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def q_redact_props(sf_dir: str) -> ray.data.Dataset:
+    """PII-scrub shape: RE2 redaction of digit runs in the event
+    payload plus a per-row replacement count."""
+    from duplicate_finder_ray.stages.textstats import redact_text
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return ev.map_batches(
+        lambda b: redact_text(
+            b, [("[0-9]+", "<NUM>")], "props", "props_redacted", "event_id"
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -974,6 +1042,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dataset_split": q_dataset_split,
     "signature_shingle_counts": q_signature_shingle_counts,
     "normalized_dup_groups": q_normalized_dup_groups,
+    "shuffle_join_revenue": q_shuffle_join_revenue,
+    "bloom_semi_lineitems": q_bloom_semi_lineitems,
+    "repetition_stats": q_repetition_stats,
+    "redact_props": q_redact_props,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1573,3 +1645,55 @@ SELECT doc_id, lang,
             ELSE 'test' END AS split
 FROM documents
 '''
+
+ORACLE_SQL["shuffle_join_revenue"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+ORACLE_SQL["bloom_semi_lineitems"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0
+)
+GROUP BY 1
+"""
+
+ORACLE_SQL["repetition_stats"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+flat AS (SELECT doc_id, unnest(w) AS t FROM tok),
+uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(max(c) AS BIGINT) AS top_token_n
+  FROM (SELECT doc_id, t, count(*) AS c FROM flat GROUP BY 1, 2) GROUP BY 1),
+big AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM tok WHERE len(w) >= 2)),
+bi AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+         CAST(max(c) AS BIGINT) AS top_2gram_n
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1)
+SELECT uni.doc_id, n_tokens, n_distinct_tokens, top_token_n,
+       COALESCE(n_2grams, 0) AS n_2grams,
+       COALESCE(n_distinct_2grams, 0) AS n_distinct_2grams,
+       COALESCE(top_2gram_n, 0) AS top_2gram_n
+FROM uni LEFT JOIN bi USING (doc_id)
+"""
+
+ORACLE_SQL["redact_props"] = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM events
+"""

@@ -24,6 +24,8 @@ import pyarrow as pa
 
 import ray.data
 
+from duplicate_finder_ray.stages.exchange import hash_exchange
+
 
 def _pa_type(t) -> pa.DataType:
     """Ray's Schema.types yields pyarrow types for Arrow blocks but numpy
@@ -144,6 +146,144 @@ def bucketed_inner_join(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def shuffle_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    n_parts: int,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Large × large equi-join on the barrier-free hash exchange.
+
+    WHY a second join: ``broadcast_hash_join`` requires one side to fit
+    in a single object (dimension tables); ``bucketed_inner_join`` rides
+    the sort-based groupby whose sample/boundary barrier is serial wall
+    that no CPU count removes. When BOTH sides are fact-scale the right
+    shape is a classic shuffle hash join: tag the sides, exchange every
+    row once by ``hash(key) % n_parts``, and run one vectorized pandas
+    C merge per partition — no sort, no barrier, payload crosses the
+    wire exactly once. Skew bound = hottest key's row count on each
+    side; keep ``n_parts`` a small multiple of cluster parallelism.
+
+    ``how``: 'inner', 'left' (unmatched left rows keep null right
+    columns, including against an empty right side), or 'semi' (left
+    rows with ≥1 match, emitted once, left columns only).
+    """
+    if how not in ("inner", "left", "semi"):
+        raise ValueError(f"unsupported how={how!r}")
+    lschema = left.schema()
+    rschema = right.schema()
+    # a fully-empty side has no inferable schema (schema() is None):
+    # its requested columns become null-typed, the join still returns
+    # the right shape (empty for inner/semi, all-null right for left)
+    if lschema is None and (left_cols is None or rschema is None):
+        raise ValueError("left side has no schema; pass left_cols")
+    ltypes = (
+        {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+        if lschema is not None
+        else {n: pa.null() for n in [left_key, *(left_cols or [])]}
+    )
+    rtypes = (
+        {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+        if rschema is not None
+        else {n: pa.null() for n in [right_key, *(right_cols or [])]}
+    )
+    lcols = left_cols or list(ltypes)
+    rcols = right_cols or list(rtypes)
+    if left_key not in lcols:
+        lcols = [left_key, *lcols]
+    if right_key not in rcols:
+        rcols = [right_key, *rcols]
+    lpayload = [c for c in lcols if c != left_key]
+    rpayload = [c for c in rcols if c != right_key] if how != "semi" else []
+    overlap = set(lcols) & set(rpayload)
+    if overlap:
+        raise ValueError(f"join column collision: {sorted(overlap)}")
+
+    key_type = ltypes[left_key]  # right keys are cast to the left's type
+    combined = pa.schema(
+        [("__key", key_type), ("__side", pa.int8())]
+        + [(n, ltypes[n]) for n in lpayload]
+        + [(n, rtypes[n]) for n in rpayload]
+    )
+    out_schema = pa.schema(
+        [(left_key, key_type)]
+        + [(n, ltypes[n]) for n in lpayload]
+        + [(n, rtypes[n]) for n in rpayload]
+    )
+    if lschema is None:  # schemaless-empty left: empty result for every how
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def tag(side: int, key: str, keep: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            arrays = [
+                batch.column(key).cast(key_type),
+                pa.array(np.full(len(batch), side, dtype=np.int8)),
+            ]
+            for field in list(combined)[2:]:
+                if field.name in keep:
+                    arrays.append(batch.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(len(batch), field.type))
+            return pa.Table.from_arrays(arrays, schema=combined)
+
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, left_key, lpayload), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, right_key, rpayload), batch_format="pyarrow"))
+
+    def part_of(tbl: pa.Table, n: int) -> np.ndarray:
+        vals = tbl.column("__key").to_numpy(zero_copy_only=False)
+        if vals.dtype == object:
+            h = pd.util.hash_array(vals)
+        else:
+            h = pd.util.hash_array(np.ascontiguousarray(vals))
+        return (h % np.uint64(n)).astype(np.int64)
+
+    def merge(_p: int, part: pa.Table) -> pa.Table:
+        side = part.column("__side").to_numpy()
+        lsel = np.nonzero(side == 0)[0]
+        rsel = np.nonzero(side == 1)[0]
+        if len(lsel) == 0:
+            return out_schema.empty_table()
+        keys = part.column("__key").to_numpy(zero_copy_only=False)
+        lkeys = pd.DataFrame({"k": keys[lsel], "i": lsel})
+        rkeys = pd.DataFrame({"k": keys[rsel], "j": rsel})
+        if how == "semi":
+            hit = lkeys[lkeys["k"].isin(rkeys["k"].unique())]
+            if len(hit) == 0:
+                return out_schema.empty_table()
+            lt = part.take(pa.array(hit["i"].to_numpy()))
+            arrays = [lt.column("__key")]
+            arrays += [lt.column(n) for n in lpayload]
+            return pa.Table.from_arrays(arrays, schema=out_schema)
+        m = lkeys.merge(rkeys, on="k", how="left" if how == "left" else "inner")
+        if len(m) == 0:
+            return out_schema.empty_table()
+        lt = part.take(pa.array(m["i"].to_numpy()))
+        j = m["j"].to_numpy()
+        if how == "left":
+            # null j indices gather as all-null right rows (pc.take
+            # semantics) — the empty-right guard the broadcast join
+            # needed (ADVICE round 2) falls out of the same path here
+            jj = pa.array(j, pa.int64(), from_pandas=True)
+        else:
+            jj = pa.array(j.astype(np.int64))
+        rt = part.take(jj)
+        arrays = [lt.column("__key")]
+        arrays += [lt.column(n) for n in lpayload]
+        arrays += [rt.column(n) for n in rpayload]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return hash_exchange(
+        tagged, part_of, n_parts, merge, out_schema.empty_table()
+    )
 
 
 def grouped_min(

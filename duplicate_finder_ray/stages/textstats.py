@@ -630,3 +630,86 @@ def quality_prune(
         return batch.filter(pa.array(mask))
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+# -- repetition statistics (Gopher-style quality signals) ---------------
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document word-level repetition counters (the Gopher /
+    MassiveText repetition-filter family, arXiv:2112.11446 §A1.1):
+    token count, distinct tokens, the hottest token's count, and the
+    same three for word 2-grams. Counts are INTEGERS (not fractions)
+    so the DuckDB oracle hash-matches bit-for-bit; callers derive
+    fractions like dup_token_frac = 1 - n_distinct/n downstream.
+
+    Vectorized end-to-end: one RE2 split per batch, then factorize +
+    groupby C kernels over the flattened (doc, token-id) pairs — no
+    per-row Python. Stateless map_batches stage; at 100 TB each batch
+    is independent so the stage streams and never shuffles."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = toks.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    values = flat.flatten().to_numpy(zero_copy_only=False)
+    doc = np.repeat(np.arange(len(batch), dtype=np.int64), n_tok)
+    codes, _ = pd.factorize(values)
+    v = np.int64(len(values) + 1)
+
+    def group_counters(doc_idx: np.ndarray, key: np.ndarray, n_docs: int):
+        """(n_items, n_distinct, top_count) per doc for (doc, key) pairs."""
+        df = pd.DataFrame({"d": doc_idx, "k": key})
+        per = df.groupby(["d", "k"], sort=False).size()
+        lv = per.index.get_level_values(0).to_numpy()
+        cnt = per.to_numpy()
+        n_items = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_items, lv, cnt)
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_distinct, lv, 1)
+        top = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top, lv, cnt)
+        return n_items, n_distinct, top
+
+    n_tokens, n_distinct, top_tok = group_counters(doc, codes, len(batch))
+    # 2-grams: adjacent code pairs within the same document
+    same_doc = doc[:-1] == doc[1:] if len(doc) > 1 else np.zeros(0, dtype=bool)
+    pair_doc = doc[:-1][same_doc]
+    pair_key = codes[:-1][same_doc].astype(np.int64) * v + codes[1:][same_doc]
+    n_2grams, n_distinct_2, top_2 = group_counters(pair_doc, pair_key, len(batch))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct_tokens": pa.array(n_distinct),
+            "top_token_n": pa.array(top_tok),
+            "n_2grams": pa.array(n_2grams),
+            "n_distinct_2grams": pa.array(n_distinct_2),
+            "top_2gram_n": pa.array(top_2),
+        }
+    )
+
+
+# -- regex redaction (PII-scrub shape) ----------------------------------
+
+
+def redact_text(
+    batch: pa.Table,
+    patterns: list[tuple[str, str]],
+    text_col: str,
+    out_col: str,
+    id_col: str,
+) -> pa.Table:
+    """Sequential RE2 substitutions over a string column plus a count
+    of replacements per row — the PII-scrub / boilerplate-strip shape.
+    Both engines run RE2 (`pyarrow.compute` and DuckDB), so one
+    pattern list oracles as regexp_replace(..., 'g'). Stateless
+    vectorized map_batches stage: streams at any scale."""
+    col = batch[text_col]
+    n_hits = np.zeros(len(batch), dtype=np.int64)
+    for pat, repl in patterns:
+        n_hits += pc.count_substring_regex(col, pat).to_numpy().astype(np.int64)
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+    return pa.table(
+        {id_col: batch[id_col], out_col: col, "n_redactions": pa.array(n_hits)}
+    )
