@@ -979,6 +979,63 @@ def q_redact_props(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_anti_join_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join on the hash exchange: lineitems whose order is NOT
+    high-value, rolled up per return flag — the 'everything not yet
+    processed' shape of incremental pipelines."""
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    )
+    hot = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000.0")
+    rest = shuffle_hash_join(
+        li, hot, "l_orderkey", "o_orderkey", 16, how="anti"
+    )
+    return rel.grouped_sum_rollup(
+        rest, ["l_returnflag"], {"l_extendedprice": "revenue_cents"}
+    )
+
+
+def q_events_running_totals(sf_dir: str) -> ray.data.Dataset:
+    """Window function SUM() OVER (PARTITION BY user ORDER BY ts) as a
+    batch operator: per-user running value totals + event sequence
+    numbers via one hash exchange + vectorized partition kernel."""
+    from duplicate_finder_ray.stages.events import running_totals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return running_totals(ev)
+
+
+def q_top_tokens_df(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 tokens by DOCUMENT frequency (the idf denominator):
+    per-row dedupe partials, vocabulary-sized shuffle."""
+    from duplicate_finder_ray.stages.textstats import top_tokens_by_df
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens_by_df(docs, "text", 20)
+
+
+def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-language md5-deterministic sampling (downsample 'en', keep
+    more of the low-resource languages) — the data-mixing shape."""
+    from duplicate_finder_ray.stages.relational import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": "20", "zh": "e0"}, default_hex_lt="99"
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1046,6 +1103,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_semi_lineitems": q_bloom_semi_lineitems,
     "repetition_stats": q_repetition_stats,
     "redact_props": q_redact_props,
+    "anti_join_lineitems": q_anti_join_lineitems,
+    "events_running_totals": q_events_running_totals,
+    "top_tokens_df": q_top_tokens_df,
+    "stratified_sample_docs": q_stratified_sample_docs,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1696,4 +1757,50 @@ SELECT event_id,
        regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
        CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
 FROM events
+"""
+
+ORACLE_SQL["anti_join_lineitems"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0
+)
+GROUP BY 1
+"""
+
+ORACLE_SQL["events_running_totals"] = """
+SELECT event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER w AS BIGINT) AS event_seq,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS cum_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLE_SQL["top_tokens_df"] = """
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM dt
+  WHERE token <> '' GROUP BY 1
+),
+r AS (
+  SELECT token, df,
+         CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS "rank"
+  FROM c
+)
+SELECT token, df, "rank" FROM r WHERE "rank" <= 20
+"""
+
+ORACLE_SQL["stratified_sample_docs"] = """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '20' WHEN 'zh' THEN 'e0' ELSE '99' END
 """

@@ -208,3 +208,93 @@ def sessionize(
     return hash_exchange(
         slim, user_part, num_partitions, sessions_partition, out_schema.empty_table()
     )
+
+
+def running_totals(
+    events: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-user running totals — the window-function shape
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts)`` — batch-computed:
+    each event is annotated with the cumulative value (exact integer
+    cents) and the 1-based event index over the user's time-ordered
+    history.
+
+    Same two-level execution as ``sessionize``: ONE barrier-free hash
+    exchange by ``hash(user_id) % P``, then a fully vectorized
+    per-partition kernel (lexsort + grouped cumulative sums via one
+    global cumsum minus the per-user offset at each user's first row).
+    No per-user Python call; cents make distributed summation
+    order-independent."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_seq", pa.int64()),
+            ("cum_value_cents", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        val = batch["value"]
+        v_cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(val, 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": ts_us,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "v_cents": v_cents,
+            }
+        )
+
+    def user_part(tbl: pa.Table, n: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy()
+        return (pd.util.hash_array(u.copy()) % np.uint64(n)).astype(np.int64)
+
+    def cumsum_partition(p: int, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        v = tbl.column("v_cents").to_numpy()
+        order = np.lexsort((e, t, u))  # by user, then ts, then event_id
+        u, e, v = u[order], e[order], v[order]
+        cs = np.cumsum(v)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new_user)[0]
+        # cumulative sum BEFORE each user's first row, spread to rows
+        base = np.repeat(np.where(starts > 0, cs[starts - 1], 0),
+                         np.diff(np.append(starts, n)))
+        seq_base = np.repeat(starts, np.diff(np.append(starts, n)))
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "event_seq": pa.array(
+                    np.arange(n, dtype=np.int64) - seq_base + 1, pa.int64()
+                ),
+                "cum_value_cents": pa.array(cs - base, pa.int64()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = events.select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(
+        slim, user_part, num_partitions, cumsum_partition, out_schema.empty_table()
+    )

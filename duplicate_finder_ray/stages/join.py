@@ -171,10 +171,11 @@ def shuffle_hash_join(
     side; keep ``n_parts`` a small multiple of cluster parallelism.
 
     ``how``: 'inner', 'left' (unmatched left rows keep null right
-    columns, including against an empty right side), or 'semi' (left
-    rows with ≥1 match, emitted once, left columns only).
+    columns, including against an empty right side), 'semi' (left rows
+    with ≥1 match, emitted once, left columns only), or 'anti' (left
+    rows with NO match, left columns only).
     """
-    if how not in ("inner", "left", "semi"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     lschema = left.schema()
     rschema = right.schema()
@@ -200,7 +201,9 @@ def shuffle_hash_join(
     if right_key not in rcols:
         rcols = [right_key, *rcols]
     lpayload = [c for c in lcols if c != left_key]
-    rpayload = [c for c in rcols if c != right_key] if how != "semi" else []
+    rpayload = (
+        [c for c in rcols if c != right_key] if how in ("inner", "left") else []
+    )
     overlap = set(lcols) & set(rpayload)
     if overlap:
         raise ValueError(f"join column collision: {sorted(overlap)}")
@@ -255,8 +258,9 @@ def shuffle_hash_join(
         keys = part.column("__key").to_numpy(zero_copy_only=False)
         lkeys = pd.DataFrame({"k": keys[lsel], "i": lsel})
         rkeys = pd.DataFrame({"k": keys[rsel], "j": rsel})
-        if how == "semi":
-            hit = lkeys[lkeys["k"].isin(rkeys["k"].unique())]
+        if how in ("semi", "anti"):
+            mask = lkeys["k"].isin(rkeys["k"].unique())
+            hit = lkeys[mask if how == "semi" else ~mask]
             if len(hit) == 0:
                 return out_schema.empty_table()
             lt = part.take(pa.array(hit["i"].to_numpy()))

@@ -569,3 +569,37 @@ def split_assign(
         return batch.append_column("split", pa.array(names[idx], pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, str],
+    default_hex_lt: str = "00",
+) -> ray.data.Dataset:
+    """Per-group deterministic Bernoulli sample: each group gets its
+    own md5-hex-prefix threshold (the data-mixing / rebalancing shape —
+    e.g. keep 20%% of 'en' but 80%% of low-resource languages).
+    Same replayability contract as ``deterministic_sample``: identical
+    rows at any parallelism and in any engine with md5(). The rate
+    table is a tiny plain dict compiled into each task (row-local
+    lookup, no shuffle, no broadcast object needed)."""
+    widths = {len(v) for v in [*rates.values(), default_hex_lt]}
+    if len(widths) != 1:
+        raise ValueError("all hex thresholds must share one width")
+    n = widths.pop()
+    if not (0 < n <= 16):
+        raise ValueError("thresholds must be 1..16 hex chars")
+    shift = np.uint64(64 - 4 * n)
+    default_t = np.uint64(int(default_hex_lt, 16))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _md5_prefix_u64(batch.column(key_col)) >> shift
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        thresh = np.full(len(batch), default_t, dtype=np.uint64)
+        for grp, hex_lt in rates.items():
+            thresh[g == grp] = np.uint64(int(hex_lt, 16))
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

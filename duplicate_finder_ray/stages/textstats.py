@@ -713,3 +713,52 @@ def redact_text(
     return pa.table(
         {id_col: batch[id_col], out_col: col, "n_redactions": pa.array(n_hits)}
     )
+
+
+def top_tokens_by_df(
+    ds: ray.data.Dataset, text_col: str, k: int
+) -> ray.data.Dataset:
+    """Exact global top-k tokens by DOCUMENT frequency (ties by token
+    asc) — the idf denominator of TF-IDF and the usual stopword-mining
+    statistic. Differs from ``top_tokens`` (term frequency) in the
+    combiner: each document contributes each token ONCE. A document is
+    one row and rows never split across batches, so per-batch (row,
+    token) dedupe is globally exact; the shuffle then carries one
+    (token, df) partial per distinct token per batch — vocabulary ×
+    blocks, never corpus positions."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.relational import topk_per_group
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        vals = flat.to_numpy(zero_copy_only=False)
+        keep = vals != ""
+        pairs = pd.DataFrame({"r": row[keep], "t": vals[keep]}).drop_duplicates()
+        toks_u, counts = np.unique(pairs["t"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(toks_u, pa.string()),
+                "df": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(len(batch), dtype=np.int64))
+        )
+
+    top = topk_per_group(
+        totals.map_batches(tag, batch_format="pyarrow"), "__g", "df", "token", k
+    )
+    return top.select_columns(["token", "df", "rank"])

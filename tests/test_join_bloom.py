@@ -148,3 +148,23 @@ class TestRepetitionRedaction:
         assert by[1]["n_redactions"] == 2
         assert by[2]["t_red"] == "<EMAIL> says hi"
         assert by[2]["n_redactions"] == 1
+
+
+class TestAntiJoin:
+    def test_anti_complements_semi(self, ray_session):
+        left = _ds({"k": [1, 1, 2, 3, 4], "x": list("abcde")})
+        right = _ds({"rk": [1, 3], "z": [0, 0]})
+        semi = shuffle_hash_join(left, right, "k", "rk", 2, how="semi").take_all()
+        anti = shuffle_hash_join(left, right, "k", "rk", 2, how="anti").take_all()
+        assert sorted(r["x"] for r in semi) == ["a", "b", "d"]
+        assert sorted(r["x"] for r in anti) == ["c", "e"]
+        assert len(semi) + len(anti) == 5
+        assert all(set(r) == {"k", "x"} for r in anti)
+
+    def test_anti_against_empty_right_keeps_all(self, ray_session):
+        left = _ds({"k": [1, 2], "x": ["a", "b"]})
+        right = _ds({"rk": [9], "z": [0]}).filter(lambda r: False)
+        out = shuffle_hash_join(
+            left, right, "k", "rk", 2, right_cols=[], how="anti"
+        ).take_all()
+        assert sorted(r["k"] for r in out) == [1, 2]

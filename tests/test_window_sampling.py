@@ -1,0 +1,109 @@
+"""Unit tests for running_totals (windowed cumulative sums) and
+stratified_sample — semantics the driver gate doesn't isolate:
+cross-user isolation of cumulative sums, time ordering, per-group
+rates, parallelism invariance."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from duplicate_finder_ray.stages.events import running_totals
+from duplicate_finder_ray.stages.relational import stratified_sample
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+class TestRunningTotals:
+    def test_per_user_cumsum_and_seq(self, ray_session):
+        rows = [
+            (1, 1000, 7, 1.0),
+            (2, 2000, 7, 2.5),
+            (3, 3000, 7, 0.5),
+            (4, 1500, 8, 10.0),
+            (5, 2500, 8, 0.25),
+        ]
+        out = {r["event_id"]: r for r in running_totals(_events(rows), 4).take_all()}
+        assert [out[i]["cum_value_cents"] for i in (1, 2, 3)] == [100, 350, 400]
+        assert [out[i]["event_seq"] for i in (1, 2, 3)] == [1, 2, 3]
+        assert [out[i]["cum_value_cents"] for i in (4, 5)] == [1000, 1025]
+        assert [out[i]["event_seq"] for i in (4, 5)] == [1, 2]
+
+    def test_orders_by_time_not_input_order(self, ray_session):
+        rows = [(1, 9000, 3, 5.0), (2, 1000, 3, 1.0)]
+        out = {r["event_id"]: r for r in running_totals(_events(rows), 2).take_all()}
+        assert out[2]["event_seq"] == 1 and out[2]["cum_value_cents"] == 100
+        assert out[1]["event_seq"] == 2 and out[1]["cum_value_cents"] == 600
+
+    def test_partition_count_invariant(self, ray_session):
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, int(rng.integers(0, 10**6)), int(rng.integers(0, 20)),
+             float(rng.uniform(0, 10)))
+            for i in range(500)
+        ]
+        a = sorted(map(tuple, (
+            (r["event_id"], r["event_seq"], r["cum_value_cents"])
+            for r in running_totals(_events(rows), 2).take_all()
+        )))
+        b = sorted(map(tuple, (
+            (r["event_id"], r["event_seq"], r["cum_value_cents"])
+            for r in running_totals(_events(rows), 16).take_all()
+        )))
+        assert a == b
+
+
+class TestStratifiedSample:
+    def test_rates_differ_by_group(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4000), pa.int64()),
+                    "lang": pa.array(
+                        ["en" if i % 2 else "de" for i in range(4000)]
+                    ),
+                }
+            )
+        )
+        out = stratified_sample(
+            ds, "doc_id", "lang", {"en": "10"}, default_hex_lt="80"
+        ).take_all()
+        en = sum(1 for r in out if r["lang"] == "en")
+        de = sum(1 for r in out if r["lang"] == "de")
+        assert 2000 * 0.02 < en < 2000 * 0.11  # ~6.25%
+        assert 2000 * 0.40 < de < 2000 * 0.60  # ~50%
+
+    def test_deterministic_and_subset_semantics(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(1000), pa.int64()),
+                    "lang": pa.array(["en"] * 1000),
+                }
+            )
+        )
+        small = {r["doc_id"] for r in
+                 stratified_sample(ds, "doc_id", "lang", {"en": "10"}).take_all()}
+        big = {r["doc_id"] for r in
+               stratified_sample(ds, "doc_id", "lang", {"en": "40"}).take_all()}
+        assert small <= big  # prefix thresholds nest
+
+    def test_mismatched_widths_rejected(self, ray_session):
+        import pytest
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1]), "lang": pa.array(["en"])})
+        )
+        with pytest.raises(ValueError):
+            stratified_sample(ds, "doc_id", "lang", {"en": "1"}, "80")
