@@ -139,7 +139,7 @@ class Shingler:
         return self._csr_from_ids(ids, counts, n_docs)
 
     def shingle_hashes_batch_column(
-        self, col: "pa.Array | pa.ChunkedArray"
+        self, col: "pa.Array | pa.ChunkedArray", ascii_only: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
         """Arrow-native twin of :meth:`shingle_hashes_batch` taking the
         string column directly. For ALL-ASCII token-mode batches the
@@ -148,7 +148,14 @@ class Shingler:
         objects (the dominant cost of the signature stage). Non-ASCII
         batches fall back to the Python tokenizer, whose ``\w`` is
         Unicode-aware where RE2's is ASCII (bit-identity over arbitrary
-        unicode is property-tested)."""
+        unicode is property-tested).
+
+        ``ascii_only=True`` selects SQL-parity tokenization instead:
+        tokens are maximal ``[A-Za-z0-9_]+`` runs for EVERY row —
+        non-ASCII codepoints act as separators — exactly DuckDB's
+        ``regexp_extract_all(text, '[A-Za-z0-9_]+')`` (both engines run
+        RE2 over UTF-8). Used by oracle-gated stages (decontamination)
+        whose shingle sets must be provably identical to SQL's."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -160,13 +167,14 @@ class Shingler:
         if self.mode != "token" or not is_text or len(col) == 0:
             return self.shingle_hashes_batch(col.to_pylist())
         arr = pc.fill_null(col, "")
-        # ASCII gate: bytes == codepoints for every row ⇒ RE2's \W+
-        # split equals python re's unicode \w+ findall
-        ascii_ok = pc.all(
-            pc.equal(pc.binary_length(arr), pc.utf8_length(arr))
-        ).as_py()
-        if not ascii_ok:
-            return self.shingle_hashes_batch(col.to_pylist())
+        if not ascii_only:
+            # ASCII gate: bytes == codepoints for every row ⇒ RE2's \W+
+            # split equals python re's unicode \w+ findall
+            ascii_ok = pc.all(
+                pc.equal(pc.binary_length(arr), pc.utf8_length(arr))
+            ).as_py()
+            if not ascii_ok:
+                return self.shingle_hashes_batch(col.to_pylist())
         n_docs = len(arr)
         split = pc.split_pattern_regex(arr, r"[^0-9A-Za-z_]+")
         flat = pc.list_flatten(split)

@@ -1036,6 +1036,33 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_decontaminate_docs(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: documents with doc_id % 37 == 0 play
+    the held-out eval set; every OTHER document is annotated with its
+    distinct-5-token-gram overlap against that set. Scale shape is a
+    broadcast semi-join — the benchmark distils to one sorted uint64
+    hash array (distributed build), the training side probes it
+    map-side and never shuffles."""
+    import numpy as np
+
+    from duplicate_finder_ray.stages.decontam import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def split(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            rem = batch.column("doc_id").to_numpy() % 37 == 0
+            return batch.filter(pa.array(rem if keep_bench else ~rem))
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(train, bench, "doc_id", "text", k=5, threshold=1)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1107,6 +1134,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_running_totals": q_events_running_totals,
     "top_tokens_df": q_top_tokens_df,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "decontaminate_docs": q_decontaminate_docs,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1803,4 +1831,35 @@ ORACLE_SQL["stratified_sample_docs"] = """
 SELECT doc_id, lang FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
       CASE lang WHEN 'en' THEN '20' WHEN 'zh' THEN 'e0' ELSE '99' END
+"""
+
+ORACLE_SQL["decontaminate_docs"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM tok WHERE len(w) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], chr(31)) AS s FROM idx
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM sh WHERE doc_id % 37 <> 0 GROUP BY 1
+),
+hits AS (
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM sh JOIN bench USING (s) WHERE sh.doc_id % 37 <> 0 GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d
+LEFT JOIN n ON d.doc_id = n.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 37 <> 0
 """
