@@ -1036,6 +1036,31 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_distinctive_terms(sf_dir: str) -> ray.data.Dataset:
+    """Per-document keyword extraction (integer-exact TF-IDF shape):
+    top-3 tokens per doc by (tf DESC, global df ASC, token ASC) —
+    (doc,token) tf partials ⋈ vocabulary df table on the token-keyed
+    shuffle join, then the local-prune top-k combiner."""
+    from duplicate_finder_ray.stages.textstats import distinctive_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return distinctive_terms(docs, "doc_id", "text", k=3)
+
+
+def q_events_lag_deltas(sf_dir: str) -> ray.data.Dataset:
+    """LAG() OVER (PARTITION BY user ORDER BY ts) as a batch operator:
+    previous event id + microsecond gap per event (-1 on each user's
+    first), via one hash exchange + vectorized shift kernel."""
+    from duplicate_finder_ray.stages.events import lag_deltas
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return lag_deltas(ev)
+
+
 def q_decontaminate_docs(sf_dir: str) -> ray.data.Dataset:
     """Benchmark decontamination: documents with doc_id % 37 == 0 play
     the held-out eval set; every OTHER document is annotated with its
@@ -1135,6 +1160,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_tokens_df": q_top_tokens_df,
     "stratified_sample_docs": q_stratified_sample_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "events_lag_deltas": q_events_lag_deltas,
+    "distinctive_terms": q_distinctive_terms,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1862,4 +1889,39 @@ FROM documents d
 LEFT JOIN n ON d.doc_id = n.doc_id
 LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 37 <> 0
+"""
+
+ORACLE_SQL["events_lag_deltas"] = """
+SELECT event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(coalesce(lag(event_id) OVER w, -1) AS BIGINT) AS prev_event_id,
+       CAST(coalesce(
+         epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLE_SQL["distinctive_terms"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY 1
+),
+r AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.token ASC
+         ) AS BIGINT) AS "rank"
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df, "rank" FROM r WHERE "rank" <= 3
 """

@@ -302,23 +302,36 @@ def topk_per_group(
     k: int,
 ) -> ray.data.Dataset:
     """Top-k rows per group by (``order_col`` desc, ``tie_col`` asc),
+    with a 1-based ``rank`` column. See :func:`topk_per_group_by` for
+    the execution shape."""
+    return topk_per_group_by(
+        ds, group_col, [order_col, tie_col], [False, True], k
+    )
+
+
+def topk_per_group_by(
+    ds: ray.data.Dataset,
+    group_col: str,
+    by: list[str],
+    ascending: list[bool],
+    k: int,
+) -> ray.data.Dataset:
+    """Top-k rows per group under an arbitrary multi-column ordering,
     with a 1-based ``rank`` column. Two phases: a per-batch LOCAL top-k
     (so the shuffle carries ≤ k rows per group per block), then one
     groupby.map_groups final selection — the standard combiner shape
     that keeps a 10^10-row corpus's shuffle at k × groups × blocks."""
+    if len(by) != len(ascending) or not by:
+        raise ValueError("by and ascending must be equal-length, non-empty")
 
     def local_topk(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values(
-            [group_col, order_col, tie_col],
-            ascending=[True, False, True],
-            kind="mergesort",
+            [group_col, *by], ascending=[True, *ascending], kind="mergesort"
         )
         return part.groupby(group_col, sort=False).head(k)
 
     def final_topk(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(
-            [order_col, tie_col], ascending=[False, True], kind="mergesort"
-        ).head(k)
+        part = part.sort_values(by, ascending=ascending, kind="mergesort").head(k)
         part = part.reset_index(drop=True)
         part["rank"] = np.arange(1, len(part) + 1, dtype=np.int64)
         return part

@@ -715,20 +715,14 @@ def redact_text(
     )
 
 
-def top_tokens_by_df(
-    ds: ray.data.Dataset, text_col: str, k: int
-) -> ray.data.Dataset:
-    """Exact global top-k tokens by DOCUMENT frequency (ties by token
-    asc) — the idf denominator of TF-IDF and the usual stopword-mining
-    statistic. Differs from ``top_tokens`` (term frequency) in the
-    combiner: each document contributes each token ONCE. A document is
-    one row and rows never split across batches, so per-batch (row,
-    token) dedupe is globally exact; the shuffle then carries one
-    (token, df) partial per distinct token per batch — vocabulary ×
-    blocks, never corpus positions."""
+def token_df(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
+    """Exact per-token DOCUMENT frequency (token, df) — the idf
+    denominator of TF-IDF. Each document contributes each token ONCE: a
+    document is one row and rows never split across batches, so
+    per-batch (row, token) dedupe is globally exact; the shuffle then
+    carries one (token, df) partial per distinct token per batch —
+    vocabulary × blocks, never corpus positions."""
     from ray.data.aggregate import Sum
-
-    from duplicate_finder_ray.stages.relational import topk_per_group
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
@@ -746,12 +740,24 @@ def top_tokens_by_df(
             }
         )
 
-    totals = (
+    return (
         ds.select_columns([text_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
     )
+
+
+def top_tokens_by_df(
+    ds: ray.data.Dataset, text_col: str, k: int
+) -> ray.data.Dataset:
+    """Exact global top-k tokens by DOCUMENT frequency (ties by token
+    asc) — the usual stopword-mining statistic. Differs from
+    ``top_tokens`` (term frequency) in the combiner; see
+    :func:`token_df` for the scale shape."""
+    from duplicate_finder_ray.stages.relational import topk_per_group
+
+    totals = token_df(ds, text_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -762,3 +768,59 @@ def top_tokens_by_df(
         totals.map_batches(tag, batch_format="pyarrow"), "__g", "df", "token", k
     )
     return top.select_columns(["token", "df", "rank"])
+
+
+def distinctive_terms(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_parts: int = 16,
+) -> ray.data.Dataset:
+    """Per-document keyword extraction — the TF-IDF shape kept exact
+    and integer-only: each document's top-k tokens ordered by (term
+    frequency DESC, global document frequency ASC, token ASC). High-tf
+    rare-df tokens are the classic 'distinctive term'; ranking on the
+    raw integer pair instead of the float tf·log(N/df) product keeps
+    the operator hash-gateable cross-engine with identical semantics
+    (the log is monotone in df at fixed tf, so at k small the chosen
+    terms differ only on composite-score ties).
+
+    Scale shape: (doc, token, tf) partials are one row per DISTINCT
+    (doc, token) per batch; the vocabulary-sized df table joins in via
+    the hash exchange (token-keyed, both sides large → shuffle join,
+    not broadcast); the per-doc top-k uses the local-prune + tiny
+    groupby combiner."""
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+    from duplicate_finder_ray.stages.relational import topk_per_group_by
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        vals = flat.to_numpy(zero_copy_only=False)
+        keep = vals != ""
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"d": ids[row[keep]], "t": vals[keep]})
+            .groupby(["d", "t"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                id_col: pa.array(g["d"].to_numpy(), pa.int64()),
+                "token": pa.array(g["t"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_partial, batch_format="pyarrow"
+    )
+    joined = shuffle_hash_join(tf, token_df(ds, text_col), "token", "token", n_parts)
+    top = topk_per_group_by(
+        joined, id_col, ["tf", "df", "token"], [False, True, True], k
+    )
+    return top.select_columns([id_col, "token", "tf", "df", "rank"])

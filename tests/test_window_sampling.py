@@ -8,7 +8,7 @@ import pyarrow as pa
 
 import ray.data
 
-from duplicate_finder_ray.stages.events import running_totals
+from duplicate_finder_ray.stages.events import lag_deltas, running_totals
 from duplicate_finder_ray.stages.relational import stratified_sample
 
 
@@ -61,6 +61,43 @@ class TestRunningTotals:
             (r["event_id"], r["event_seq"], r["cum_value_cents"])
             for r in running_totals(_events(rows), 16).take_all()
         )))
+        assert a == b
+
+
+class TestLagDeltas:
+    def test_gaps_isolated_per_user(self, ray_session):
+        rows = [
+            (1, 1000, 7, 0.0),
+            (2, 4000, 7, 0.0),
+            (3, 1500, 8, 0.0),  # between user 7's events in time
+            (4, 9000, 8, 0.0),
+        ]
+        out = {r["event_id"]: r for r in lag_deltas(_events(rows), 4).take_all()}
+        assert out[1]["prev_event_id"] == -1 and out[1]["gap_us"] == -1
+        assert out[2]["prev_event_id"] == 1 and out[2]["gap_us"] == 3000
+        assert out[3]["prev_event_id"] == -1 and out[3]["gap_us"] == -1
+        assert out[4]["prev_event_id"] == 3 and out[4]["gap_us"] == 7500
+
+    def test_ties_break_by_event_id(self, ray_session):
+        rows = [(5, 1000, 1, 0.0), (2, 1000, 1, 0.0)]
+        out = {r["event_id"]: r for r in lag_deltas(_events(rows), 2).take_all()}
+        assert out[2]["prev_event_id"] == -1
+        assert out[5]["prev_event_id"] == 2 and out[5]["gap_us"] == 0
+
+    def test_partition_count_invariant(self, ray_session):
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, int(rng.integers(0, 10**6)), int(rng.integers(0, 15)), 0.0)
+            for i in range(400)
+        ]
+        a = sorted(
+            (r["event_id"], r["prev_event_id"], r["gap_us"])
+            for r in lag_deltas(_events(rows), 2).take_all()
+        )
+        b = sorted(
+            (r["event_id"], r["prev_event_id"], r["gap_us"])
+            for r in lag_deltas(_events(rows), 16).take_all()
+        )
         assert a == b
 
 
