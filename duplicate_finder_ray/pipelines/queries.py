@@ -1036,6 +1036,71 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_rolling_window(sf_dir: str) -> ray.data.Dataset:
+    """Rows-based rolling window: SUM(value) OVER (PARTITION BY user
+    ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), exact cents,
+    hash exchange + cumsum-difference kernel."""
+    from duplicate_finder_ray.stages.events import rolling_sum_rows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return rolling_sum_rows(ev, window=5)
+
+
+def q_sample_n_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-group budget sampling: cap every language at 40 documents,
+    chosen deterministically by md5 order — guaranteed counts (unlike
+    Bernoulli), engine-replayable, local-prune combiner."""
+    from duplicate_finder_ray.stages.relational import sample_n_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sample_n_per_group(docs, "doc_id", "lang", 40)
+
+
+def q_chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """Context-window prep: split each document into 64-token windows
+    advancing by 48 (16-token overlap), rebuilding the chunk text —
+    shuffle-free, one vectorized map pass."""
+    from duplicate_finder_ray.stages.chunking import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+def q_doc_quartiles(sf_dir: str) -> ray.data.Dataset:
+    """NTILE(4) OVER (PARTITION BY lang ORDER BY length, doc_id): the
+    percentile-band router (route/drop by per-language length band) via
+    one hash exchange + arithmetic bucket kernel."""
+    from duplicate_finder_ray.stages.relational import ntile_partitioned
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return ntile_partitioned(
+        docs.map_batches(slim, batch_format="pyarrow"),
+        "lang",
+        ["n_chars", "doc_id"],
+        4,
+        out_col="quartile",
+    )
+
+
 def q_distinctive_terms(sf_dir: str) -> ray.data.Dataset:
     """Per-document keyword extraction (integer-exact TF-IDF shape):
     top-3 tokens per doc by (tf DESC, global df ASC, token ASC) —
@@ -1162,6 +1227,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "events_lag_deltas": q_events_lag_deltas,
     "distinctive_terms": q_distinctive_terms,
+    "chunk_documents": q_chunk_documents,
+    "doc_quartiles": q_doc_quartiles,
+    "events_rolling_window": q_events_rolling_window,
+    "sample_n_per_lang": q_sample_n_per_lang,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -1924,4 +1993,59 @@ r AS (
   FROM tf JOIN df USING (token)
 )
 SELECT doc_id, token, tf, df, "rank" FROM r WHERE "rank" <= 3
+"""
+
+ORACLE_SQL["chunk_documents"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+  WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+),
+c AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(0,
+           CASE WHEN len(w) <= 64 THEN 0
+                ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) END)) AS i
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least(i * 48 + 64, n) - i * 48 AS BIGINT) AS n_tokens,
+       array_to_string(
+         w[CAST(i * 48 + 1 AS BIGINT):CAST(least(i * 48 + 64, n) AS BIGINT)],
+         ' ') AS chunk_text
+FROM c
+"""
+
+ORACLE_SQL["doc_quartiles"] = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(ntile(4) OVER (
+         PARTITION BY lang ORDER BY length(text), doc_id
+       ) AS BIGINT) AS quartile
+FROM documents
+"""
+
+ORACLE_SQL["events_rolling_window"] = """
+SELECT event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS win_value_cents
+FROM events
+"""
+
+ORACLE_SQL["sample_n_per_lang"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+         ) AS BIGINT) AS "rank"
+  FROM documents
+)
+SELECT doc_id, lang, "rank" FROM r WHERE "rank" <= 40
 """

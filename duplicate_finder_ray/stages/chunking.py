@@ -1,0 +1,103 @@
+"""Document chunking for context-window preparation.
+
+Training-data-pipeline extension (the reference engine has nothing
+comparable — SURVEY.md §2.5). Before tokenizer-level packing, corpus
+pipelines split long documents into fixed-size token windows with a
+stride (overlap keeps boundary context; every public LM data recipe —
+BERT's create_pretraining_data, GPT-NeoX, RedPajama prep — has this
+step). The operator is embarrassingly parallel: one row in, its chunks
+out, no shuffle, no state — a pure vectorized ``map_batches`` that
+scales linearly with input blocks.
+
+Tokens here are whitespace-delimited words (RE2 ``\\s+`` split on both
+engines, so the DuckDB oracle gates exact equality including the
+rebuilt chunk text); swap in a real subword tokenizer by chunking the
+token-id column the same way.
+
+Vectorization: the chunk layout (per-doc chunk counts, start/end token
+ranges) is computed with numpy arithmetic, the token gather for ALL
+chunks of a batch is ONE ``take`` + ``binary_join`` over a LargeList
+view — no per-doc or per-chunk Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> ray.data.Dataset:
+    """Split each document into windows of ``chunk_tokens`` whitespace
+    tokens advancing by ``stride`` (overlap = chunk_tokens - stride).
+    Emits (id, chunk_idx, n_tokens, chunk_text); the final window is
+    short rather than padded; documents of ≤ chunk_tokens tokens emit
+    exactly one chunk; empty/whitespace-only documents emit none."""
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    C, S = chunk_tokens, stride
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+        keep = pc.not_equal(pc.fill_null(trimmed, ""), "")
+        ids = batch.column(id_col).filter(keep)
+        txt = trimmed.filter(keep)
+        n_docs = len(txt)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        if n_docs == 0:
+            return empty
+        words = pc.split_pattern_regex(txt, r"\s+")
+        n = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n, out=doc_off[1:])
+        n_chunks = np.where(
+            n <= C, 1, 1 + ((n - C + S - 1) // S)
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+        chunk_base = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=chunk_base[1:])
+        idx = np.arange(total, dtype=np.int64) - chunk_base[doc_of]
+        starts = idx * S
+        ends = np.minimum(starts + C, n[doc_of])
+        lens = ends - starts
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        gather = (
+            np.arange(out_off[-1], dtype=np.int64)
+            - np.repeat(out_off[:-1], lens)
+            + np.repeat(doc_off[doc_of] + starts, lens)
+        )
+        toks = flat.take(pa.array(gather))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(pa.array(out_off), toks)
+        chunk_text = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: pc.cast(ids.take(pa.array(doc_of)), pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": pc.cast(chunk_text, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow"
+    )

@@ -377,3 +377,86 @@ def lag_deltas(
     return hash_exchange(
         slim, user_part, num_partitions, lag_partition, out_schema.empty_table()
     )
+
+
+def rolling_sum_rows(
+    events: ray.data.Dataset,
+    window: int = 5,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Rows-based rolling window — ``SUM(value) OVER (PARTITION BY user
+    ORDER BY ts ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` in
+    exact integer cents (the moving-total feature of rate limiting and
+    burst detection; time-based windows live in ``sliding_counts``).
+
+    Same two-level execution as ``running_totals``; the window sum is
+    the cumulative-sum difference against a start index clamped to each
+    user's first row — one vectorized pass, any window size."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("win_value_cents", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        v_cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": ts_us,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "v_cents": v_cents,
+            }
+        )
+
+    def user_part(tbl: pa.Table, n: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy()
+        return (pd.util.hash_array(u.copy()) % np.uint64(n)).astype(np.int64)
+
+    def window_partition(p: int, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        v = tbl.column("v_cents").to_numpy()
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order]
+        cs = np.cumsum(v)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new_user)[0]
+        user_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        lo = np.maximum(user_start, np.arange(n, dtype=np.int64) - (window - 1))
+        win = cs - np.where(lo > 0, cs[lo - 1], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "win_value_cents": pa.array(win, pa.int64()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = events.select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(
+        slim, user_part, num_partitions, window_partition, out_schema.empty_table()
+    )

@@ -616,3 +616,101 @@ def stratified_sample(
         return batch.filter(pa.array(h < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def ntile_partitioned(
+    ds: ray.data.Dataset,
+    part_col: str,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "bucket",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``NTILE(n) OVER (PARTITION BY part_col ORDER BY order_cols)`` —
+    each row tagged with its 1-based equal-frequency bucket inside its
+    partition value (first ``cnt %% n`` buckets get the extra row,
+    matching the SQL standard). The percentile-band router of curation
+    pipelines ('drop the bottom quartile by quality per language').
+
+    Execution: ONE barrier-free hash exchange on ``part_col`` (several
+    partition VALUES may share a physical partition; the kernel handles
+    each independently), then a vectorized sort + arithmetic bucket
+    assignment — no per-value Python. Exact NTILE requires a total
+    order per partition value, so one task sees all of a value's SLIM
+    rows (select the columns you need first); for corpus-scale
+    percentile routing at unbounded group sizes use the t-digest path
+    (``grouped_quantiles_sketch``) instead."""
+    from duplicate_finder_ray.stages.join import _pa_type
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    names = list(ds.schema().names)
+    types = {c: _pa_type(t) for c, t in zip(names, ds.schema().types)}
+    missing = [c for c in (part_col, *order_cols) if c not in names]
+    if missing:
+        raise ValueError(f"missing columns: {missing}")
+    out_schema = pa.schema(
+        [(c, types[c]) for c in names] + [(out_col, pa.int64())]
+    )
+
+    def by_part(tbl: pa.Table, p: int) -> np.ndarray:
+        v = tbl.column(part_col).to_numpy(zero_copy_only=False)
+        return (pd.util.hash_array(np.ascontiguousarray(v)) % np.uint64(p)).astype(
+            np.int64
+        )
+
+    def assign(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        df = df.sort_values(
+            [part_col, *order_cols], kind="mergesort"
+        ).reset_index(drop=True)
+        sizes = df.groupby(part_col, sort=False).size().to_numpy()
+        cnt = np.repeat(sizes, sizes)
+        starts = np.repeat(np.cumsum(sizes) - sizes, sizes)
+        i = np.arange(len(df), dtype=np.int64) - starts
+        q, r = cnt // n, cnt % n
+        big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+        bucket = np.where(
+            i < big, i // (q + 1), r + (i - big) // np.maximum(q, 1)
+        ) + 1
+        df[out_col] = bucket.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(
+        ds, by_part, num_partitions, assign, out_schema.empty_table()
+    )
+
+
+def sample_n_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    n: int,
+) -> ray.data.Dataset:
+    """Exact per-group BUDGET sampling: keep at most ``n`` rows per
+    group, chosen by md5-hash order of the key (with the key itself as
+    tie-break) — the 'cap every domain/language at N documents' shape.
+    Unlike the Bernoulli samplers this guarantees the count; like them
+    it is engine-replayable and stable: a kept row is evicted only when
+    a lower-hash row enters its group. Scale shape = the top-k combiner
+    (per-batch local prune, ≤ n rows per group per block cross the
+    wire)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = _md5_prefix_u64(batch.column(key_col))
+        return batch.append_column("__h", pa.array(h, pa.uint64()))
+
+    ranked = topk_per_group_by(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        group_col,
+        ["__h", key_col],
+        [True, True],
+        n,
+    )
+    return ranked.drop_columns(["__h"])

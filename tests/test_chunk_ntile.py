@@ -1,0 +1,116 @@
+"""Unit tests for chunk_documents (stride windows, text rebuild) and
+ntile_partitioned (SQL NTILE bucket arithmetic, partition isolation)."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from duplicate_finder_ray.stages.chunking import chunk_documents
+from duplicate_finder_ray.stages.relational import ntile_partitioned
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+class TestChunkDocuments:
+    def test_stride_windows_and_text(self, ray_session):
+        ds = _docs([(1, "a b c d e")])
+        out = sorted(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(ds, "doc_id", "text", 3, 2).take_all()
+        )
+        assert out == [(0, 3, "a b c"), (1, 3, "c d e")]
+
+    def test_short_doc_single_chunk(self, ray_session):
+        ds = _docs([(1, "a b c"), (2, "x")])
+        out = {
+            r["doc_id"]: (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(ds, "doc_id", "text", 3, 2).take_all()
+        }
+        assert out[1] == (0, 3, "a b c")
+        assert out[2] == (0, 1, "x")
+
+    def test_trailing_partial_chunk(self, ray_session):
+        ds = _docs([(1, "a b c d")])  # C=3 S=2 → [a b c], [c d]
+        out = sorted(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(ds, "doc_id", "text", 3, 2).take_all()
+        )
+        assert out == [(0, 3, "a b c"), (1, 2, "c d")]
+
+    def test_empty_and_whitespace_docs_emit_nothing(self, ray_session):
+        ds = _docs([(1, ""), (2, "   \n\t "), (3, "ok fine")])
+        rows = chunk_documents(ds, "doc_id", "text", 4, 4).take_all()
+        assert {r["doc_id"] for r in rows} == {3}
+
+    def test_normalizes_interior_whitespace(self, ray_session):
+        ds = _docs([(1, "  a\n\nb\tc  ")])
+        (row,) = chunk_documents(ds, "doc_id", "text", 8, 8).take_all()
+        assert row["chunk_text"] == "a b c" and row["n_tokens"] == 3
+
+    def test_rejects_bad_params(self, ray_session):
+        ds = _docs([(1, "a")])
+        with pytest.raises(ValueError):
+            chunk_documents(ds, "doc_id", "text", 4, 5)
+        with pytest.raises(ValueError):
+            chunk_documents(ds, "doc_id", "text", 0, 0)
+
+
+class TestNtilePartitioned:
+    def _slim(self, rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": pa.array([r[1] for r in rows], pa.string()),
+                    "v": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    def test_sql_ntile_distribution(self, ray_session):
+        # 5 rows, 4 buckets → sizes 2,1,1,1 (first bucket gets extra)
+        rows = [(i, "en", i * 10) for i in range(1, 6)]
+        out = {
+            r["doc_id"]: r["bucket"]
+            for r in ntile_partitioned(
+                self._slim(rows), "lang", ["v", "doc_id"], 4, num_partitions=3
+            ).take_all()
+        }
+        assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    def test_fewer_rows_than_buckets(self, ray_session):
+        rows = [(1, "en", 5), (2, "en", 3)]
+        out = {
+            r["doc_id"]: r["bucket"]
+            for r in ntile_partitioned(
+                self._slim(rows), "lang", ["v"], 4, num_partitions=2
+            ).take_all()
+        }
+        assert out == {2: 1, 1: 2}  # ordered by v asc
+
+    def test_partitions_isolated(self, ray_session):
+        rows = [(1, "en", 1), (2, "en", 2), (3, "de", 1), (4, "de", 2)]
+        out = {
+            r["doc_id"]: r["bucket"]
+            for r in ntile_partitioned(
+                self._slim(rows), "lang", ["v"], 2, num_partitions=4
+            ).take_all()
+        }
+        assert out == {1: 1, 2: 2, 3: 1, 4: 2}
+
+    def test_rejects_bad_spec(self, ray_session):
+        ds = self._slim([(1, "en", 1)])
+        with pytest.raises(ValueError):
+            ntile_partitioned(ds, "lang", ["missing"], 2)
+        with pytest.raises(ValueError):
+            ntile_partitioned(ds, "lang", ["v"], 0)

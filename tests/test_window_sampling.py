@@ -8,8 +8,15 @@ import pyarrow as pa
 
 import ray.data
 
-from duplicate_finder_ray.stages.events import lag_deltas, running_totals
-from duplicate_finder_ray.stages.relational import stratified_sample
+from duplicate_finder_ray.stages.events import (
+    lag_deltas,
+    rolling_sum_rows,
+    running_totals,
+)
+from duplicate_finder_ray.stages.relational import (
+    sample_n_per_group,
+    stratified_sample,
+)
 
 
 def _events(rows):
@@ -99,6 +106,76 @@ class TestLagDeltas:
             for r in lag_deltas(_events(rows), 16).take_all()
         )
         assert a == b
+
+
+class TestRollingSumRows:
+    def test_window_clamps_at_user_start(self, ray_session):
+        rows = [
+            (1, 1000, 7, 1.0),
+            (2, 2000, 7, 2.0),
+            (3, 3000, 7, 4.0),
+            (4, 4000, 7, 8.0),
+            (5, 1500, 8, 16.0),
+        ]
+        out = {
+            r["event_id"]: r["win_value_cents"]
+            for r in rolling_sum_rows(_events(rows), window=3, num_partitions=4)
+            .take_all()
+        }
+        assert out == {1: 100, 2: 300, 3: 700, 4: 1400, 5: 1600}
+
+    def test_window_one_is_identity(self, ray_session):
+        rows = [(1, 1000, 7, 2.5), (2, 2000, 7, 4.0)]
+        out = {
+            r["event_id"]: r["win_value_cents"]
+            for r in rolling_sum_rows(_events(rows), window=1, num_partitions=2)
+            .take_all()
+        }
+        assert out == {1: 250, 2: 400}
+
+    def test_rejects_bad_window(self, ray_session):
+        import pytest
+
+        with pytest.raises(ValueError):
+            rolling_sum_rows(_events([(1, 0, 0, 0.0)]), window=0)
+
+
+class TestSampleNPerGroup:
+    def test_exact_counts_and_stability(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(300), pa.int64()),
+                    "lang": pa.array(
+                        ["en" if i % 3 else "de" for i in range(300)]
+                    ),
+                }
+            )
+        )
+        kept = sample_n_per_group(ds, "doc_id", "lang", 10).take_all()
+        by_lang = {}
+        for r in kept:
+            by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+        # stability: growing the budget keeps the smaller selection
+        kept25 = {
+            (r["lang"], r["doc_id"])
+            for r in sample_n_per_group(ds, "doc_id", "lang", 25).take_all()
+        }
+        assert {(r["lang"], r["doc_id"]) for r in kept} <= kept25
+
+    def test_small_group_returned_whole(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "lang": pa.array(["zh", "zh", "en"]),
+                }
+            )
+        )
+        kept = sample_n_per_group(ds, "doc_id", "lang", 10).take_all()
+        assert len(kept) == 3
+        assert {r["rank"] for r in kept if r["lang"] == "zh"} == {1, 2}
 
 
 class TestStratifiedSample:
