@@ -1036,6 +1036,30 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_pack_documents(sf_dir: str) -> ray.data.Dataset:
+    """Sequence packing (concat-then-slice at a 512-token boundary):
+    every document mapped to the pack(s) it overlaps in the doc_id-
+    ordered token stream — a distributed prefix scan (one slim sort,
+    one scalar per block to the driver, per-block arithmetic)."""
+    from duplicate_finder_ray.stages.chunking import pack_assignments
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        words = pc.split_pattern_regex(trimmed, r"\s+")
+        n = pc.cast(pc.list_value_length(words), pa.int64())
+        n = pc.if_else(
+            pc.equal(pc.fill_null(trimmed, ""), ""), pa.scalar(0, pa.int64()), n
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    slim = docs.map_batches(counts, batch_format="pyarrow")
+    return pack_assignments(slim, "doc_id", "n_tokens", 512)
+
+
 def q_events_rolling_window(sf_dir: str) -> ray.data.Dataset:
     """Rows-based rolling window: SUM(value) OVER (PARTITION BY user
     ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), exact cents,
@@ -1231,6 +1255,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_quartiles": q_doc_quartiles,
     "events_rolling_window": q_events_rolling_window,
     "sample_n_per_lang": q_sample_n_per_lang,
+    "pack_documents": q_pack_documents,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2048,4 +2073,32 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, lang, "rank" FROM r WHERE "rank" <= 40
+"""
+
+ORACLE_SQL["pack_documents"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+           AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+              AS BIGINT) AS before
+  FROM t WHERE n > 0
+),
+p AS (
+  SELECT doc_id, n, before,
+         unnest(generate_series(before // 512, (before + n - 1) // 512))
+           AS pack_id
+  FROM c
+)
+SELECT doc_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(least((pack_id + 1) * 512, before + n)
+            - greatest(pack_id * 512, before) AS BIGINT) AS tokens_in_pack
+FROM p
 """

@@ -101,3 +101,90 @@ def chunk_documents(
     return ds.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pyarrow"
     )
+
+
+def pack_assignments(
+    ds: ray.data.Dataset,
+    id_col: str,
+    count_col: str,
+    budget: int,
+) -> ray.data.Dataset:
+    """GPT-style sequence packing WITH document splitting: documents
+    are concatenated in ``id_col`` order into one virtual token stream,
+    the stream is cut into consecutive ``budget``-token packs, and each
+    document is assigned to every pack it overlaps — (id, pack_id,
+    tokens_in_pack) rows. This is the pretraining batch-prep shape
+    (concat-then-slice at the context boundary); zero-token rows pack
+    nowhere.
+
+    Execution is a DISTRIBUTED PREFIX SCAN — the third wide primitive
+    next to the hash exchange and the broadcast semi-join: one sort by
+    id (the only all-to-all, on two slim columns), one scalar per block
+    to the driver (block token sums — O(blocks), never rows), exclusive
+    cumsum, then each block computes its rows' global stream offsets
+    independently. Pack boundaries are pure arithmetic on the offsets,
+    so the result is identical at ANY block count / parallelism."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    B = np.int64(budget)
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("pack_id", pa.int64()),
+            ("tokens_in_pack", pa.int64()),
+        ]
+    )
+
+    import ray
+
+    blocks = (
+        ds.select_columns([id_col, count_col]).sort(id_col).materialize()
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def block_sum(tbl: pa.Table) -> int:
+        if len(tbl) == 0 or count_col not in tbl.column_names:
+            return 0
+        return int(tbl.column(count_col).to_numpy().sum())
+
+    sums = np.array(ray.get([block_sum.remote(b) for b in blocks]), dtype=np.int64)
+    starts = np.zeros(len(sums), dtype=np.int64)
+    if len(sums) > 1:
+        np.cumsum(sums[:-1], out=starts[1:])
+
+    @ray.remote
+    def assign(tbl: pa.Table, start: int) -> pa.Table:
+        if len(tbl) == 0 or count_col not in tbl.column_names:
+            return out_schema.empty_table()
+        n = tbl.column(count_col).to_numpy().astype(np.int64)
+        ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        keep = n > 0
+        n, ids = n[keep], ids[keep]
+        if len(n) == 0:
+            return out_schema.empty_table()
+        before = start + np.cumsum(n) - n
+        first = before // B
+        last = (before + n - 1) // B
+        cnt = last - first + 1
+        total = int(cnt.sum())
+        doc_of = np.repeat(np.arange(len(n), dtype=np.int64), cnt)
+        base = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=base[1:])
+        pack = first[doc_of] + (np.arange(total, dtype=np.int64) - base[doc_of])
+        lo = np.maximum(pack * B, before[doc_of])
+        hi = np.minimum((pack + 1) * B, (before + n)[doc_of])
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_of], pa.int64()),
+                "pack_id": pa.array(pack, pa.int64()),
+                "tokens_in_pack": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    if not blocks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow_refs(
+        [assign.remote(b, int(s)) for b, s in zip(blocks, starts)]
+    )

@@ -65,6 +65,69 @@ class TestChunkDocuments:
             chunk_documents(ds, "doc_id", "text", 0, 0)
 
 
+class TestPackAssignments:
+    def _counts(self, rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    def test_boundary_splitting(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import pack_assignments
+
+        ds = self._counts([(1, 3), (2, 2), (3, 4)])  # stream: 9 tokens, B=4
+        out = sorted(
+            (r["doc_id"], r["pack_id"], r["tokens_in_pack"])
+            for r in pack_assignments(ds, "doc_id", "n_tokens", 4).take_all()
+        )
+        assert out == [
+            (1, 0, 3),
+            (2, 0, 1), (2, 1, 1),
+            (3, 1, 3), (3, 2, 1),
+        ]
+        # conservation: every token lands in exactly one pack
+        assert sum(t for _, _, t in out) == 9
+
+    def test_zero_token_docs_pack_nowhere(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import pack_assignments
+
+        ds = self._counts([(1, 0), (2, 5)])
+        out = pack_assignments(ds, "doc_id", "n_tokens", 8).take_all()
+        assert [(r["doc_id"], r["pack_id"], r["tokens_in_pack"]) for r in out] \
+            == [(2, 0, 5)]
+
+    def test_block_count_invariant(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import pack_assignments
+
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [(i, int(rng.integers(0, 40))) for i in range(200)]
+        a = sorted(
+            (r["doc_id"], r["pack_id"], r["tokens_in_pack"])
+            for r in pack_assignments(
+                self._counts(rows).repartition(2), "doc_id", "n_tokens", 64
+            ).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["pack_id"], r["tokens_in_pack"])
+            for r in pack_assignments(
+                self._counts(rows).repartition(13), "doc_id", "n_tokens", 64
+            ).take_all()
+        )
+        assert a == b and len(a) > 0
+
+    def test_rejects_bad_budget(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import pack_assignments
+
+        with pytest.raises(ValueError):
+            pack_assignments(self._counts([(1, 1)]), "doc_id", "n_tokens", 0)
+
+
 class TestNtilePartitioned:
     def _slim(self, rows):
         return ray.data.from_arrow(
