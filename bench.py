@@ -153,6 +153,21 @@ def run_bench() -> dict:
             + QUERIES["top_tokens"](SF_DIR).count()
         )
 
+    def curation_sf():
+        # the round-3 curation suite over the sf documents/events:
+        # benchmark decontamination (broadcast shingle-set semi-join),
+        # context-window chunking, sequence packing (distributed prefix
+        # scan), LAG deltas + rolling windows (hash exchange + numpy
+        # kernels), per-group budget sampling
+        return (
+            QUERIES["decontaminate_docs"](SF_DIR).count()
+            + QUERIES["chunk_documents"](SF_DIR).count()
+            + QUERIES["pack_documents"](SF_DIR).count()
+            + QUERIES["events_lag_deltas"](SF_DIR).count()
+            + QUERIES["events_rolling_window"](SF_DIR).count()
+            + QUERIES["sample_n_per_lang"](SF_DIR).count()
+        )
+
     timed("exact_dedup", exact_dedup)
     timed("near_dup", near_dup)
     if not os.environ.get("GRAFT_SCALING_ONLY"):
@@ -163,6 +178,7 @@ def run_bench() -> dict:
         timed("exact_dedup_sfdocs", exact_dedup_sfdocs)
         timed("token_counts_sfdocs", token_counts_sf)
         timed("relational_sfdocs", relational_sf)
+        timed("curation_sfdocs", curation_sf)
 
     total = round(sum(queries.values()), 3)
     dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)
