@@ -1036,6 +1036,19 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_chunk_share_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Partial-overlap pairs: documents sharing ≥1 identical 32-token
+    chunk (stride 24), with the exact shared-chunk count — two
+    barrier-free hash exchanges (chunk-hash co-locate + pair-keyed
+    count sum)."""
+    from duplicate_finder_ray.stages.chunking import chunk_share_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_share_pairs(docs, "doc_id", "text", 32, 24)
+
+
 def q_pack_documents(sf_dir: str) -> ray.data.Dataset:
     """Sequence packing (concat-then-slice at a 512-token boundary):
     every document mapped to the pack(s) it overlaps in the doc_id-
@@ -1256,6 +1269,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_rolling_window": q_events_rolling_window,
     "sample_n_per_lang": q_sample_n_per_lang,
     "pack_documents": q_pack_documents,
+    "chunk_share_pairs": q_chunk_share_pairs,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2101,4 +2115,32 @@ SELECT doc_id,
        CAST(least((pack_id + 1) * 512, before + n)
             - greatest(pack_id * 512, before) AS BIGINT) AS tokens_in_pack
 FROM p
+"""
+
+ORACLE_SQL["chunk_share_pairs"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+  WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+),
+c AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(0,
+           CASE WHEN len(w) <= 32 THEN 0
+                ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) END)) AS i
+  FROM t
+),
+d AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(
+           w[CAST(i * 24 + 1 AS BIGINT):CAST(least(i * 24 + 32, n) AS BIGINT)],
+           ' ') AS chunk_text
+  FROM c
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS n_shared_chunks
+FROM d x JOIN d y ON x.chunk_text = y.chunk_text AND x.doc_id < y.doc_id
+GROUP BY 1, 2
 """

@@ -188,3 +188,130 @@ def pack_assignments(
     return ray.data.from_arrow_refs(
         [assign.remote(b, int(s)) for b, s in zip(blocks, starts)]
     )
+
+
+def chunk_share_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    num_partitions: int = 16,
+    cap: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Partial-overlap detection by chunk identity: (a, b,
+    n_shared_chunks) for every document pair sharing ≥1 IDENTICAL
+    chunk (distinct chunk values; a < b). Catches the
+    'one file pasted inside another' overlap that whole-document
+    dedup misses and exact-span LCS prices per pair — at chunk
+    granularity it is two barrier-free hash exchanges:
+
+    1. chunk-hash exchange: identical chunks co-locate; per partition,
+       (chunk, doc) dedupe + the triangular bucket-pair kernel shared
+       with LSH (`bucket_pairs_arrays`) emits each pair once per shared
+       chunk value, pre-counted per partition;
+    2. pair exchange keyed on hash(a, b) (hub-skew-safe): partial
+       counts sum to exact n_shared_chunks.
+
+    ``cap`` bounds a hot chunk's bucket (boilerplate/license chunks
+    explode quadratically at corpus scale — same observable-truncation
+    trade as the LSH band cap; the sf-scale oracle runs uncapped)."""
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+    from duplicate_finder_ray.stages.neardup import bucket_pairs_arrays
+
+    import pandas as pd
+    import ray
+
+    chunks = chunk_documents(ds, id_col, text_col, chunk_tokens, stride)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch.column("chunk_text").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "d": pc.cast(batch.column(id_col), pa.uint64()),
+            }
+        )
+
+    slim = chunks.map_batches(prep, batch_format="pyarrow")
+
+    part_schema = pa.schema(
+        [("a", pa.uint64()), ("b", pa.uint64()), ("n", pa.int64())]
+    )
+
+    def h_part(tbl: pa.Table, p: int) -> np.ndarray:
+        return (
+            tbl.column("h").to_numpy().astype(np.uint64) % np.uint64(p)
+        ).astype(np.int64)
+
+    def pairs_kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        h = tbl.column("h").to_numpy().astype(np.uint64)
+        d = tbl.column("d").to_numpy().astype(np.uint64)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.empty(len(h), dtype=bool)
+        first[0] = True
+        np.logical_or(h[1:] != h[:-1], d[1:] != d[:-1], out=first[1:])
+        h, d = h[first], d[first]  # distinct (chunk, doc)
+        a, b, _ = bucket_pairs_arrays(h, d, cap)
+        if len(a) == 0:
+            return part_schema.empty_table()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        pf = np.empty(len(a), dtype=bool)
+        pf[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=pf[1:])
+        starts = np.nonzero(pf)[0]
+        n = np.diff(np.append(starts, len(a))).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a[starts], pa.uint64()),
+                "b": pa.array(b[starts], pa.uint64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    partials = hash_exchange(
+        slim, h_part, num_partitions, pairs_kernel, part_schema.empty_table()
+    )
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("n_shared_chunks", pa.int64())]
+    )
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def pair_part(tbl: pa.Table, p: int) -> np.ndarray:
+        a = tbl.column("a").to_numpy().astype(np.uint64)
+        b = tbl.column("b").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (a * _MIX) ^ b
+        return (pd.util.hash_array(key) % np.uint64(p)).astype(np.int64)
+
+    def sum_kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        a = tbl.column("a").to_numpy().astype(np.uint64)
+        b = tbl.column("b").to_numpy().astype(np.uint64)
+        n = tbl.column("n").to_numpy()
+        order = np.lexsort((b, a))
+        a, b, n = a[order], b[order], n[order]
+        pf = np.empty(len(a), dtype=bool)
+        pf[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=pf[1:])
+        starts = np.nonzero(pf)[0]
+        totals = np.add.reduceat(n, starts)
+        return pa.table(
+            {
+                "a": pa.array(a[starts].astype(np.int64), pa.int64()),
+                "b": pa.array(b[starts].astype(np.int64), pa.int64()),
+                "n_shared_chunks": pa.array(totals, pa.int64()),
+            }
+        )
+
+    return hash_exchange(
+        partials, pair_part, num_partitions, sum_kernel, out_schema.empty_table()
+    )

@@ -65,6 +65,39 @@ class TestChunkDocuments:
             chunk_documents(ds, "doc_id", "text", 0, 0)
 
 
+class TestChunkSharePairs:
+    def test_pasted_fragment_detected(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import chunk_share_pairs
+
+        frag = "w1 w2 w3 w4"  # one aligned 4-token chunk
+        ds = _docs(
+            [
+                (1, frag + " tail1 tail2 tail3 tail4"),
+                (2, frag + " other stuff here now ok"),
+                (3, "entirely different words in here friend"),
+            ]
+        )
+        out = chunk_share_pairs(ds, "doc_id", "text", 4, 4, 4).take_all()
+        assert [(r["a"], r["b"], r["n_shared_chunks"]) for r in out] == [(1, 2, 1)]
+
+    def test_identical_docs_share_all_chunks(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import chunk_share_pairs
+
+        text = " ".join(f"t{i}" for i in range(10))  # C=4,S=3 → 3 chunks
+        ds = _docs([(7, text), (9, text)])
+        (row,) = chunk_share_pairs(ds, "doc_id", "text", 4, 3, 4).take_all()
+        assert (row["a"], row["b"]) == (7, 9) and row["n_shared_chunks"] == 3
+
+    def test_repeated_chunk_counts_once(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import chunk_share_pairs
+
+        # the same chunk value appears twice inside doc 1 (exact repeat
+        # aligned at stride) but is ONE distinct shared value
+        ds = _docs([(1, "a b a b"), (2, "a b x y")])
+        (row,) = chunk_share_pairs(ds, "doc_id", "text", 2, 2, 4).take_all()
+        assert row["n_shared_chunks"] == 1
+
+
 class TestPackAssignments:
     def _counts(self, rows):
         return ray.data.from_arrow(
