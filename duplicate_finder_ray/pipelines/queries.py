@@ -1036,6 +1036,91 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_full_join_custorders(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join on the shuffle hash join: per-customer order
+    rollup ⟗ BUILDING-segment customers — matched rows, customers with
+    orders outside the segment (right-null), segment customers with no
+    orders (left-null); -1 sentinels keep plain int64 columns."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "k": batch["o_custkey"].to_numpy(),
+                    "c": cents.to_numpy(),
+                }
+            )
+            .groupby("k", sort=False)
+            .agg(n=("c", "size"), s=("c", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["k"].to_numpy(), pa.int64()),
+                "n_part": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "c_part": pa.array(g["s"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    left = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(order_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_part", alias_name="n_orders"),
+            Sum("c_part", alias_name="rev_cents"),
+        )
+    )
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["c_mktsegment"], "BUILDING")
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "acctbal_cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(b["c_acctbal"], 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    right = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(cust_prep, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(
+        left, right, "o_custkey", "c_custkey", 16, how="full"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        fill = pa.scalar(-1, pa.int64())
+        return pa.table(
+            {
+                "custkey": batch["o_custkey"],
+                "n_orders": pc.fill_null(batch["n_orders"], fill),
+                "rev_cents": pc.fill_null(batch["rev_cents"], fill),
+                "acctbal_cents": pc.fill_null(batch["acctbal_cents"], fill),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_chunk_share_pairs(sf_dir: str) -> ray.data.Dataset:
     """Partial-overlap pairs: documents sharing ≥1 identical 32-token
     chunk (stride 24), with the exact shared-chunk count — two
@@ -1270,6 +1355,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sample_n_per_lang": q_sample_n_per_lang,
     "pack_documents": q_pack_documents,
     "chunk_share_pairs": q_chunk_share_pairs,
+    "full_join_custorders": q_full_join_custorders,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2143,4 +2229,23 @@ SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(count(*) AS BIGINT) AS n_shared_chunks
 FROM d x JOIN d y ON x.chunk_text = y.chunk_text AND x.doc_id < y.doc_id
 GROUP BY 1, 2
+"""
+
+ORACLE_SQL["full_join_custorders"] = """
+WITH l AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT CAST(coalesce(l.o_custkey, r.c_custkey) AS BIGINT) AS custkey,
+       CAST(coalesce(l.n_orders, -1) AS BIGINT) AS n_orders,
+       CAST(coalesce(l.rev_cents, -1) AS BIGINT) AS rev_cents,
+       CAST(coalesce(r.acctbal_cents, -1) AS BIGINT) AS acctbal_cents
+FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
 """

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -172,10 +173,12 @@ def shuffle_hash_join(
 
     ``how``: 'inner', 'left' (unmatched left rows keep null right
     columns, including against an empty right side), 'semi' (left rows
-    with ≥1 match, emitted once, left columns only), or 'anti' (left
-    rows with NO match, left columns only).
+    with ≥1 match, emitted once, left columns only), 'anti' (left rows
+    with NO match, left columns only), or 'full' (both sides' unmatched
+    rows survive; the key column is coalesced from whichever side has
+    the row).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"unsupported how={how!r}")
     lschema = left.schema()
     rschema = right.schema()
@@ -202,7 +205,9 @@ def shuffle_hash_join(
         rcols = [right_key, *rcols]
     lpayload = [c for c in lcols if c != left_key]
     rpayload = (
-        [c for c in rcols if c != right_key] if how in ("inner", "left") else []
+        [c for c in rcols if c != right_key]
+        if how in ("inner", "left", "full")
+        else []
     )
     overlap = set(lcols) & set(rpayload)
     if overlap:
@@ -253,11 +258,23 @@ def shuffle_hash_join(
         side = part.column("__side").to_numpy()
         lsel = np.nonzero(side == 0)[0]
         rsel = np.nonzero(side == 1)[0]
-        if len(lsel) == 0:
+        if len(lsel) == 0 and not (how == "full" and len(rsel)):
             return out_schema.empty_table()
         keys = part.column("__key").to_numpy(zero_copy_only=False)
         lkeys = pd.DataFrame({"k": keys[lsel], "i": lsel})
         rkeys = pd.DataFrame({"k": keys[rsel], "j": rsel})
+        if how == "full":
+            m = lkeys.merge(rkeys, on="k", how="outer")
+            if len(m) == 0:
+                return out_schema.empty_table()
+            ii = pa.array(m["i"].to_numpy(), pa.int64(), from_pandas=True)
+            jj = pa.array(m["j"].to_numpy(), pa.int64(), from_pandas=True)
+            lt = part.take(ii)  # null index → all-null row (pc.take)
+            rt = part.take(jj)
+            arrays = [pc.coalesce(lt.column("__key"), rt.column("__key"))]
+            arrays += [lt.column(n) for n in lpayload]
+            arrays += [rt.column(n) for n in rpayload]
+            return pa.Table.from_arrays(arrays, schema=out_schema)
         if how in ("semi", "anti"):
             mask = lkeys["k"].isin(rkeys["k"].unique())
             hit = lkeys[mask if how == "semi" else ~mask]

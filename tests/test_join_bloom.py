@@ -150,6 +150,34 @@ class TestRepetitionRedaction:
         assert by[2]["n_redactions"] == 1
 
 
+class TestFullJoin:
+    def test_both_sides_unmatched_survive(self, ray_session):
+        left = _ds({"k": [1, 2], "x": ["a", "b"]})
+        right = _ds({"rk": [2, 3], "z": [20, 30]})
+        out = shuffle_hash_join(left, right, "k", "rk", 2, how="full").take_all()
+        rows = {r["k"]: (r["x"], r["z"]) for r in out}
+        assert rows[1] == ("a", None)  # left-only
+        assert rows[2] == ("b", 20)  # matched
+        assert rows[3] == (None, 30)  # right-only, key coalesced
+        assert len(out) == 3
+
+    def test_full_against_empty_right(self, ray_session):
+        left = _ds({"k": [1], "x": ["a"]})
+        right = _ds({"rk": [9], "z": [0]}).filter(lambda r: False)
+        out = shuffle_hash_join(
+            left, right, "k", "rk", 2, right_cols=["z"], how="full"
+        ).take_all()
+        assert [(r["k"], r["x"], r["z"]) for r in out] == [(1, "a", None)]
+
+    def test_full_duplicate_keys_cross_product(self, ray_session):
+        left = _ds({"k": [5, 5], "x": ["a", "b"]})
+        right = _ds({"rk": [5, 5], "z": [1, 2]})
+        out = shuffle_hash_join(left, right, "k", "rk", 2, how="full").take_all()
+        assert sorted((r["x"], r["z"]) for r in out) == [
+            ("a", 1), ("a", 2), ("b", 1), ("b", 2)
+        ]
+
+
 class TestAntiJoin:
     def test_anti_complements_semi(self, ray_session):
         left = _ds({"k": [1, 1, 2, 3, 4], "x": list("abcde")})
