@@ -307,30 +307,3 @@ def shuffle_hash_join(
     )
 
 
-def grouped_min(
-    ds: ray.data.Dataset,
-    key: str,
-    value: str,
-    out_value: str,
-    num_buckets: int,
-) -> ray.data.Dataset:
-    """groupby(key).min(value) via the two-level bucket pattern (sort
-    path + pandas C agg) — avoids the hash-shuffle aggregate's empty
-    zero-column blocks."""
-    schema = ds.schema()
-    types = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
-    out_schema = pa.schema([(key, types[key]), (out_value, types[value])])
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__bucket", _bucket_of(batch[key], num_buckets))
-
-    def agg(part: pd.DataFrame) -> pa.Table:
-        g = part.groupby(key, sort=False)[value].min().reset_index()
-        g = g.rename(columns={value: out_value})
-        return pa.Table.from_pandas(g, schema=out_schema, preserve_index=False)
-
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(agg, batch_format="pandas")
-    )
