@@ -871,55 +871,30 @@ def verify_pairs_exact(
             "spair", pa.array(spair.astype(np.int32), pa.int32())
         )
 
-    # Pair routing rides the hash exchange, NOT Ray's sort-based
-    # groupby("spair"): the pairs are 20-byte rows but the groupby still
-    # pays the sample/boundary barrier + a Python call per spair group
-    # (round-3 fixed-term trim — the spair term of the flat ~14 s verify
-    # wall in BASELINE.md). One partition holds several spair groups;
-    # the kernel argsorts once and scores each group slice against its
-    # two zero-copy CSR shard objects.
-    n_route = max(4, min(n_shards * n_shards, effective_parallelism(cfg) * 2))
-
-    def spair_part(tbl: pa.Table, P: int) -> np.ndarray:
-        return tbl.column("spair").to_numpy().astype(np.int64) % P
-
-    def score_partition(_p: int, tbl: pa.Table) -> pa.Table:
-        if len(tbl) == 0:
+    def score_group(part: pd.DataFrame) -> pa.Table:
+        if len(part) == 0:
             return VERIFIED_SCHEMA.empty_table()
-        sp = tbl.column("spair").to_numpy().astype(np.int64)
-        a = tbl.column("a").to_numpy().astype(np.uint64)
-        b = tbl.column("b").to_numpy().astype(np.uint64)
-        nb = tbl.column("n_bands").to_numpy().astype(np.int64)
-        order = np.argsort(sp, kind="stable")
-        sp, a, b, nb = sp[order], a[order], b[order], nb[order]
-        starts = np.nonzero(np.r_[True, sp[1:] != sp[:-1]])[0]
-        ends = np.append(starts[1:], len(sp))
-        outs = []
-        for s, e in zip(starts, ends):
-            spv = int(sp[s])
-            sa, sb = spv // n_shards, spv % n_shards
-            ref_a = shard_refs.get(sa, empty_ref)
-            ref_b = shard_refs.get(sb, empty_ref)
-            csr_a = ray.get(ref_a)
-            csr_b = csr_a if ref_b is ref_a else ray.get(ref_b)
-            batch = pa.table(
-                {
-                    "a": pa.array(a[s:e], pa.uint64()),
-                    "b": pa.array(b[s:e], pa.uint64()),
-                    "n_bands": pa.array(nb[s:e], pa.int64()),
-                }
-            )
-            outs.append(_score_pairs_two_csr(batch, csr_a, csr_b, threshold))
-        return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+        sp = int(part["spair"].iloc[0])
+        sa, sb = sp // n_shards, sp % n_shards
+        ref_a = shard_refs.get(sa, empty_ref)
+        ref_b = shard_refs.get(sb, empty_ref)
+        csr_a = ray.get(ref_a)
+        csr_b = csr_a if ref_b is ref_a else ray.get(ref_b)
+        batch = pa.table(
+            {
+                "a": pa.array(part["a"].to_numpy().astype(np.uint64), pa.uint64()),
+                "b": pa.array(part["b"].to_numpy().astype(np.uint64), pa.uint64()),
+                "n_bands": pa.array(
+                    part["n_bands"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        return _score_pairs_two_csr(batch, csr_a, csr_b, threshold)
 
-    from duplicate_finder_ray.stages.exchange import hash_exchange
-
-    return hash_exchange(
-        pairs.map_batches(add_spair, batch_format="pyarrow"),
-        spair_part,
-        n_route,
-        score_partition,
-        VERIFIED_SCHEMA.empty_table(),
+    return (
+        pairs.map_batches(add_spair, batch_format="pyarrow")
+        .groupby("spair")
+        .map_groups(score_group, batch_format="pandas")
     )
 
 
