@@ -1036,6 +1036,21 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_user_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT / crosstab: per-user count matrix over the five event
+    types — per-batch combiner collapses each block to ≤1 row per user,
+    one keys-sized aggregate sums the partials."""
+    from duplicate_finder_ray.stages.relational import pivot_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ev, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def q_full_join_custorders(sf_dir: str) -> ray.data.Dataset:
     """FULL OUTER join on the shuffle hash join: per-customer order
     rollup ⟗ BUILDING-segment customers — matched rows, customers with
@@ -1356,6 +1371,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_documents": q_pack_documents,
     "chunk_share_pairs": q_chunk_share_pairs,
     "full_join_custorders": q_full_join_custorders,
+    "user_event_pivot": q_user_event_pivot,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2248,4 +2264,20 @@ SELECT CAST(coalesce(l.o_custkey, r.c_custkey) AS BIGINT) AS custkey,
        CAST(coalesce(l.rev_cents, -1) AS BIGINT) AS rev_cents,
        CAST(coalesce(r.acctbal_cents, -1) AS BIGINT) AS acctbal_cents
 FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
+"""
+
+ORACLE_SQL["user_event_pivot"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view
+FROM events
+GROUP BY 1
 """

@@ -714,3 +714,40 @@ def sample_n_per_group(
         n,
     )
     return ranked.drop_columns(["__h"])
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    pivot_col: str,
+    categories: list[str],
+) -> ray.data.Dataset:
+    """Crosstab / PIVOT: one row per key, one int64 count column per
+    category (conditional aggregation — the feature-matrix shape fed to
+    downstream models and dashboards). Values outside ``categories``
+    are ignored; pass the full category list for a complete pivot.
+
+    Scale shape: a per-batch combiner collapses each block to ≤1 row
+    per key (vectorized equality masks + one pandas C groupby), then
+    ONE keys-sized aggregate sums the partials — the shuffle carries
+    keys × categories ints, never the event stream."""
+    if not categories:
+        raise ValueError("categories must be non-empty")
+    cols = [f"n_{c}" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        v = batch.column(pivot_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key_col: k})
+        for c, name in zip(categories, cols):
+            df[name] = (v == c).astype(np.int64)
+        g = df.groupby(key_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.select_columns([key_col, pivot_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    return agg

@@ -221,3 +221,32 @@ class TestStratifiedSample:
         )
         with pytest.raises(ValueError):
             stratified_sample(ds, "doc_id", "lang", {"en": "1"}, "80")
+
+
+class TestPivotCounts:
+    def test_counts_per_category(self, ray_session):
+        from duplicate_finder_ray.stages.relational import pivot_counts
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                    "t": pa.array(["a", "a", "b", "b", "zz"]),
+                }
+            )
+        )
+        out = {
+            r["u"]: (r["n_a"], r["n_b"])
+            for r in pivot_counts(ds, "u", "t", ["a", "b"]).take_all()
+        }
+        # 'zz' is outside the category list and ignored
+        assert out == {1: (2, 1), 2: (0, 1)}
+
+    def test_rejects_empty_categories(self, ray_session):
+        import pytest
+
+        from duplicate_finder_ray.stages.relational import pivot_counts
+
+        ds = ray.data.from_arrow(pa.table({"u": pa.array([1]), "t": pa.array(["a"])}))
+        with pytest.raises(ValueError):
+            pivot_counts(ds, "u", "t", [])
