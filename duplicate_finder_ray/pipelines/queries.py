@@ -1036,6 +1036,32 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_docs_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(lang, band): doc counts + char sums per
+    (lang, length band), per lang, and overall in one pass — combiner
+    partials for all levels, one level-tagged groupby."""
+    from duplicate_finder_ray.stages.relational import grouped_rollup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        band = pc.if_else(
+            pc.less(n, 500),
+            pa.scalar("short"),
+            pc.if_else(pc.less(n, 2000), pa.scalar("medium"), pa.scalar("long")),
+        )
+        return pa.table({"lang": batch["lang"], "band": band, "n_chars": n})
+
+    return grouped_rollup(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        ["lang", "band"],
+        "n_chars",
+    )
+
+
 def q_user_event_pivot(sf_dir: str) -> ray.data.Dataset:
     """PIVOT / crosstab: per-user count matrix over the five event
     types — per-batch combiner collapses each block to ≤1 row per user,
@@ -1372,6 +1398,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "chunk_share_pairs": q_chunk_share_pairs,
     "full_join_custorders": q_full_join_custorders,
     "user_event_pivot": q_user_event_pivot,
+    "docs_rollup": q_docs_rollup,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2280,4 +2307,21 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
          AS n_view
 FROM events
 GROUP BY 1
+"""
+
+ORACLE_SQL["docs_rollup"] = """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN length(text) < 500 THEN 'short'
+              WHEN length(text) < 2000 THEN 'medium'
+              ELSE 'long' END AS band,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(band, 'ALL') AS band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM t
+GROUP BY ROLLUP(lang, band)
 """

@@ -751,3 +751,61 @@ def pivot_counts(
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
     )
     return agg
+
+
+def grouped_rollup(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    sum_col: str,
+    all_label: str = "ALL",
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(...)``: aggregates (row count + integer
+    sum) at EVERY prefix level of ``group_cols`` plus the grand total,
+    rolled-up columns filled with ``all_label`` — the OLAP subtotal
+    shape of mixture dashboards ('tokens per lang, per lang×band, and
+    overall' in one result).
+
+    One pass: each batch emits combiner partials for all levels at once
+    (≤ levels × distinct-group rows per block), then ONE groupby over
+    the level-tagged composite key sums them — the input never shuffles
+    and never crosses the wire twice. Group columns must be strings
+    that never equal ``all_label``."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    levels = len(group_cols) + 1
+    sum_name = f"sum_{sum_col}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch.column(c).to_numpy(zero_copy_only=False) for c in group_cols}
+        )
+        df["__n"] = np.int64(1)
+        df["__s"] = batch.column(sum_col).to_numpy().astype(np.int64)
+        outs = []
+        for lvl in range(levels - 1, -1, -1):
+            keys = group_cols[:lvl]
+            if keys:
+                g = df.groupby(keys, sort=False)[["__n", "__s"]].sum().reset_index()
+            else:
+                g = pd.DataFrame(
+                    {"__n": [df["__n"].sum()], "__s": [df["__s"].sum()]}
+                )
+            for c in group_cols[lvl:]:
+                g[c] = all_label
+            outs.append(g[group_cols + ["__n", "__s"]])
+        allg = pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                **{c: pa.array(allg[c].astype(str), pa.string()) for c in group_cols},
+                "__n": pa.array(allg["__n"].to_numpy().astype(np.int64)),
+                "__s": pa.array(allg["__s"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.select_columns([*group_cols, sum_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(Sum("__n", alias_name="n_rows"), Sum("__s", alias_name=sum_name))
+    )
+    return agg

@@ -250,3 +250,38 @@ class TestPivotCounts:
         ds = ray.data.from_arrow(pa.table({"u": pa.array([1]), "t": pa.array(["a"])}))
         with pytest.raises(ValueError):
             pivot_counts(ds, "u", "t", [])
+
+
+class TestGroupedRollup:
+    def test_all_levels_consistent(self, ray_session):
+        from duplicate_finder_ray.stages.relational import grouped_rollup
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "g1": pa.array(["x", "x", "y"]),
+                    "g2": pa.array(["p", "q", "p"]),
+                    "v": pa.array([1, 2, 4], pa.int64()),
+                }
+            )
+        )
+        out = {
+            (r["g1"], r["g2"]): (r["n_rows"], r["sum_v"])
+            for r in grouped_rollup(ds, ["g1", "g2"], "v").take_all()
+        }
+        assert out[("x", "p")] == (1, 1)
+        assert out[("x", "q")] == (1, 2)
+        assert out[("y", "p")] == (1, 4)
+        assert out[("x", "ALL")] == (2, 3)
+        assert out[("y", "ALL")] == (1, 4)
+        assert out[("ALL", "ALL")] == (3, 7)
+        assert len(out) == 6
+
+    def test_rejects_empty_group_cols(self, ray_session):
+        import pytest
+
+        from duplicate_finder_ray.stages.relational import grouped_rollup
+
+        ds = ray.data.from_arrow(pa.table({"v": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            grouped_rollup(ds, [], "v")
