@@ -1036,6 +1036,62 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end curation COMPOSITION, hash-gated as a whole:
+    normalize → length gate (≥100 normalized chars) → normalized exact
+    dedup keeping the lowest doc_id → deterministic md5 train/val/test
+    split → per-(split, lang) counts. Every stage is an individually
+    oracle-gated operator; this query proves they compose exactly."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.functions.hashing import sha256_hex_array
+    from duplicate_finder_ray.stages.relational import (
+        split_assign,
+        topk_per_group_by,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def norm_gate(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.replace_substring_regex(t, r"^ | $", "")
+        tbl = pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "sha": sha256_hex_array(t),
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+        return tbl.filter(pc.greater_equal(tbl["n_chars_norm"], 100))
+
+    gated = docs.map_batches(norm_gate, batch_format="pyarrow")
+    keepers = topk_per_group_by(
+        gated, "sha", ["doc_id"], [True], 1
+    ).select_columns(["doc_id", "lang"])
+    split = split_assign(keepers, "doc_id", [("train", "cd"), ("val", "e6")], "test")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": batch["split"],
+                "lang": batch["lang"],
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    return (
+        split.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("one", alias_name="n_docs"))
+    )
+
+
 def q_docs_rollup(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP(lang, band): doc counts + char sums per
     (lang, length band), per lang, and overall in one pass — combiner
@@ -1399,6 +1455,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "full_join_custorders": q_full_join_custorders,
     "user_event_pivot": q_user_event_pivot,
     "docs_rollup": q_docs_rollup,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2324,4 +2381,30 @@ SELECT coalesce(lang, 'ALL') AS lang,
        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
 FROM t
 GROUP BY ROLLUP(lang, band)
+"""
+
+ORACLE_SQL["curation_pipeline"] = r"""
+WITH n AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                        '^ | $', '', 'g') AS ntext
+  FROM documents
+),
+q AS (SELECT * FROM n WHERE length(ntext) >= 100),
+k AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY sha256(ntext) ORDER BY doc_id) AS rn
+  FROM q
+),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM k WHERE rn = 1
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1, 2
 """
