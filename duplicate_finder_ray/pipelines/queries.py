@@ -1036,6 +1036,31 @@ def q_stratified_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_greedy_pack_documents(sf_dir: str) -> ray.data.Dataset:
+    """No-split greedy packing (SFT shape): whole documents first-fit
+    into ≤512-token bins inside 16 hash partitions. Greedy bin state is
+    inherently sequential → no SQL twin (rows-only at the driver); the
+    packing invariants (budget, singleton overflow, determinism) are
+    gated by a Python oracle in tests/test_chunk_ntile.py."""
+    from duplicate_finder_ray.stages.chunking import greedy_pack
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        words = pc.split_pattern_regex(trimmed, r"\s+")
+        n = pc.cast(pc.list_value_length(words), pa.int64())
+        n = pc.if_else(
+            pc.equal(pc.fill_null(trimmed, ""), ""), pa.scalar(0, pa.int64()), n
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    slim = docs.map_batches(counts, batch_format="pyarrow")
+    return greedy_pack(slim, "doc_id", "n_tokens", 512, 16)
+
+
 def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
     """End-to-end curation COMPOSITION, hash-gated as a whole:
     normalize → length gate (≥100 normalized chars) → normalized exact
@@ -1456,6 +1481,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_event_pivot": q_user_event_pivot,
     "docs_rollup": q_docs_rollup,
     "curation_pipeline": q_curation_pipeline,
+    "greedy_pack_documents": q_greedy_pack_documents,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →

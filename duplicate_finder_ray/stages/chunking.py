@@ -315,3 +315,90 @@ def chunk_share_pairs(
     return hash_exchange(
         partials, pair_part, num_partitions, sum_kernel, out_schema.empty_table()
     )
+
+
+def greedy_pack(
+    ds: ray.data.Dataset,
+    id_col: str,
+    count_col: str,
+    budget: int,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """No-split greedy packing (the SFT shape): documents are packed
+    WHOLE into bins of ≤ ``budget`` tokens — first-fit-sequential in
+    doc-id order inside each of ``num_partitions`` hash partitions.
+    Emits (id, pack_id, n_tokens, pack_fill); documents longer than the
+    budget get a singleton (overflowing) pack; zero-token docs pack
+    nowhere. ``pack_id = partition * 2^32 + local_seq`` — globally
+    unique and deterministic.
+
+    NOTE ``num_partitions`` is a SEMANTIC parameter (it shapes which
+    docs share a bin), not an execution width — results are identical
+    at any parallelism for a fixed value, and bin quality is unaffected
+    because bins only need to be full, not globally ordered. Greedy
+    bin state is inherently sequential (each row's bin depends on the
+    running remainder), so the reset scan is an honest compact Python
+    loop over the partition's rows — bounded at rows/num_partitions,
+    run once per dataset; ``pack_assignments`` is the fully vectorized
+    order-exact alternative when splitting documents is acceptable.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("pack_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("pack_fill", pa.int64()),
+        ]
+    )
+
+    import pandas as pd
+
+    def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+        ids = tbl.column(id_col).to_numpy()
+        return (pd.util.hash_array(ids.copy()) % np.uint64(p)).astype(np.int64)
+
+    def pack_partition(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        n = tbl.column(count_col).to_numpy().astype(np.int64)
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        if len(ids) == 0:
+            return out_schema.empty_table()
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        local = np.empty(len(ids), dtype=np.int64)
+        fill = np.empty(len(ids), dtype=np.int64)
+        cur, acc = 0, 0
+        for i in range(len(ids)):
+            if acc + n[i] > budget and acc > 0:
+                cur += 1
+                acc = 0
+            acc += n[i]
+            local[i] = cur
+            fill[i] = acc
+        # pack_fill = final fill of the bin each row landed in
+        starts = np.nonzero(np.r_[True, local[1:] != local[:-1]])[0]
+        ends = np.append(starts[1:], len(ids)) - 1
+        bin_last = np.repeat(fill[ends], np.diff(np.append(starts, len(ids))))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pack_id": pa.array(local + (np.int64(p) << np.int64(32)), pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "pack_fill": pa.array(bin_last, pa.int64()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = ds.select_columns([id_col, count_col])
+    return hash_exchange(
+        slim, part_of, num_partitions, pack_partition, out_schema.empty_table()
+    )

@@ -210,3 +210,81 @@ class TestNtilePartitioned:
             ntile_partitioned(ds, "lang", ["missing"], 2)
         with pytest.raises(ValueError):
             ntile_partitioned(ds, "lang", ["v"], 0)
+
+
+class TestGreedyPack:
+    def _counts(self, rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    def test_matches_python_oracle_single_partition(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import greedy_pack
+
+        rows = [(i, n) for i, n in enumerate([3, 4, 2, 5, 1, 6, 2])]
+        out = {
+            r["doc_id"]: (r["pack_id"], r["pack_fill"])
+            for r in greedy_pack(
+                self._counts(rows), "doc_id", "n_tokens", 8, 1
+            ).take_all()
+        }
+        # python oracle: first-fit-sequential in doc_id order, budget 8
+        packs, cur, acc = {}, 0, 0
+        fills = {}
+        for i, n in rows:
+            if acc + n > 8 and acc > 0:
+                cur, acc = cur + 1, 0
+            acc += n
+            packs[i] = cur
+            fills[cur] = acc
+        assert out == {i: (packs[i], fills[packs[i]]) for i, _ in rows}
+
+    def test_budget_never_exceeded_except_singletons(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import greedy_pack
+
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rows = [(i, int(rng.integers(1, 300))) for i in range(400)]
+        rows.append((999, 900))  # oversized doc
+        out = greedy_pack(self._counts(rows), "doc_id", "n_tokens", 512, 8).take_all()
+        by_pack = {}
+        for r in out:
+            by_pack.setdefault(r["pack_id"], []).append(r)
+        for pid, members in by_pack.items():
+            total = sum(r["n_tokens"] for r in members)
+            assert all(r["pack_fill"] == total for r in members)
+            if total > 512:  # only a singleton oversized doc may overflow
+                assert len(members) == 1
+        assert len(out) == 401
+
+    def test_deterministic_across_parallelism(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import greedy_pack
+
+        rows = [(i, 1 + i % 7) for i in range(200)]
+        a = sorted(
+            (r["doc_id"], r["pack_id"])
+            for r in greedy_pack(
+                self._counts(rows).repartition(3), "doc_id", "n_tokens", 16, 8
+            ).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["pack_id"])
+            for r in greedy_pack(
+                self._counts(rows).repartition(11), "doc_id", "n_tokens", 16, 8
+            ).take_all()
+        )
+        assert a == b
+
+    def test_zero_token_docs_excluded(self, ray_session):
+        from duplicate_finder_ray.stages.chunking import greedy_pack
+
+        out = greedy_pack(
+            self._counts([(1, 0), (2, 3)]), "doc_id", "n_tokens", 8, 2
+        ).take_all()
+        assert [r["doc_id"] for r in out] == [2]
