@@ -1358,6 +1358,159 @@ def q_distinctive_terms(sf_dir: str) -> ray.data.Dataset:
     return distinctive_terms(docs, "doc_id", "text", k=3)
 
 
+def q_event_mode(sf_dir: str) -> ray.data.Dataset:
+    """Statistical MODE per user: the most frequent event type (ties →
+    lexicographically smallest) with its count — per-batch (user, type)
+    count partials, one tiny groupby, local-prune argmax."""
+    from duplicate_finder_ray.stages.relational import grouped_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+def q_user_event_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Ordered STRING_AGG: each user's comma-joined event-type sequence
+    in (ts, event_id) order — one hash exchange, vectorized sort, one
+    pandas C groupby join per partition."""
+    from duplicate_finder_ray.stages.events import event_sequences
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_sequences(ev)
+
+
+def q_user_first_last(sf_dir: str) -> ray.data.Dataset:
+    """FIRST_VALUE/LAST_VALUE per user: first and last event type +
+    timestamp on the (ts, event_id) order — boundary-row combiner (≤2
+    rows per user per block) then one users-sized exchange."""
+    from duplicate_finder_ray.stages.events import user_first_last
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return user_first_last(ev)
+
+
+def _doc_len_slim(sf_dir: str) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(slim, batch_format="pyarrow")
+
+
+def q_doclen_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-language z-score outlier gate: documents ≥2 sample standard
+    deviations from their language's mean length, z in exact half-up
+    micro-units — int64 moment partials + one broadcast stats object +
+    one vectorized filter pass (stages/stats.py)."""
+    from duplicate_finder_ray.stages.stats import grouped_zscore_outliers
+
+    return grouped_zscore_outliers(
+        _doc_len_slim(sf_dir), "lang", "n_chars",
+        ["doc_id", "lang", "n_chars"], z_thresh=2.0,
+    )
+
+
+def q_lang_len_token_corr(sf_dir: str) -> ray.data.Dataset:
+    """Per-language Pearson correlation of char length vs whitespace
+    token count, in exact micro-units — one pass of int64 moment
+    partials, a groups-sized aggregate, fixed-IEEE finisher."""
+    from duplicate_finder_ray.stages.stats import grouped_corr
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        words = pc.split_pattern_regex(trimmed, r"\s+")
+        n_tok = pc.cast(pc.list_value_length(words), pa.int64())
+        n_tok = pc.if_else(
+            pc.equal(pc.fill_null(trimmed, ""), ""), pa.scalar(0, pa.int64()), n_tok
+        )
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+                "n_tokens": n_tok,
+            }
+        )
+
+    return grouped_corr(
+        docs.map_batches(slim, batch_format="pyarrow"),
+        "lang", "n_chars", "n_tokens",
+    )
+
+
+def q_docs_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(lang, source): doc counts + char sums at all four
+    aggregation levels in one pass — the full OLAP cross-tabulation
+    (superset of docs_rollup's prefix levels)."""
+    from duplicate_finder_ray.stages.relational import grouped_cube
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "text"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return grouped_cube(
+        docs.map_batches(prep, batch_format="pyarrow"), ["lang", "source"], "n_chars"
+    )
+
+
+def q_weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Importance sampling: keep each doc with probability
+    min(len, 2000)/2000, decided by the top 16 bits of md5(doc_id)
+    against the integer-exact quantized weight — deterministic,
+    engine-replayable, one vectorized filter pass."""
+    import numpy as np
+
+    from duplicate_finder_ray.stages.relational import weighted_sample
+
+    def add_wq(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy()
+        wq = (np.minimum(n, 2000) * 65536) // 2000
+        return batch.append_column("wq", pa.array(wq.astype(np.int64)))
+
+    ds = _doc_len_slim(sf_dir).map_batches(add_wq, batch_format="pyarrow")
+    return weighted_sample(ds, "doc_id", "wq").select_columns(
+        ["doc_id", "lang", "n_chars", "wq"]
+    )
+
+
+def q_rank_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """RANK + DENSE_RANK per language by length (desc): tie-aware
+    competition ranking — one hash exchange + change-point kernel."""
+    from duplicate_finder_ray.stages.relational import rank_dense_per_group
+
+    return rank_dense_per_group(
+        _doc_len_slim(sf_dir), "lang", "n_chars", descending=True
+    )
+
+
 def q_events_lag_deltas(sf_dir: str) -> ray.data.Dataset:
     """LAG() OVER (PARTITION BY user ORDER BY ts) as a batch operator:
     previous event id + microsecond gap per event (-1 on each user's
@@ -1482,6 +1635,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_rollup": q_docs_rollup,
     "curation_pipeline": q_curation_pipeline,
     "greedy_pack_documents": q_greedy_pack_documents,
+    # grouped statistics + window/agg extensions (round-3 session 3)
+    "event_mode": q_event_mode,
+    "user_event_sequences": q_user_event_sequences,
+    "user_first_last": q_user_first_last,
+    "doclen_outliers": q_doclen_outliers,
+    "lang_len_token_corr": q_lang_len_token_corr,
+    "docs_cube": q_docs_cube,
+    "weighted_sample_docs": q_weighted_sample_docs,
+    "rank_docs_per_lang": q_rank_docs_per_lang,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2433,4 +2595,139 @@ s AS (
 )
 SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM s GROUP BY 1, 2
+"""
+
+ORACLE_SQL["event_mode"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type, n
+FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["user_event_sequences"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["user_first_last"] = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       max(CASE WHEN ra = 1 THEN event_type END) AS first_event,
+       CAST(max(CASE WHEN ra = 1 THEN ts_us END) AS BIGINT) AS first_ts_us,
+       max(CASE WHEN rd = 1 THEN event_type END) AS last_event,
+       CAST(max(CASE WHEN rd = 1 THEN ts_us END) AS BIGINT) AS last_ts_us
+FROM o GROUP BY user_id
+"""
+
+#: z-score finalization mirrors stages/stats.py bit-for-bit: exact
+#: BIGINT moment sums, then m = sx/n; sd = sqrt((sxx - sx*m)/(n-1));
+#: z = (x-m)/sd — every op an IEEE-correctly-rounded double.
+ORACLE_SQL["doclen_outliers"] = """
+WITH t AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM t GROUP BY lang
+),
+p AS (
+  SELECT lang,
+         CAST(sx AS DOUBLE) / n AS m,
+         sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * (CAST(sx AS DOUBLE) / n)) / (n - 1)) AS sd
+  FROM s WHERE n > 1
+)
+SELECT t.doc_id, t.lang, t.n_chars,
+       CAST(floor((t.n_chars - p.m) / p.sd * 1000000 + 0.5) AS BIGINT)
+         AS z_micro
+FROM t JOIN p ON t.lang = p.lang
+WHERE p.sd > 0 AND abs((t.n_chars - p.m) / p.sd) >= 2.0
+"""
+
+#: correlation from exact BIGINT sums cast to DOUBLE before the
+#: products (the engine does the same — n·Σxy overflows int64 at scale)
+ORACLE_SQL["lang_len_token_corr"] = r"""
+WITH t AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS x,
+         CAST(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                THEN 0
+              ELSE len(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+              END AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t GROUP BY lang
+),
+p AS (
+  SELECT lang, n,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+  FROM s
+)
+SELECT lang, n AS n_rows,
+       CAST(floor((CASE WHEN sqrt(vx * vy) > 0
+                        THEN cov / sqrt(vx * vy) ELSE 0.0 END)
+                  * 1000000 + 0.5) AS BIGINT) AS corr_micro
+FROM p
+"""
+
+ORACLE_SQL["docs_cube"] = """
+WITH t AS (
+  SELECT lang, source, CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM t
+GROUP BY CUBE(lang, source)
+"""
+
+#: weight quantized on the md5 top-16-bit lattice in exact integer
+#: arithmetic; '0x'-cast turns the 4-char digest prefix into the same
+#: uint16 the engine compares (stages/relational.py:weighted_sample)
+ORACLE_SQL["weighted_sample_docs"] = """
+WITH t AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+         (LEAST(CAST(length(text) AS BIGINT), 2000) * 65536) // 2000 AS wq
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(wq AS BIGINT) AS wq
+FROM t
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < wq
+"""
+
+ORACLE_SQL["rank_docs_per_lang"] = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY length(text) DESC)
 """

@@ -460,3 +460,184 @@ def rolling_sum_rows(
     return hash_exchange(
         slim, user_part, num_partitions, window_partition, out_schema.empty_table()
     )
+
+
+def event_sequences(
+    events: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered STRING_AGG per user: the comma-joined event_type
+    sequence in (ts, event_id) order plus its length — the behavioral
+    n-gram / Markov-chain input of session mining (SQL twin:
+    ``string_agg(event_type, ',' ORDER BY ts, event_id)``).
+
+    ONE barrier-free hash exchange by ``hash(user_id) % P``, then a
+    vectorized lexsort per partition; the joins themselves run as one
+    pandas C-loop groupby-agg over the partition (a Python str.join per
+    USER, not per event — cost bounded by users/P per task, and each
+    output row is inherently a per-user Python string)."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("seq", pa.string()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": ts_us,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def user_part(tbl: pa.Table, n: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy()
+        return (pd.util.hash_array(u.copy()) % np.uint64(n)).astype(np.int64)
+
+    def seq_partition(p: int, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        df = pd.DataFrame({"u": u[order], "et": et[order]})
+        g = df.groupby("u", sort=True)["et"].agg(n_events="size", seq=",".join)
+        g = g.reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["u"].to_numpy(), pa.int64()),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "seq": pa.array(g["seq"], pa.string()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = events.select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(
+        slim, user_part, num_partitions, seq_partition, out_schema.empty_table()
+    )
+
+
+def user_first_last(
+    events: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """FIRST_VALUE / LAST_VALUE per user on the (ts, event_id) order:
+    each user's first and last event type and timestamp — the
+    account-lifecycle shape (acquisition event → latest activity).
+
+    Combiner first: every batch collapses to ≤2 boundary rows per user
+    (vectorized lexsort + edge masks), so the exchange carries
+    O(users × blocks) rows, never the event stream; then the same
+    kernel picks the global boundaries per partition."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("first_event", pa.string()),
+            ("first_ts_us", pa.int64()),
+            ("last_event", pa.string()),
+            ("last_ts_us", pa.int64()),
+        ]
+    )
+
+    def _boundaries(
+        u: np.ndarray, t: np.ndarray, e: np.ndarray, et: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Indices of each user's first and last row after the
+        (user, ts, event_id) lexsort; returns (order, edge_mask)."""
+        order = np.lexsort((e, t, u))
+        us = u[order]
+        n = len(us)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = us[1:] != us[:-1]
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = us[1:] != us[:-1]
+        return order, first | last
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        tbl = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": ts_us,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+        if len(tbl) == 0:
+            return tbl
+        order, edge = _boundaries(
+            tbl.column("user_id").to_numpy(),
+            tbl.column("ts_us").to_numpy(),
+            tbl.column("event_id").to_numpy(),
+            tbl.column("event_type").to_numpy(zero_copy_only=False),
+        )
+        return tbl.take(pa.array(order[edge]))
+
+    def user_part(tbl: pa.Table, n: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy()
+        return (pd.util.hash_array(u.copy()) % np.uint64(n)).astype(np.int64)
+
+    def pick_partition(p: int, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, et = u[order], t[order], et[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        last = np.empty(len(u), dtype=bool)
+        last[-1] = True
+        last[:-1] = u[1:] != u[:-1]
+        fi = np.nonzero(first)[0]
+        li = np.nonzero(last)[0]
+        return pa.table(
+            {
+                "user_id": pa.array(u[fi], pa.int64()),
+                "first_event": pa.array(et[fi], pa.string()),
+                "first_ts_us": pa.array(t[fi], pa.int64()),
+                "last_event": pa.array(et[li], pa.string()),
+                "last_ts_us": pa.array(t[li], pa.int64()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = events.select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(
+        slim, user_part, num_partitions, pick_partition, out_schema.empty_table()
+    )

@@ -59,6 +59,11 @@ def collect_small_side(ds: ray.data.Dataset, columns: list[str]):
 
     @ray.remote
     def concat(*tables: pa.Table) -> pa.Table:
+        # empty aggregate partitions surface as 0-column blocks that
+        # would poison concat_tables' schema unification — drop them
+        tables = [t for t in tables if t.num_columns]
+        if not tables:
+            return pa.table({c: [] for c in columns})
         return pa.concat_tables(tables).combine_chunks()
 
     refs = ds.select_columns(columns).materialize().to_arrow_refs()
@@ -809,3 +814,201 @@ def grouped_rollup(
         .aggregate(Sum("__n", alias_name="n_rows"), Sum("__s", alias_name=sum_name))
     )
     return agg
+
+
+def grouped_cube(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    sum_col: str,
+    all_label: str = "ALL",
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(...)``: aggregates at EVERY subset of
+    ``group_cols`` (2^k levels — the full OLAP cross-tabulation,
+    superset of :func:`grouped_rollup`'s prefix levels), rolled-up
+    columns filled with ``all_label``.
+
+    Same one-pass shape as the rollup: each batch emits combiner
+    partials for all 2^k subsets at once (≤ 2^k × distinct-group rows
+    per block), then ONE groupby over the level-tagged composite key
+    sums them. k is expected tiny (2-3 dimension columns); the input
+    never shuffles. Group columns must be strings never equal to
+    ``all_label``."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if len(group_cols) > 4:
+        raise ValueError("cube over >4 columns explodes 2^k partials")
+    sum_name = f"sum_{sum_col}"
+    masks = range(2 ** len(group_cols))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch.column(c).to_numpy(zero_copy_only=False) for c in group_cols}
+        )
+        df["__n"] = np.int64(1)
+        df["__s"] = batch.column(sum_col).to_numpy().astype(np.int64)
+        outs = []
+        for mask in masks:
+            keys = [c for i, c in enumerate(group_cols) if mask >> i & 1]
+            if keys:
+                g = df.groupby(keys, sort=False)[["__n", "__s"]].sum().reset_index()
+            else:
+                g = pd.DataFrame({"__n": [df["__n"].sum()], "__s": [df["__s"].sum()]})
+            for c in group_cols:
+                if c not in keys:
+                    g[c] = all_label
+            outs.append(g[group_cols + ["__n", "__s"]])
+        allg = pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                **{c: pa.array(allg[c].astype(str), pa.string()) for c in group_cols},
+                "__n": pa.array(allg["__n"].to_numpy().astype(np.int64)),
+                "__s": pa.array(allg["__s"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([*group_cols, sum_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(Sum("__n", alias_name="n_rows"), Sum("__s", alias_name=sum_name))
+    )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Statistical MODE per key: the most frequent ``value_col`` for
+    each ``key_col`` (ties broken by lexicographically smallest value —
+    total, engine-portable order), with its count ``n``.
+
+    Combiner shape: per-batch (key, value) count partials (one pandas C
+    groupby per block), ONE groupby sum over the ≤ keys×values partial
+    rows, then the local-prune top-k selector picks the argmax — the
+    raw stream never shuffles."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+                value_col: batch.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([key_col, value_col], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    counts = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = topk_per_group_by(counts, key_col, ["n", value_col], [False, True], 1)
+    return top.select_columns([key_col, value_col, "n"])
+
+
+# --------------------------------------------------------------------------
+# weighted deterministic sampling
+# --------------------------------------------------------------------------
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    wq_col: str,
+    scale: int = 65536,
+) -> ray.data.Dataset:
+    """Per-row-weighted Bernoulli sample, deterministic and
+    engine-replayable: keep a row iff the top 16 bits of
+    ``md5(str(key))`` fall below its integer weight ``wq_col`` ∈
+    [0, ``scale``] — i.e. P(keep) = wq/65536, quantized so BOTH engines
+    compare integers (the SQL twin compares the 4-char hex prefix of
+    md5() against printf('%04x', wq); fixed-width lowercase hex orders
+    like its value). Compute wq upstream in exact integer arithmetic
+    (e.g. ``LEAST(len, cap) * 65536 // cap``) so the weights agree
+    bit-for-bit across engines. Importance sampling for curation:
+    longer / higher-quality docs kept with proportionally higher odds.
+
+    One vectorized filter pass; md5 prefixes via uint64 views
+    (``_md5_prefix_u64``), no shuffle."""
+    if scale != 65536:
+        raise ValueError("scale is fixed at 65536 (md5 top-16-bit lattice)")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = (_md5_prefix_u64(batch.column(key_col)) >> np.uint64(48)).astype(
+            np.int64
+        )
+        wq = batch.column(wq_col).to_numpy().astype(np.int64)
+        return batch.filter(pa.array(h < wq))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# rank / dense_rank windows
+# --------------------------------------------------------------------------
+
+
+def rank_dense_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    descending: bool = True,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY group ORDER BY
+    order_col)`` — tie-aware competition ranking (unlike the top-k
+    selector's row_number), the leaderboard/percentile-cut shape.
+    ``order_col`` must be int64; output adds ``rnk`` and ``drnk``.
+
+    Execution: ONE barrier-free hash exchange by ``hash(group) % P``,
+    then a vectorized lexsort + change-point kernel per partition (no
+    per-group Python call; skew bound = hottest group's rows, the same
+    documented bound as sessionize/running_totals)."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
+
+    base = ds.schema()
+    names = list(base.names)
+    empty = pa.schema(
+        [(n, base.types[i]) for i, n in enumerate(names)]
+        + [("rnk", pa.int64()), ("drnk", pa.int64())]
+    ).empty_table()
+
+    def group_part(tbl: pa.Table, n: int) -> np.ndarray:
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        return (pd.util.hash_array(g.copy()) % np.uint64(n)).astype(np.int64)
+
+    def rank_partition(p: int, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return empty
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        x = tbl.column(order_col).to_numpy().astype(np.int64)
+        key = -x if descending else x
+        # group, then order value; row order within ties is irrelevant
+        # to RANK/DENSE_RANK (both are functions of the value alone)
+        order = np.lexsort((key, g))
+        g, x, key = g[order], x[order], key[order]
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = g[1:] != g[:-1]
+        new_val = new_group.copy()
+        new_val[1:] |= key[1:] != key[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        gstart = np.maximum.accumulate(np.where(new_group, idx, 0))
+        vstart = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rnk = vstart - gstart + 1
+        dense = np.cumsum(new_val)
+        drnk = dense - dense[gstart] + 1
+        out = tbl.take(pa.array(order))
+        out = out.append_column("rnk", pa.array(rnk, pa.int64()))
+        return out.append_column("drnk", pa.array(drnk, pa.int64()))
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(ds, group_part, num_partitions, rank_partition, empty)

@@ -1,0 +1,171 @@
+"""Grouped moment statistics: z-score standardization and Pearson
+correlation as combiner-shaped Ray Data operators.
+
+A curation pipeline standardizes per-group ("is this document an
+outlier for its language?") and correlates features ("does char length
+track token count per language?") over corpora far too large for any
+single task to hold a group. Both operators here reduce the corpus to
+EXACT int64 moment sums inside ``map_batches`` (one ≤groups-sized row
+set per block), run ONE tiny groupby over the partials, and finalize
+with a fixed IEEE-754 double op sequence — so the DuckDB oracle, fed
+the same integer sums through the same expression, reproduces every
+output bit-for-bit (no tolerance window in the hash gate).
+
+The reference engine has no statistics surface at all (its analytics
+stop at duplicate-group counts, /root/reference/duplicate_finder/
+duplicate_finder.py:206-263); these are part of the beyond-reference
+training-data toolkit (SURVEY.md §2.5).
+
+Scale shape: the shuffle carries groups × blocks partial rows (ints),
+never the corpus; the z-score filter's second pass reads the per-group
+stats from ONE broadcast object (``collect_small_side`` → ``ray.put``);
+group cardinality is assumed ≪ corpus (languages, sources, shards).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+#: half-up micro-unit rounding shared with the SQL twins:
+#: CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+_MICRO = 1_000_000.0
+
+
+def _micro_i64(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * _MICRO + 0.5).astype(np.int64)
+
+
+def moment_partials(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str | None = None,
+) -> ray.data.Dataset:
+    """Per-group exact int64 moment sums: n, Σx, Σx² (and with
+    ``y_col``: Σy, Σy², Σxy). Per-batch pandas C groupby collapses each
+    block to ≤1 row per group; ONE groupby sums the partials. Values
+    must be integers (cast lengths/counts/cents upstream) so every sum
+    is exact and engine-portable."""
+    sums = ["n", "sx", "sxx"] + (["sy", "syy", "sxy"] if y_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        x = batch.column(x_col).to_numpy().astype(np.int64)
+        df = pd.DataFrame({group_col: g, "n": np.int64(1), "sx": x, "sxx": x * x})
+        if y_col is not None:
+            y = batch.column(y_col).to_numpy().astype(np.int64)
+            df["sy"] = y
+            df["syy"] = y * y
+            df["sxy"] = x * y
+        out = df.groupby(group_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cols = [group_col, x_col] + ([y_col] if y_col else [])
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in sums])
+    )
+
+
+def grouped_zscore_outliers(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    keep_cols: list[str],
+    z_thresh: float = 2.0,
+) -> ray.data.Dataset:
+    """Rows whose ``value_col`` sits ≥ ``z_thresh`` sample standard
+    deviations from their group's mean, annotated with ``z_micro``
+    (half-up micro-units of the z-score) — the per-group outlier gate
+    of length/quality pruning.
+
+    Two passes: moment partials → tiny per-group (mean, sd) broadcast
+    via ``ray.put`` → one vectorized filter pass. Finalization order is
+    fixed and mirrored in SQL: m = sx/n; sd = sqrt((sxx - sx*m)/(n-1));
+    z = (x - m)/sd — every op IEEE-correctly-rounded double, so the
+    oracle matches exactly. Groups with n ≤ 1 or zero variance emit no
+    rows (z is undefined there), identically on both engines."""
+    from duplicate_finder_ray.stages.relational import collect_small_side
+
+    stats = moment_partials(ds, group_col, value_col)
+    stats_ref = collect_small_side(stats, [group_col, "n", "sx", "sxx"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        st: pa.Table = ray.get(stats_ref)
+        n = st.column("n").to_numpy().astype(np.float64)
+        sx = st.column("sx").to_numpy().astype(np.float64)
+        sxx = st.column("sxx").to_numpy().astype(np.float64)
+        m = sx / n
+        with np.errstate(invalid="ignore"):
+            var = (sxx - sx * m) / (n - 1.0)
+            sd = np.sqrt(var)
+        ok = (n > 1.0) & (var > 0.0)
+        lut = pd.Series(
+            np.arange(len(st)), index=st.column(group_col).to_pylist()
+        )
+        gi = lut.reindex(
+            batch.column(group_col).to_numpy(zero_copy_only=False)
+        ).to_numpy()
+        valid = ~np.isnan(gi)
+        gi = np.where(valid, gi, 0).astype(np.int64)
+        x = batch.column(value_col).to_numpy().astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - m[gi]) / sd[gi]
+        mask = valid & ok[gi] & (np.abs(z) >= z_thresh)
+        out = batch.select(keep_cols).filter(pa.array(mask))
+        return out.append_column(
+            "z_micro", pa.array(_micro_i64(z[mask]), pa.int64())
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation of two integer columns, in exact
+    half-up micro-units (``corr_micro``) plus the group row count — the
+    feature-drift / redundancy check of curation dashboards.
+
+    One corpus pass of int64 moment partials, one groups-sized
+    aggregate, then a vectorized finisher over the tiny stats table.
+    The sums are cast to double BEFORE the products (n·Σxy − Σx·Σy
+    overflows int64 at corpus scale), mirrored exactly in the SQL twin.
+    Zero-variance groups emit corr_micro = 0 under the convention
+    r = 0 when undefined (documented; same CASE in SQL)."""
+    stats = moment_partials(ds, group_col, x_col, y_col=y_col)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy().astype(np.float64)
+        sy = batch.column("sy").to_numpy().astype(np.float64)
+        sxx = batch.column("sxx").to_numpy().astype(np.float64)
+        syy = batch.column("syy").to_numpy().astype(np.float64)
+        sxy = batch.column("sxy").to_numpy().astype(np.float64)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        denom = np.sqrt(vx * vy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(denom > 0.0, cov / denom, 0.0)
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_rows": batch.column("n"),
+                "corr_micro": pa.array(_micro_i64(r), pa.int64()),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")
