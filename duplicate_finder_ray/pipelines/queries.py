@@ -1501,6 +1501,73 @@ def q_weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy dedup, sequence level: exact byte Levenshtein over the
+    n-gram-Jaccard candidate pairs (τ=0.5), keeping lev ≤ 64 — Myers
+    bit-parallel kernel, endpoint contents via a broadcast semi-join of
+    only the paired docs (stages/editdist.py)."""
+    from duplicate_finder_ray.stages.derive import add_identity
+    from duplicate_finder_ray.stages.editdist import edit_distance_pairs
+    from duplicate_finder_ray.stages.neardup import ngram_jaccard_pairs
+
+    ds = code_files_from_documents(sf_dir).map_batches(
+        add_identity, batch_format="pyarrow"
+    )
+    pairs = ngram_jaccard_pairs(ds, "file_id", "content", k=5, threshold=0.5)
+    return edit_distance_pairs(ds, pairs, "file_id", "content", max_dist=64)
+
+
+def q_near_dup_keepers(sf_dir: str) -> ray.data.Dataset:
+    """Canonicalization over near-dup clusters: per connected
+    component, the keeper = largest member (ties → lexicographically
+    smallest file_id) plus the member count — the 'which copy do we
+    train on' decision, composed from the hash-green CC labels, one
+    broadcast join, the local-prune top-k selector and a tiny count
+    aggregate."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.relational import (
+        broadcast_hash_join,
+        topk_per_group_by,
+    )
+
+    labels = q_ngram_jaccard_clusters(sf_dir)  # (file_id, component)
+    files = _derived(sf_dir).select_columns(["file_id", "size"])
+    members = broadcast_hash_join(files, labels, "file_id", "file_id", ["component"])
+
+    def one(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "component": batch["component"],
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    counts = (
+        members.map_batches(one, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Sum("one", alias_name="n_members"))
+    )
+    top = topk_per_group_by(
+        members, "component", ["size", "file_id"], [False, True], 1
+    ).select_columns(["component", "file_id", "size"])
+    out = broadcast_hash_join(top, counts, "component", "component", ["n_members"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "component": batch["component"],
+                "keeper": batch["file_id"],
+                "size": batch["size"],
+                "n_members": batch["n_members"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_rank_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
     """RANK + DENSE_RANK per language by length (desc): tie-aware
     competition ranking — one hash exchange + change-point kernel."""
@@ -1644,6 +1711,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_cube": q_docs_cube,
     "weighted_sample_docs": q_weighted_sample_docs,
     "rank_docs_per_lang": q_rank_docs_per_lang,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "near_dup_keepers": q_near_dup_keepers,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2731,3 +2800,73 @@ SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
 FROM documents
 WINDOW w AS (PARTITION BY lang ORDER BY length(text) DESC)
 """
+
+#: sequence-level verify over the same candidate CTEs as near_dup_pairs;
+#: DuckDB's levenshtein() is UTF-8-byte unit-cost — the engine's Myers
+#: kernel runs on encoded bytes to match (stages/editdist.py)
+ORACLE_SQL["edit_distance_pairs"] = (
+    "WITH "
+    + _NGRAM_CTES
+    + """,
+    sz AS (
+      SELECT repo || ':' || path || '@' || "commit" AS fid, content
+      FROM code_files
+    ),
+    p AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    d AS (
+      SELECT p.a, p.b,
+             CAST(levenshtein(x.content, y.content) AS BIGINT) AS lev
+      FROM p JOIN sz x ON x.fid = p.a JOIN sz y ON y.fid = p.b
+    )
+    SELECT a, b, lev FROM d WHERE lev <= 64
+    """
+)
+
+#: keeper per component: largest member, ties to the smallest file_id;
+#: same recursive closure as ngram_jaccard_clusters
+ORACLE_SQL["near_dup_keepers"] = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + """,
+    e AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    ),
+    comp AS (
+      SELECT src AS file_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    sz AS (
+      SELECT repo || ':' || path || '@' || "commit" AS file_id,
+             CAST(octet_length(encode(content)) AS BIGINT) AS size
+      FROM code_files
+    ),
+    m AS (
+      SELECT comp.component, comp.file_id, sz.size
+      FROM comp JOIN sz USING (file_id)
+    ),
+    k AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY size DESC, file_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS nm
+      FROM m
+    )
+    SELECT component, file_id AS keeper, size,
+           CAST(nm AS BIGINT) AS n_members
+    FROM k WHERE rn = 1
+    """
+)
