@@ -1501,6 +1501,19 @@ def q_weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label embedding centroid (class prototypes / IVF seeds):
+    mean per (label, dim) in exact micro-units — int64 lattice partials
+    scatter-added per batch, one (labels × d)-sized aggregate, trunc
+    division mirroring SQL's integer `//`."""
+    from duplicate_finder_ray.stages.stats import grouped_vector_mean
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return grouped_vector_mean(emb, "label", "embedding")
+
+
 def q_edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
     """Fuzzy dedup, sequence level: exact byte Levenshtein over the
     n-gram-Jaccard candidate pairs (τ=0.5), keeping lev ≤ 64 — Myers
@@ -1713,6 +1726,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rank_docs_per_lang": q_rank_docs_per_lang,
     "edit_distance_pairs": q_edit_distance_pairs,
     "near_dup_keepers": q_near_dup_keepers,
+    "label_centroids": q_label_centroids,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2870,3 +2884,23 @@ ORACLE_SQL["near_dup_keepers"] = (
     FROM k WHERE rn = 1
     """
 )
+
+#: centroid oracle on the same int64 micro-lattice: quantize each
+#: element with the identical floor(x*1e6 + 0.5) double op sequence,
+#: sum exactly, divide with DuckDB's truncating integer `//`
+ORACLE_SQL["label_centroids"] = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT label, dim,
+         CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM u
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(qv) AS BIGINT) // count(*) AS mean_micro
+FROM q GROUP BY label, dim
+"""

@@ -169,3 +169,62 @@ def grouped_corr(
         )
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_vector_mean(
+    ds: ray.data.Dataset,
+    group_col: str,
+    vec_col: str,
+) -> ray.data.Dataset:
+    """Per-group centroid of an embedding column (class centroids for
+    clustering seeds, label prototypes, IVF init), one output row per
+    (group, dimension) with the mean in exact micro-units.
+
+    Each batch quantizes its (B, d) block onto the int64 micro-lattice
+    (floor(x·10⁶ + 0.5) — float32→float64 is exact, so both engines
+    quantize identically) and scatter-adds per group: the shuffle
+    carries groups × d int rows per block, never the vectors. One
+    groupby sums the partials; the finisher divides with
+    truncation-toward-zero to mirror SQL's integer ``//``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from duplicate_finder_ray.stages.similarity import _matrix
+
+        m = _matrix(batch, vec_col)
+        q = np.floor(m * _MICRO + 0.5).astype(np.int64)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k, d = sums.shape
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([group_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy()
+        n = batch.column("n").to_numpy()
+        mean = np.where(s >= 0, s // n, -((-s) // n))  # SQL `//` truncates
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "dim": batch.column("dim"),
+                "n_vecs": batch.column("n"),
+                "mean_micro": pa.array(mean.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

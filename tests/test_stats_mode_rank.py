@@ -324,3 +324,37 @@ class TestSequencesFirstLast:
         for uid, g in df.groupby("user_id"):
             assert got[uid]["first_event"] == g["event_type"].iloc[0]
             assert got[uid]["last_event"] == g["event_type"].iloc[-1]
+
+
+class TestGroupedVectorMean:
+    def test_matches_numpy_with_negatives(self, ray_session):
+        from duplicate_finder_ray.stages.stats import grouped_vector_mean
+
+        rng = np.random.default_rng(13)
+        n, d = 120, 8
+        vecs = (rng.standard_normal((n, d)) * 3).astype(np.float32)
+        labels = rng.integers(0, 4, n).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array(labels, pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(7)
+        out = grouped_vector_mean(ds, "label", "embedding").to_pandas()
+        q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        for lab in np.unique(labels):
+            m = labels == lab
+            s = q[m].sum(axis=0)
+            cnt = int(m.sum())
+            want = np.where(s >= 0, s // cnt, -((-s) // cnt))
+            got = (
+                out[out["label"] == lab]
+                .sort_values("dim")["mean_micro"]
+                .to_numpy()
+            )
+            assert (got == want).all()
+            assert (out[out["label"] == lab]["n_vecs"] == cnt).all()
