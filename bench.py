@@ -168,6 +168,22 @@ def run_bench() -> dict:
             + QUERIES["sample_n_per_lang"](SF_DIR).count()
         )
 
+    def stats_sf():
+        # the round-3 grouped-statistics/window suite: z-score outlier
+        # gate + Pearson corr (int64 moment partials), CUBE, RANK, MODE,
+        # per-label embedding centroids, windowed event dedup,
+        # Levenshtein-verified fuzzy pairs
+        return (
+            QUERIES["doclen_outliers"](SF_DIR).count()
+            + QUERIES["lang_len_token_corr"](SF_DIR).count()
+            + QUERIES["docs_cube"](SF_DIR).count()
+            + QUERIES["rank_docs_per_lang"](SF_DIR).count()
+            + QUERIES["event_mode"](SF_DIR).count()
+            + QUERIES["label_centroids"](SF_DIR).count()
+            + QUERIES["events_windowed_distinct"](SF_DIR).count()
+            + QUERIES["edit_distance_pairs"](SF_DIR).count()
+        )
+
     timed("exact_dedup", exact_dedup)
     timed("near_dup", near_dup)
     if not os.environ.get("GRAFT_SCALING_ONLY"):
@@ -179,6 +195,7 @@ def run_bench() -> dict:
         timed("token_counts_sfdocs", token_counts_sf)
         timed("relational_sfdocs", relational_sf)
         timed("curation_sfdocs", curation_sf)
+        timed("stats_sfdocs", stats_sf)
 
     total = round(sum(queries.values()), 3)
     dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)

@@ -1501,6 +1501,19 @@ def q_weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_windowed_distinct(sf_dir: str) -> ray.data.Dataset:
+    """Windowed dedup: first event per (user, type, hour) — retry/
+    duplicate-delivery hygiene; per-batch first-row combiner + one
+    keys-sized exchange."""
+    from duplicate_finder_ray.stages.events import windowed_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return windowed_distinct(ev)
+
+
 def q_label_centroids(sf_dir: str) -> ray.data.Dataset:
     """Per-label embedding centroid (class prototypes / IVF seeds):
     mean per (label, dim) in exact micro-units — int64 lattice partials
@@ -1727,6 +1740,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "near_dup_keepers": q_near_dup_keepers,
     "label_centroids": q_label_centroids,
+    "events_windowed_distinct": q_events_windowed_distinct,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2903,4 +2917,23 @@ q AS (
 SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(qv) AS BIGINT) // count(*) AS mean_micro
 FROM q GROUP BY label, dim
+"""
+
+ORACLE_SQL["events_windowed_distinct"] = """
+WITH w AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         epoch_us(ts) AS ts_us,
+         row_number() OVER (
+           PARTITION BY user_id, event_type,
+                        epoch_us(ts) // 3600000000
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       CAST(window_start_us AS BIGINT) AS window_start_us,
+       CAST(ts_us AS BIGINT) AS ts_us
+FROM w WHERE rn = 1
 """

@@ -641,3 +641,97 @@ def user_first_last(
     return hash_exchange(
         slim, user_part, num_partitions, pick_partition, out_schema.empty_table()
     )
+
+
+def windowed_distinct(
+    events: ray.data.Dataset,
+    window_us: int = _HOUR_US,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Windowed deduplication: keep only the FIRST event per
+    (user, event_type, tumbling window) on the (ts, event_id) order —
+    the at-least-once-delivery hygiene step (retry storms and duplicate
+    webhooks collapse to one row per window).
+
+    Same combiner-then-exchange shape as ``user_first_last``: every
+    batch collapses to its local per-key first rows (vectorized lexsort
+    + edge mask — ≤1 row per (user, type, window) per block), then one
+    exchange picks the global first. The window id is derived
+    row-locally; no corpus-wide shuffle ever carries the stream."""
+    if window_us <= 0:
+        raise ValueError("window_us must be positive")
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("window_start_us", pa.int64()),
+            ("ts_us", pa.int64()),
+        ]
+    )
+
+    def _first_rows(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy()
+        w = tbl.column("window_start_us").to_numpy()
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        # sort by (user, type, window, ts, event_id); numpy sorts the
+        # string key via pandas factorize for a pure-int lexsort
+        et_codes = pd.factorize(et, sort=True)[0]
+        order = np.lexsort((e, t, w, et_codes, u))
+        us, ws, ets = u[order], w[order], et_codes[order]
+        n = len(us)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (
+            (us[1:] != us[:-1]) | (ets[1:] != ets[:-1]) | (ws[1:] != ws[:-1])
+        )
+        return tbl.take(pa.array(order[first]))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        win = pc.multiply(
+            pc.divide(ts_us, pa.scalar(window_us, pa.int64())),
+            pa.scalar(window_us, pa.int64()),
+        )
+        tbl = pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "event_type": batch["event_type"],
+                "window_start_us": win,
+                "ts_us": ts_us,
+            }
+        )
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        return _first_rows(tbl)
+
+    def key_part(tbl: pa.Table, n: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy()
+        w = tbl.column("window_start_us").to_numpy()
+        return (
+            (pd.util.hash_array(u.copy()) ^ pd.util.hash_array(w.copy()))
+            % np.uint64(n)
+        ).astype(np.int64)
+
+    def pick_partition(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        return _first_rows(tbl)
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = events.select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(
+        slim, key_part, num_partitions, pick_partition, out_schema.empty_table()
+    )

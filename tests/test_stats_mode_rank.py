@@ -358,3 +358,49 @@ class TestGroupedVectorMean:
             )
             assert (got == want).all()
             assert (out[out["label"] == lab]["n_vecs"] == cnt).all()
+
+
+class TestWindowedDistinct:
+    def test_keeps_first_per_user_type_window(self, ray_session):
+        from duplicate_finder_ray.stages.events import windowed_distinct
+
+        H = 3_600_000_000
+        rows = [
+            # user 1, same type, same hour: only earliest kept
+            (10, 100, 1, "click"),
+            (11, 50, 1, "click"),
+            (12, 200, 1, "click"),
+            # same user+hour, different type: kept
+            (13, 60, 1, "view"),
+            # same user+type, NEXT hour: kept
+            (14, H + 5, 1, "click"),
+            # other user, same type+hour: kept
+            (15, 70, 2, "click"),
+        ]
+        ds = _events_typed(rows)
+        got = {r["event_id"] for r in windowed_distinct(ds).take_all()}
+        assert got == {11, 13, 14, 15}
+
+    def test_parallelism_invariance(self, ray_session):
+        from duplicate_finder_ray.stages.events import windowed_distinct
+
+        rows = [(i, (i * 997) % 7_200_000_000, i % 3, f"t{i % 2}")
+                for i in range(300)]
+        a = windowed_distinct(_events_typed(rows), num_partitions=1).take_all()
+        b = windowed_distinct(
+            _events_typed(rows).repartition(11), num_partitions=9
+        ).take_all()
+        assert {r["event_id"] for r in a} == {r["event_id"] for r in b}
+
+
+def _events_typed(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
