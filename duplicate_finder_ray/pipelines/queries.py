@@ -1514,6 +1514,52 @@ def q_events_windowed_distinct(sf_dir: str) -> ray.data.Dataset:
     return windowed_distinct(ev)
 
 
+def q_value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Profiling histogram: fixed-width (25.0) value bins per event
+    type, integer-exact on the micro lattice — per-batch count
+    partials, one (types × bins)-sized aggregate, sparse bins."""
+    from duplicate_finder_ray.stages.stats import value_histogram
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return value_histogram(ev, "event_type", "value", 25_000_000)
+
+
+def q_minmax_scale_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-language min-max normalization of doc length onto the
+    [0, 1e6] int lattice — tiny min/max aggregate broadcast back, one
+    vectorized scaling pass, exact integer arithmetic."""
+    from duplicate_finder_ray.stages.stats import minmax_scale
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return minmax_scale(docs, "lang", "n_chars", ["doc_id", "lang", "n_chars"])
+
+
+def q_top_bigrams(sf_dir: str) -> ray.data.Dataset:
+    """Corpus bigram counts (LM statistics / boilerplate detection):
+    exact global top-30 adjacent token pairs — factorize-once batch
+    combiner, bigram-vocab-sized shuffle, local top-k merge."""
+    from duplicate_finder_ray.stages.textstats import top_bigrams
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_bigrams(docs, "text", 30)
+
+
+def q_funnel_signup_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Two-step funnel: users whose first signup strictly precedes
+    their first purchase, with the conversion delay — map-side type
+    filter, per-batch min partials, one users-sized aggregate."""
+    from duplicate_finder_ray.stages.events import funnel_conversions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_conversions(ev, "signup", "purchase")
+
+
 def q_label_centroids(sf_dir: str) -> ray.data.Dataset:
     """Per-label embedding centroid (class prototypes / IVF seeds):
     mean per (label, dim) in exact micro-units — int64 lattice partials
@@ -1741,6 +1787,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_keepers": q_near_dup_keepers,
     "label_centroids": q_label_centroids,
     "events_windowed_distinct": q_events_windowed_distinct,
+    "value_histogram": q_value_histogram,
+    "minmax_scale_docs": q_minmax_scale_docs,
+    "top_bigrams": q_top_bigrams,
+    "funnel_signup_purchase": q_funnel_signup_purchase,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -2936,4 +2986,59 @@ SELECT event_id, user_id, event_type,
        CAST(window_start_us AS BIGINT) AS window_start_us,
        CAST(ts_us AS BIGINT) AS ts_us
 FROM w WHERE rn = 1
+"""
+
+ORACLE_SQL["value_histogram"] = """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT event_type,
+       (v_micro // 25000000) * 25000000 AS bin_lo_micro,
+       CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY event_type, bin_lo_micro
+"""
+
+ORACLE_SQL["minmax_scale_docs"] = """
+WITH s AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         min(n_chars) OVER (PARTITION BY lang) AS mn,
+         max(n_chars) OVER (PARTITION BY lang) AS mx
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN mx > mn
+            THEN CAST(((n_chars - mn) * 1000000) // (mx - mn) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS scaled_micro
+FROM s
+"""
+
+ORACLE_SQL["top_bigrams"] = """
+WITH t AS (
+  SELECT regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts FROM documents
+),
+p AS (
+  SELECT unnest(ts[1:len(ts) - 1]) AS tok_a, unnest(ts[2:len(ts)]) AS tok_b
+  FROM t
+),
+c AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+SELECT tok_a, tok_b, n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS BIGINT)
+         AS "rank"
+FROM c QUALIFY "rank" <= 30
+"""
+
+ORACLE_SQL["funnel_signup_purchase"] = """
+WITH m AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS then_us
+  FROM events GROUP BY 1
+)
+SELECT user_id, CAST(first_us AS BIGINT) AS first_us,
+       CAST(then_us AS BIGINT) AS then_us,
+       CAST(then_us - first_us AS BIGINT) AS delay_us
+FROM m
+WHERE first_us IS NOT NULL AND then_us IS NOT NULL AND then_us > first_us
 """

@@ -735,3 +735,83 @@ def windowed_distinct(
     return hash_exchange(
         slim, key_part, num_partitions, pick_partition, out_schema.empty_table()
     )
+
+
+def funnel_conversions(
+    events: ray.data.Dataset,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+) -> ray.data.Dataset:
+    """Two-step funnel: users whose earliest ``first_type`` event
+    strictly precedes their earliest ``then_type`` event, with both
+    timestamps and the conversion delay — the product-analytics
+    conversion query (and, for training-data work, the "document
+    ingested before it was labeled" lineage check).
+
+    One corpus pass: rows of other types are dropped map-side, each
+    batch collapses to ≤1 (user, min_first, min_then) partial row via
+    a pandas C groupby (absent steps carry an int64 sentinel that Min
+    ignores), ONE users-sized groupby takes the global minima, and a
+    final vectorized filter keeps converting users. The event stream
+    never crosses a shuffle — only user-keyed partial rows do."""
+    _SENT = np.int64(1) << 62
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"], value_set=pa.array([first_type, then_type])
+        )
+        batch = batch.filter(mask)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_us": pa.array([], pa.int64()),
+                    "then_us": pa.array([], pa.int64()),
+                }
+            )
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        is_first = et == first_type
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": u,
+                    "first_us": np.where(is_first, ts, _SENT),
+                    "then_us": np.where(~is_first, ts, _SENT),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .min()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    mins = (
+        events.select_columns(["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("first_us", alias_name="first_us"),
+            Min("then_us", alias_name="then_us"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = batch.column("first_us").to_numpy().astype(np.int64)
+        t = batch.column("then_us").to_numpy().astype(np.int64)
+        keep = (f < _SENT) & (t < _SENT) & (t > f)
+        out = batch.filter(pa.array(keep))
+        f, t = f[keep], t[keep]
+        return pa.table(
+            {
+                "user_id": out.column("user_id"),
+                "first_us": pa.array(f, pa.int64()),
+                "then_us": pa.array(t, pa.int64()),
+                "delay_us": pa.array(t - f, pa.int64()),
+            }
+        )
+
+    return mins.map_batches(finish, batch_format="pyarrow")

@@ -228,3 +228,119 @@ def grouped_vector_mean(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _trunc_div(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
+    """Integer division truncating toward zero — SQL's ``//`` on
+    BIGINT (numpy's ``//`` floors, which differs on negatives)."""
+    a = a.astype(np.int64)
+    return np.where(a >= 0, a // b, -((-a) // b)).astype(np.int64)
+
+
+def value_histogram(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    bin_width_micro: int,
+) -> ray.data.Dataset:
+    """Fixed-width histogram of a float measure per group — the data-
+    profiling primitive (value distributions per event type / per
+    source) that feeds range checks and drift monitors.
+
+    Each value quantizes to half-up micro-units (exactly as the SQL
+    twin: ``CAST(floor(v * 1e6 + 0.5) AS BIGINT)``) and bins by
+    truncating division, so the whole operator is integer-exact and
+    hash-gateable. Per-batch pandas groupby collapses every block to
+    ≤ (groups × occupied bins) count partials; ONE tiny groupby sums
+    them. Empty bins emit no row (sparse histogram — at corpus scale a
+    dense bin range per group is the wrong default)."""
+    if bin_width_micro <= 0:
+        raise ValueError("bin_width_micro must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy().astype(np.float64)
+        b = _trunc_div(_micro_i64(v), bin_width_micro)
+        out = (
+            pd.DataFrame({group_col: g, "bin_lo_micro": b * bin_width_micro})
+            .groupby([group_col, "bin_lo_micro"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                group_col: pa.array(out[group_col]),
+                "bin_lo_micro": pa.array(
+                    out["bin_lo_micro"].to_numpy(), pa.int64()
+                ),
+                "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bin_lo_micro"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def minmax_scale(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    keep_cols: list[str],
+) -> ray.data.Dataset:
+    """Per-group min-max normalization of an integer feature onto the
+    [0, 1e6] int lattice — the ML-prep scaling pass (quality scores,
+    lengths) made engine-portable by staying in exact integer
+    arithmetic: scaled = (x − min) · 10⁶ // (max − min), truncating
+    division, degenerate groups (max == min) scale to 0.
+
+    Two passes: per-batch min/max partials → ONE groups-sized
+    aggregate broadcast via ``ray.put`` → one vectorized scaling pass.
+    The corpus crosses no shuffle; only the tiny stats table does."""
+    from ray.data.aggregate import Max, Min
+
+    from duplicate_finder_ray.stages.relational import collect_small_side
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        x = batch.column(value_col).to_numpy().astype(np.int64)
+        out = (
+            pd.DataFrame({group_col: g, "mn": x, "mx": x})
+            .groupby(group_col, sort=False)
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+    )
+    stats_ref = collect_small_side(stats, [group_col, "mn", "mx"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        st: pa.Table = ray.get(stats_ref)
+        lut = pd.Series(
+            np.arange(len(st)), index=st.column(group_col).to_pylist()
+        )
+        gi = lut.reindex(
+            batch.column(group_col).to_numpy(zero_copy_only=False)
+        ).to_numpy()
+        gi = np.where(np.isnan(gi), 0, gi).astype(np.int64)
+        mn = st.column("mn").to_numpy().astype(np.int64)[gi]
+        mx = st.column("mx").to_numpy().astype(np.int64)[gi]
+        x = batch.column(value_col).to_numpy().astype(np.int64)
+        span = mx - mn
+        scaled = np.where(
+            span > 0, _trunc_div((x - mn) * 1_000_000, np.maximum(span, 1)), 0
+        )
+        return batch.select(keep_cols).append_column(
+            "scaled_micro", pa.array(scaled.astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")

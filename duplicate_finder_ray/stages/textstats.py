@@ -824,3 +824,79 @@ def distinctive_terms(
         joined, id_col, ["tf", "df", "token"], [False, True, True], k
     )
     return top.select_columns([id_col, "token", "tf", "df", "rank"])
+
+
+def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
+    """Exact global top-k adjacent token pairs (corpus bigram counts —
+    the language-model / boilerplate-detection statistic), ties by
+    (tok_a, tok_b) asc, 1-based rank.
+
+    Per-batch combiner: tokenize the whole block with one Arrow RE2
+    split, factorize the flat token array ONCE (pandas C pass), pair
+    each token with its successor, mask pairs that cross a document
+    boundary, and count pairs with an integer groupby — one
+    (tok_a, tok_b, n) partial row per distinct pair per block. The
+    shuffle then carries bigram-vocabulary × blocks partials, never
+    corpus positions; only k rows reach the final task (same local
+    top-k + tiny final selection as :func:`top_tokens`)."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.relational import topk_per_group_by
+
+    empty = pa.table(
+        {
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        f = flat.to_numpy(zero_copy_only=False)
+        keep = f != ""
+        f, doc = f[keep], doc[keep]
+        if len(f) < 2:
+            return empty
+        codes, uniq = pd.factorize(f, sort=False)
+        adj = doc[:-1] == doc[1:]
+        a, b = codes[:-1][adj], codes[1:][adj]
+        if len(a) == 0:
+            return empty
+        cnt = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "tok_a": pa.array(uniq[cnt["a"].to_numpy()], pa.string()),
+                "tok_b": pa.array(uniq[cnt["b"].to_numpy()], pa.string()),
+                "n": pa.array(cnt["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(len(batch), dtype=np.int64))
+        )
+
+    top = topk_per_group_by(
+        totals.map_batches(tag, batch_format="pyarrow"),
+        "__g",
+        ["n", "tok_a", "tok_b"],
+        [False, True, True],
+        k,
+    )
+    return top.select_columns(["tok_a", "tok_b", "n", "rank"])
