@@ -1689,6 +1689,36 @@ def q_decontaminate_docs(sf_dir: str) -> ray.data.Dataset:
     return decontaminate(train, bench, "doc_id", "text", k=5, threshold=1)
 
 
+def q_near_dup_degrees(sf_dir: str) -> ray.data.Dataset:
+    """Per-node degree of the exact-Jaccard near-dup graph: how many
+    near-duplicates each file has (hub detection before cluster
+    collapse). Count partials over both endpoint columns → one
+    vocabulary-sized groupby-sum; exact on the string ids."""
+    from duplicate_finder_ray.stages.graph import pair_degrees
+
+    return pair_degrees(q_ngram_jaccard_pairs(sf_dir))
+
+
+def q_near_dup_degree_hist(sf_dir: str) -> ray.data.Dataset:
+    """Degree distribution of the near-dup graph — the hub-skew
+    audit (a heavy tail here predicts LSH hot buckets and CC giant
+    components). Two levels of count partials; the final shuffle is
+    (distinct degrees × blocks) rows."""
+    from duplicate_finder_ray.stages.graph import degree_histogram
+
+    return degree_histogram(q_ngram_jaccard_pairs(sf_dir))
+
+
+def q_near_dup_triangles(sf_dir: str):
+    """Exact triangle count of the near-dup graph (clique-ness of dup
+    neighborhoods): degree-oriented wedge join over four barrier-free
+    hash exchanges — the public MapReduce formulation (Suri &
+    Vassilvitskii, WWW'11). No task ever holds the whole edge set."""
+    from duplicate_finder_ray.stages.graph import triangle_count
+
+    return triangle_count(q_ngram_jaccard_pairs(sf_dir))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1791,6 +1821,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minmax_scale_docs": q_minmax_scale_docs,
     "top_bigrams": q_top_bigrams,
     "funnel_signup_purchase": q_funnel_signup_purchase,
+    # graph analytics over the near-dup pair graph (round-3 session 4)
+    "near_dup_degrees": q_near_dup_degrees,
+    "near_dup_degree_hist": q_near_dup_degree_hist,
+    "near_dup_triangles": q_near_dup_triangles,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3042,3 +3076,51 @@ SELECT user_id, CAST(first_us AS BIGINT) AS first_us,
 FROM m
 WHERE first_us IS NOT NULL AND then_us IS NOT NULL AND then_us > first_us
 """
+
+#: shared edge CTE of the graph-analytics twins — the same exact
+#: 5-gram-Jaccard ≥ 0.5 pair set the cluster oracles use (a < b)
+_EDGE_CTE = """
+    e AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    )"""
+
+ORACLE_SQL["near_dup_degrees"] = (
+    "WITH "
+    + _NGRAM_CTES
+    + ","
+    + _EDGE_CTE
+    + """,
+    ends AS (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY node
+    """
+)
+
+ORACLE_SQL["near_dup_degree_hist"] = (
+    "WITH "
+    + _NGRAM_CTES
+    + ","
+    + _EDGE_CTE
+    + """,
+    ends AS (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e),
+    d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+          FROM ends GROUP BY node)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY degree
+    """
+)
+
+#: each triangle x < y < z matched exactly once as (x,y),(y,z),(x,z)
+ORACLE_SQL["near_dup_triangles"] = (
+    "WITH "
+    + _NGRAM_CTES
+    + ","
+    + _EDGE_CTE
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+)

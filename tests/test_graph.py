@@ -1,0 +1,94 @@
+"""Graph analytics over pair sets (stages/graph.py): degrees, degree
+histogram, exact triangle count — checked against tiny hand-counted
+graphs and a random-graph brute-force oracle."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from duplicate_finder_ray.stages.graph import (
+    degree_histogram,
+    pair_degrees,
+    triangle_count,
+)
+
+
+def _edges_ds(pairs: list[tuple[str, str]]) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs]),
+                "b": pa.array([p[1] for p in pairs]),
+            }
+        )
+    ).repartition(3)
+
+
+def _brute_triangles(pairs: list[tuple[str, str]]) -> int:
+    es = {frozenset(p) for p in pairs}
+    nodes = sorted({n for p in pairs for n in p})
+    return sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if {x, y} in es and {y, z} in es and {x, z} in es
+    )
+
+
+def test_pair_degrees_triangle_plus_tail():
+    # triangle a-b-c plus pendant edge c-d
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    deg = pair_degrees(_edges_ds(pairs)).to_pandas()
+    got = dict(zip(deg["node"], deg["degree"]))
+    assert got == {"a": 2, "b": 2, "c": 3, "d": 1}
+
+    hist = degree_histogram(_edges_ds(pairs)).to_pandas()
+    got_h = dict(zip(hist["degree"], hist["n_nodes"]))
+    assert got_h == {1: 1, 2: 2, 3: 1}
+
+    tri = triangle_count(_edges_ds(pairs)).to_pandas()
+    assert tri["n_triangles"].tolist() == [1]
+
+
+def test_triangle_count_k4():
+    # complete graph on 4 nodes: C(4,3) = 4 triangles
+    nodes = ["w", "x", "y", "z"]
+    pairs = list(itertools.combinations(nodes, 2))
+    tri = triangle_count(_edges_ds(pairs)).to_pandas()
+    assert tri["n_triangles"].tolist() == [4]
+
+
+def test_triangle_count_no_triangles():
+    # path graph has zero triangles
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    tri = triangle_count(_edges_ds(pairs)).to_pandas()
+    assert tri["n_triangles"].tolist() == [0]
+
+
+def test_triangle_count_random_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i:03d}" for i in range(40)]
+    all_pairs = list(itertools.combinations(nodes, 2))
+    idx = rng.choice(len(all_pairs), size=200, replace=False)
+    pairs = [all_pairs[i] for i in sorted(idx)]
+    want = _brute_triangles(pairs)
+    assert want > 0  # dense enough to be a real check
+    tri = triangle_count(_edges_ds(pairs), num_partitions=5).to_pandas()
+    assert tri["n_triangles"].tolist() == [want]
+
+
+def test_degrees_vs_pandas_oracle():
+    rng = np.random.default_rng(11)
+    nodes = [f"d{i}" for i in range(60)]
+    all_pairs = list(itertools.combinations(nodes, 2))
+    idx = rng.choice(len(all_pairs), size=300, replace=False)
+    pairs = [all_pairs[i] for i in sorted(idx)]
+    deg = pair_degrees(_edges_ds(pairs)).to_pandas()
+    ends = pd.Series([n for p in pairs for n in p])
+    want = ends.value_counts().sort_index()
+    got = deg.set_index("node")["degree"].sort_index()
+    assert (got == want).all() and len(got) == len(want)
