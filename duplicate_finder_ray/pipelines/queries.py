@@ -1719,6 +1719,50 @@ def q_near_dup_triangles(sf_dir: str):
     return triangle_count(q_ngram_jaccard_pairs(sf_dir))
 
 
+def q_centroid_assign(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-centroid classification: every embedding assigned to the
+    closest per-label centroid (squared L2 on the exact micro-lattice)
+    — the assignment half of k-means, tie-broken toward the smaller
+    label. Integer distances out (rounding-proof oracle)."""
+    from duplicate_finder_ray.stages.stats import (
+        grouped_vector_mean,
+        nearest_centroid_assign,
+    )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    cents = grouped_vector_mean(
+        emb.select_columns(["label", "embedding"]), "label", "embedding"
+    )
+    return nearest_centroid_assign(emb, "vec_id", "embedding", cents)
+
+
+def q_near_dup_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """PageRank centrality over the near-dup graph (3 iterations,
+    damping 17/20) — which file is the canonical hub its duplicates
+    orbit. Exact int64 lattice (r//deg, (17·c)//20, scale//N) so the
+    distributed reduction and the chained-CTE SQL twin are
+    bit-identical."""
+    from duplicate_finder_ray.stages.graph import pagerank
+
+    return pagerank(q_ngram_jaccard_pairs(sf_dir), iterations=3)
+
+
+def q_containment_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Asymmetric near-dup: pairs whose 5-gram shingle containment
+    |A∩B| / min(|A|,|B|) ≥ 0.8 — sub/superset documents (embedded
+    files, quoted passages) that symmetric Jaccard dilutes below its
+    threshold. Integer set sizes out (rounding-proof oracle)."""
+    from duplicate_finder_ray.stages.derive import add_identity
+    from duplicate_finder_ray.stages.neardup import ngram_containment_pairs
+
+    ds = code_files_from_documents(sf_dir).map_batches(
+        add_identity, batch_format="pyarrow"
+    )
+    return ngram_containment_pairs(ds, "file_id", "content", k=5, threshold=0.8)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1825,6 +1869,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_degrees": q_near_dup_degrees,
     "near_dup_degree_hist": q_near_dup_degree_hist,
     "near_dup_triangles": q_near_dup_triangles,
+    "near_dup_pagerank": q_near_dup_pagerank,
+    "containment_pairs": q_containment_pairs,
+    "centroid_assign": q_centroid_assign,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3003,6 +3050,38 @@ SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM q GROUP BY label, dim
 """
 
+# nearest-centroid assignment on the same lattice: quantize vectors
+# and centroids identically, exact int64 squared distances, smallest
+# label wins ties (ROW_NUMBER ORDER BY d2, label = numpy argmin over
+# label-ascending centroids)
+ORACLE_SQL["centroid_assign"] = """
+WITH u AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim, CAST(sum(qv) AS BIGINT) // count(*) AS mean_micro
+  FROM u GROUP BY label, dim
+),
+d AS (
+  SELECT u.vec_id, cent.label,
+         CAST(sum((u.qv - cent.mean_micro) * (u.qv - cent.mean_micro))
+              AS BIGINT) AS d2
+  FROM u JOIN cent ON cent.dim = u.dim
+  GROUP BY u.vec_id, cent.label
+),
+r AS (
+  SELECT vec_id, label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+  FROM d
+)
+SELECT vec_id, label, d2 FROM r WHERE rn = 1
+"""
+
 ORACLE_SQL["events_windowed_distinct"] = """
 WITH w AS (
   SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -3108,6 +3187,58 @@ ORACLE_SQL["near_dup_degree_hist"] = (
     d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
           FROM ends GROUP BY node)
     SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY degree
+    """
+)
+
+def _pagerank_sql(iterations: int = 3, dn: int = 17, dd: int = 20,
+                  scale: int = 10**12) -> str:
+    """Chained-CTE SQL twin of stages/graph.py:pagerank, generated from
+    the SAME parameters so the integer op sequence (scale//N teleport,
+    r//d per edge, (dn·c)//dd damping) stays in lockstep. DuckDB's //
+    is integer division on BIGINT; sums CAST back from HUGEINT."""
+    tele = f"({scale} - ({scale} * {dn}) // {dd}) // p.n"
+    cte = [
+        "ends AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e)",
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d"
+        "        FROM ends GROUP BY node)",
+        "p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)",
+        "ed AS (SELECT a AS u, b AS v FROM e"
+        "       UNION ALL SELECT b AS u, a AS v FROM e)",
+        f"r0 AS (SELECT node, {scale} // p.n AS r, d FROM deg, p)",
+    ]
+    for i in range(1, iterations + 1):
+        cte.append(
+            f"c{i} AS (SELECT ed.v AS node,"
+            f"  CAST(sum(r{i-1}.r // r{i-1}.d) AS BIGINT) AS c"
+            f"  FROM ed JOIN r{i-1} ON r{i-1}.node = ed.u GROUP BY ed.v)"
+        )
+        cte.append(
+            f"r{i} AS (SELECT deg.node,"
+            f"  {tele} + ({dn} * COALESCE(c{i}.c, 0)) // {dd} AS r, deg.d"
+            f"  FROM deg LEFT JOIN c{i} ON c{i}.node = deg.node, p)"
+        )
+    return (
+        "WITH " + _NGRAM_CTES + "," + _EDGE_CTE + ",\n    "
+        + ",\n    ".join(cte)
+        + f'\n    SELECT node, CAST(r AS BIGINT) AS "rank" FROM r{iterations}'
+    )
+
+
+ORACLE_SQL["near_dup_pagerank"] = _pagerank_sql(iterations=3)
+
+# containment on the same shingle CTEs: c / least(na, nb) — both
+# engines compare the identical float64 division of exact ints, and
+# the emitted columns are the exact integers themselves
+ORACLE_SQL["containment_pairs"] = (
+    "WITH "
+    + _NGRAM_CTES
+    + """
+    SELECT a, b, CAST(c AS BIGINT) AS n_inter,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+    FROM inter
+    JOIN n na ON na.doc_key = inter.a
+    JOIN n nb ON nb.doc_key = inter.b
+    WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= 0.8
     """
 )
 

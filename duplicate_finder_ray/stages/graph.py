@@ -379,3 +379,125 @@ def triangle_count(
         sum(r["n"] for r in counts.take_all())
     )  # ≤ n_parts rows — driver-safe
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def pagerank(
+    pairs: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    iterations: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank over the undirected pair graph →
+    (node, rank) with rank on an exact int64 micro-lattice.
+
+    Centrality inside dup neighborhoods (which file is the "canonical"
+    hub its near-duplicates orbit?) — a keeper-selection signal beyond
+    lex-min. Every arithmetic step is integer (r//deg per edge,
+    (num*c)//den damping, scale//N teleport), so partial sums commute
+    and the result is bit-identical across partitionings AND
+    reproducible by a SQL twin with the same `//` ops — float PageRank
+    would hash-drift under reduction reorder. Per iteration: one
+    shuffle-hash-join (rank → edge sources), per-batch contribution
+    partials, one node-keyed groupby-sum, one join back onto degrees.
+    Rank rows are slim (node, r, d); the edge set crosses the exchange
+    once per iteration. Damping = damping_num/damping_den (default
+    17/20 = 0.85)."""
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    n_parts = num_partitions or _default_parts()
+    degrees = pair_degrees(pairs, a_col, b_col).materialize()
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.string()), ("rank", pa.int64())]).empty_table()
+        )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if a_col not in t.column_names:  # empty-filter 0-column block
+            return pa.schema(
+                [("u", pa.string()), ("v", pa.string())]
+            ).empty_table()
+        a = t.column(a_col)
+        b = t.column(b_col)
+        return pa.table(
+            {
+                "u": pa.chunked_array(a.chunks + b.chunks),
+                "v": pa.chunked_array(b.chunks + a.chunks),
+            }
+        )
+
+    edges = (
+        pairs.select_columns([a_col, b_col])
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    r0 = scale // n_nodes
+    teleport = (scale - (scale * damping_num) // damping_den) // n_nodes
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "r": pa.array(np.full(len(t), r0, dtype=np.int64)),
+                "d": t.column("degree"),
+            }
+        )
+
+    rank = degrees.map_batches(init_rank, batch_format="pyarrow")
+
+    for _ in range(iterations):
+        joined = shuffle_hash_join(
+            edges, rank, "u", "node", n_parts, right_cols=["r", "d"]
+        )
+
+        # per-batch combiner: sum r//d by destination before the groupby
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+                )
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            contrib = r // d
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(v.astype("U"), return_inverse=True)
+            # reduceat keeps the accumulator int64 — bincount's float64
+            # weights would round hub sums past 2^53
+            order = np.argsort(inv, kind="stable")
+            starts = np.searchsorted(inv[order], np.arange(len(uniq)))
+            sums = np.add.reduceat(contrib[order], starts)
+            return pa.table(
+                {"node": pa.array(uniq.tolist(), pa.string()), "c": pa.array(sums)}
+            )
+
+        c = (
+            joined.map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        back = shuffle_hash_join(
+            degrees, c, "node", "node", n_parts, right_cols=["c"], how="left"
+        )
+
+        def next_rank(t: pa.Table) -> pa.Table:
+            cv = pc.fill_null(t.column("c"), 0).to_numpy(zero_copy_only=False)
+            new_r = teleport + (damping_num * cv.astype(np.int64)) // damping_den
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "r": pa.array(new_r, pa.int64()),
+                    "d": t.column("degree"),
+                }
+            )
+
+        rank = back.map_batches(next_rank, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "rank": t.column("r")})
+
+    return rank.map_batches(finalize, batch_format="pyarrow")

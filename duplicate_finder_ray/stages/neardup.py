@@ -1237,6 +1237,38 @@ def ngram_jaccard_pairs(
     )
 
 
+@ray.remote(num_returns=2)
+def _build_postings(*blocks: pa.Table) -> tuple:
+    """ONE remote task assembles the global sorted postings array
+    (shingle-hash → doc index) from the set blocks; the driver reads
+    back only the row count, never the corpus-sized array. Shared by
+    the exact-Jaccard and containment all-pairs scorers."""
+    blocks = tuple(b for b in blocks if "doc_key" in b.column_names and len(b))
+    if not blocks:
+        return 0, None
+    tbl = pa.concat_tables(blocks).sort_by("doc_key")
+    keys = tbl.column("doc_key").to_numpy(zero_copy_only=False)
+    col = tbl.column("shingles").combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
+    arrow_offsets = np.frombuffer(
+        col.buffers()[1], dtype=np.int64, count=len(col) + 1,
+        offset=col.offset * 8,
+    )
+    sizes = ((arrow_offsets[1:] - arrow_offsets[:-1]) // 8).astype(np.int64)
+    data_buf = col.buffers()[2]
+    all_sh = (
+        np.frombuffer(data_buf, dtype=np.uint64)[
+            arrow_offsets[0] // 8 : arrow_offsets[-1] // 8
+        ]
+        if data_buf is not None and sizes.sum()
+        else np.empty(0, dtype=np.uint64)
+    )
+    all_doc = np.repeat(np.arange(len(keys), dtype=np.int64), sizes)
+    order = np.argsort(all_sh, kind="stable")
+    return len(keys), (keys, sizes, all_sh[order], all_doc[order])
+
+
 def shingle_set_jaccard_pairs(
     sets_ds: ray.data.Dataset, threshold: float
 ) -> ray.data.Dataset:
@@ -1248,37 +1280,10 @@ def shingle_set_jaccard_pairs(
     """
     sets_ds = sets_ds.materialize()
 
-    @ray.remote(num_returns=2)
-    def build_postings(*blocks: pa.Table) -> tuple:
-        blocks = tuple(b for b in blocks if "doc_key" in b.column_names and len(b))
-        if not blocks:
-            return 0, None
-        tbl = pa.concat_tables(blocks).sort_by("doc_key")
-        keys = tbl.column("doc_key").to_numpy(zero_copy_only=False)
-        col = tbl.column("shingles").combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks else pa.array([], pa.large_binary())
-        arrow_offsets = np.frombuffer(
-            col.buffers()[1], dtype=np.int64, count=len(col) + 1,
-            offset=col.offset * 8,
-        )
-        sizes = ((arrow_offsets[1:] - arrow_offsets[:-1]) // 8).astype(np.int64)
-        data_buf = col.buffers()[2]
-        all_sh = (
-            np.frombuffer(data_buf, dtype=np.uint64)[
-                arrow_offsets[0] // 8 : arrow_offsets[-1] // 8
-            ]
-            if data_buf is not None and sizes.sum()
-            else np.empty(0, dtype=np.uint64)
-        )
-        all_doc = np.repeat(np.arange(len(keys), dtype=np.int64), sizes)
-        order = np.argsort(all_sh, kind="stable")
-        return len(keys), (keys, sizes, all_sh[order], all_doc[order])
-
     set_refs = sets_ds.to_arrow_refs()
     n_docs_total = 0
     if set_refs:
-        count_ref, ref = build_postings.remote(*set_refs)
+        count_ref, ref = _build_postings.remote(*set_refs)
         n_docs_total = int(ray.get(count_ref))
     if n_docs_total == 0:
         return ray.data.from_arrow(
@@ -1327,6 +1332,116 @@ def shingle_set_jaccard_pairs(
                 "a": pa.array(a_keys, pa.string()),
                 "b": pa.array(b_keys, pa.string()),
                 "jaccard": pa.array(np.round(np.array(jacs), 6)),
+            }
+        )
+
+    return sets_ds.map_batches(score_block, batch_format="pyarrow")
+
+
+_CONTAIN_SCHEMA = pa.schema(
+    [
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("n_inter", pa.int64()),
+        ("n_a", pa.int64()),
+        ("n_b", pa.int64()),
+    ]
+)
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Asymmetric near-dup: all unordered pairs whose k-gram shingle
+    CONTAINMENT ``|A ∩ B| / min(|A|, |B|)`` ≥ threshold — catches
+    sub/superset documents (a file embedded in a larger one, quoted
+    passages, template+payload) that symmetric Jaccard misses because
+    the size imbalance dilutes the union. ASCII tokenization so the
+    DuckDB twin matches exactly; emits exact integer set sizes
+    (rounding-proof oracle columns). Same inverted-postings broadcast
+    shape as :func:`ngram_jaccard_pairs` — a ≤10^5-doc truth baseline;
+    the LSH pipelines remain the scale path."""
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "doc_key": pa.compute.cast(batch[id_col], pa.string()),
+                "shingles": pa.array(
+                    [ascii_shingle_hashes(t or "", k).tobytes() for t in texts],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    return shingle_set_containment_pairs(
+        ds.map_batches(to_sets, batch_format="pyarrow"), threshold
+    )
+
+
+def shingle_set_containment_pairs(
+    sets_ds: ray.data.Dataset, threshold: float
+) -> ray.data.Dataset:
+    """Containment ALL-pairs ≥ threshold over pre-shingled docs
+    ``(doc_key: string, shingles: large_binary of uint64-LE)`` →
+    ``(a, b, n_inter, n_a, n_b)`` with a < b. Scoring batches probe the
+    one-task global postings array via searchsorted + bincount — the
+    same O(|S_a| log M) per doc, no shuffle, driver never sees the
+    postings."""
+    sets_ds = sets_ds.materialize()
+
+    set_refs = sets_ds.to_arrow_refs()
+    n_docs_total = 0
+    if set_refs:
+        count_ref, ref = _build_postings.remote(*set_refs)
+        n_docs_total = int(ray.get(count_ref))
+    if n_docs_total == 0:
+        return ray.data.from_arrow(_CONTAIN_SCHEMA.empty_table())
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        keys_g, sizes_g, sh_sorted, doc_sorted = ray.get(ref)
+        n_docs = len(keys_g)
+        a_keys: list[str] = []
+        b_keys: list[str] = []
+        n_is: list[int] = []
+        n_as: list[int] = []
+        n_bs: list[int] = []
+        batch_keys = batch.column("doc_key").to_pylist()
+        for row_i, blob in enumerate(batch.column("shingles").to_pylist()):
+            sa = np.frombuffer(blob, dtype=np.uint64)
+            if len(sa) == 0:
+                continue
+            lo = np.searchsorted(sh_sorted, sa, side="left")
+            hi = np.searchsorted(sh_sorted, sa, side="right")
+            runs = hi - lo
+            idx = np.repeat(lo, runs) + (
+                np.arange(int(runs.sum())) - np.repeat(np.cumsum(runs) - runs, runs)
+            )
+            inter = np.bincount(doc_sorted[idx], minlength=n_docs)
+            denom = np.minimum(len(sa), sizes_g)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cont = np.where(denom > 0, inter / denom, 0.0)
+            my_key = batch_keys[row_i]
+            for j in np.nonzero(cont >= threshold)[0]:
+                if keys_g[j] > my_key:  # unordered dedupe + drop self
+                    a_keys.append(my_key)
+                    b_keys.append(keys_g[j])
+                    n_is.append(int(inter[j]))
+                    n_as.append(len(sa))
+                    n_bs.append(int(sizes_g[j]))
+        if not a_keys:
+            return _CONTAIN_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a": pa.array(a_keys, pa.string()),
+                "b": pa.array(b_keys, pa.string()),
+                "n_inter": pa.array(n_is, pa.int64()),
+                "n_a": pa.array(n_as, pa.int64()),
+                "n_b": pa.array(n_bs, pa.int64()),
             }
         )
 

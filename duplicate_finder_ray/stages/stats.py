@@ -344,3 +344,71 @@ def minmax_scale(
         )
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def nearest_centroid_assign(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    centroids: ray.data.Dataset,
+    group_col: str = "label",
+) -> ray.data.Dataset:
+    """Assign every vector to its nearest per-group centroid (squared
+    L2 on the int64 micro-lattice) → ``(id, group, d2)`` — the
+    assignment half of k-means / a nearest-class-prototype classifier.
+
+    ``centroids`` is :func:`grouped_vector_mean` output
+    ``(group, dim, mean_micro)`` — groups × dims rows by definition, so
+    ONE remote task pivots it into a (G, d) int64 matrix and the ref is
+    read per actor-task, never re-shipped per batch. Each batch
+    quantizes with the shared floor(x·10⁶ + 0.5) op and computes all
+    G distances in one int64 einsum-free broadcast subtract — exact
+    integers end-to-end, ties broken toward the smallest group id
+    (argmin over group-ascending rows), so the SQL twin's
+    ROW_NUMBER(ORDER BY d2, group) reproduces every row bit-for-bit."""
+    from duplicate_finder_ray.stages.similarity import _matrix
+
+    @ray.remote
+    def pivot(*blocks: pa.Table) -> tuple:
+        blocks = tuple(b for b in blocks if "dim" in b.column_names and len(b))
+        if not blocks:
+            return None
+        t = pa.concat_tables(blocks)
+        g = t.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = t.column("dim").to_numpy(zero_copy_only=False).astype(np.int64)
+        mm = t.column("mean_micro").to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = np.unique(g)  # ascending ⇒ argmin tie-break = smallest id
+        d = int(dim.max()) + 1
+        mat = np.zeros((len(groups), d), dtype=np.int64)
+        mat[np.searchsorted(groups, g), dim] = mm
+        return groups, mat
+
+    cent_ref = pivot.remote(*centroids.materialize().to_arrow_refs())
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), (group_col, pa.int64()), ("d2", pa.int64())]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        got = ray.get(cent_ref)
+        if got is None or len(batch) == 0:
+            return out_schema.empty_table()
+        groups, cent = got
+        q = np.floor(_matrix(batch, vec_col) * _MICRO + 0.5).astype(np.int64)
+        # (B, G, d) int64 diff² sum — exact; values bounded by
+        # dims · (2·|q|max)² ≪ 2⁶³ for unit-scale embeddings
+        diff = q[:, None, :] - cent[None, :, :]
+        d2 = np.einsum("bgd,bgd->bg", diff, diff)
+        best = np.argmin(d2, axis=1)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                group_col: pa.array(groups[best], pa.int64()),
+                "d2": pa.array(d2[np.arange(len(best)), best], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=2048
+    )

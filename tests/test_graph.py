@@ -92,3 +92,65 @@ def test_degrees_vs_pandas_oracle():
     want = ends.value_counts().sort_index()
     got = deg.set_index("node")["degree"].sort_index()
     assert (got == want).all() and len(got) == len(want)
+
+
+def _np_pagerank_int(
+    pairs: list[tuple[str, str]],
+    iterations: int = 3,
+    dn: int = 17,
+    dd: int = 20,
+    scale: int = 10**12,
+) -> dict[str, int]:
+    """Single-process integer-lattice PageRank — the op-for-op oracle."""
+    nodes = sorted({n for p in pairs for n in p})
+    deg = {n: 0 for n in nodes}
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    tele = (scale - (scale * dn) // dd) // n
+    for _ in range(iterations):
+        c = {v: 0 for v in nodes}
+        for a, b in pairs:
+            c[b] += r[a] // deg[a]
+            c[a] += r[b] // deg[b]
+        r = {v: tele + (dn * c[v]) // dd for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_oracle():
+    from duplicate_finder_ray.stages.graph import pagerank
+
+    # star a-{b,c,d} plus pendant chain d-e: hub 'a' must outrank leaves
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("d", "e")]
+    got = pagerank(_edges_ds(pairs), iterations=3).to_pandas()
+    want = _np_pagerank_int(pairs, iterations=3)
+    assert dict(zip(got["node"], got["rank"])) == want
+    ranks = dict(zip(got["node"], got["rank"]))
+    assert ranks["a"] == max(ranks.values())
+
+
+def test_pagerank_partitioning_invariant():
+    from duplicate_finder_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    nodes = [f"p{i}" for i in range(50)]
+    all_pairs = list(itertools.combinations(nodes, 2))
+    idx = rng.choice(len(all_pairs), size=150, replace=False)
+    pairs = [all_pairs[i] for i in sorted(idx)]
+    want = _np_pagerank_int(pairs)
+    for reparts in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([p[0] for p in pairs]),
+                    "b": pa.array([p[1] for p in pairs]),
+                }
+            )
+        ).repartition(reparts)
+        got = pagerank(ds, num_partitions=4 if reparts == 7 else None).to_pandas()
+        assert dict(zip(got["node"], got["rank"])) == want
+    # integer flooring only ever loses mass: total ≤ scale, close to it
+    total = sum(want.values())
+    assert 0.99 * 10**12 < total <= 10**12

@@ -120,3 +120,59 @@ def test_simhash_pairs_match_brute_force(ray_session, salad_corpus):
             bin(int(fp_by_id[a]) ^ int(fp_by_id[b])).count("1")
         )
         assert h == true
+
+
+def brute_containment_pairs(
+    df: pd.DataFrame, k: int, tau: float
+) -> set[tuple[str, str]]:
+    sets = {
+        str(r.doc_id): set(ascii_shingle_hashes(r.text, k).tolist())
+        for r in df.itertuples()
+    }
+    out = set()
+    keys = sorted(sets)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            if len(sa & sb) / min(len(sa), len(sb)) >= tau:
+                out.add((a, b))
+    return out
+
+
+def test_containment_catches_subset_docs_jaccard_misses(ray_session):
+    from duplicate_finder_ray.stages.neardup import ngram_containment_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(50)]
+    rows = []
+    for i in range(20):
+        words = list(rng.choice(vocab, size=12))
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 4 == 0:
+            # the small doc embedded verbatim in a 5x larger one:
+            # containment(small, big) = 1.0 but Jaccard ~ 0.2
+            filler = list(rng.choice(vocab, size=48))
+            rows.append({"doc_id": 100 + i, "text": " ".join(words + filler)})
+    df = pd.DataFrame(rows)
+
+    got_df = ngram_containment_pairs(
+        ray_session.data.from_pandas(df), "doc_id", "text", k=5, threshold=0.8
+    ).to_pandas()
+    got = set(zip(got_df["a"], got_df["b"]))
+    want = brute_containment_pairs(df, k=5, tau=0.8)
+    assert got == want
+    # every planted (small, embedding) pair is found ...
+    planted = {
+        tuple(sorted((str(i), str(100 + i)))) for i in range(0, 20, 4)
+    }  # pairs are ordered by STRING comparison ('116' < '16')
+    assert planted <= got
+    # ... and symmetric Jaccard at the same threshold misses ALL of them
+    jac = brute_jaccard_pairs(df, k=5, tau=0.8)
+    assert not (planted & jac)
+    # integer columns are the exact set sizes (embedded doc fully contained)
+    emb = got_df[[tuple(sorted((a, b))) in planted
+                  for a, b in zip(got_df["a"], got_df["b"])]]
+    assert len(emb) == len(planted)
+    assert (emb["n_inter"] == emb[["n_a", "n_b"]].min(axis=1)).all()

@@ -404,3 +404,56 @@ def _events_typed(rows):
             }
         )
     )
+
+
+class TestNearestCentroidAssign:
+    def test_matches_numpy_and_breaks_ties_to_smaller_label(self, ray_session):
+        from duplicate_finder_ray.stages.stats import (
+            grouped_vector_mean,
+            nearest_centroid_assign,
+        )
+
+        rng = np.random.default_rng(29)
+        n, d, g = 150, 6, 4
+        # well-separated clusters + noise so most assignments are clear
+        centers = rng.standard_normal((g, d)) * 5
+        labels = rng.integers(0, g, n).astype(np.int64)
+        vecs = (centers[labels] + rng.standard_normal((n, d)) * 0.3).astype(
+            np.float32
+        )
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "label": pa.array(labels, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        cents = grouped_vector_mean(
+            ds.select_columns(["label", "embedding"]), "label", "embedding"
+        )
+        got = (
+            nearest_centroid_assign(ds, "vec_id", "embedding", cents)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+        # numpy twin: identical lattice quantization + trunc-div centroids
+        q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        cent = np.zeros((g, d), dtype=np.int64)
+        for lab in range(g):
+            s = q[labels == lab].sum(axis=0)
+            cnt = int((labels == lab).sum())
+            cent[lab] = np.where(s >= 0, s // cnt, -((-s) // cnt))
+        diff = q[:, None, :] - cent[None, :, :]
+        d2 = np.einsum("bgd,bgd->bg", diff, diff)
+        best = np.argmin(d2, axis=1)  # first max = smallest label on ties
+        assert (got["label"].to_numpy() == best).all()
+        assert (
+            got["d2"].to_numpy() == d2[np.arange(n), best]
+        ).all()
+        # clusters are separated: assignment recovers the true labels
+        assert (best == labels).mean() > 0.95
