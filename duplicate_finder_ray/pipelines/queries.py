@@ -1763,6 +1763,20 @@ def q_containment_pairs(sf_dir: str) -> ray.data.Dataset:
     return ngram_containment_pairs(ds, "file_id", "content", k=5, threshold=0.8)
 
 
+def q_paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
+    """RefinedWeb-style paragraph (token-window) exact dedup: every
+    8-token window keeps only its globally first occurrence (by
+    (doc_id, window idx)) and documents are rebuilt from the
+    survivors. Slim md5-128 keys cross one exchange; document text
+    crosses one exchange; window payload rows never shuffle."""
+    from duplicate_finder_ray.stages.paradedup import paragraph_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return paragraph_dedup(docs, "doc_id", "text", window_tokens=8)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1872,6 +1886,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_pagerank": q_near_dup_pagerank,
     "containment_pairs": q_containment_pairs,
     "centroid_assign": q_centroid_assign,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3255,3 +3270,43 @@ ORACLE_SQL["near_dup_triangles"] = (
     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     """
 )
+
+# paragraph dedup: the oracle groups by the window TEXT itself (the
+# engine's md5-128 span identity must agree — the hash-match gate
+# certifies the identity encoding); keep rule = smallest (doc_id, idx)
+ORACLE_SQL["paragraph_dedup"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+  WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+),
+c AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(0,
+           CASE WHEN len(w) <= 8 THEN 0
+                ELSE CAST(ceil((len(w) - 8) / 8.0) AS BIGINT) END)) AS i
+  FROM t
+),
+paras AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         array_to_string(
+           w[CAST(i * 8 + 1 AS BIGINT):CAST(least(i * 8 + 8, n) AS BIGINT)],
+           ' ') AS para
+  FROM c
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM paras GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM paras
+),
+kept AS (SELECT doc_id, idx, para FROM ranked WHERE rn = 1)
+SELECT k.doc_id,
+       CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(k.para, ' ' ORDER BY k.idx) AS text_dedup
+FROM kept k JOIN tot ON tot.doc_id = k.doc_id
+GROUP BY k.doc_id, tot.n_chunks
+"""

@@ -29,6 +29,71 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def chunk_table(
+    batch: pa.Table,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int,
+) -> pa.Table:
+    """The chunking kernel over one Arrow table — factored out so other
+    stages (paragraph dedup's reassembly pass) can re-chunk documents
+    inside their own exchange partitions without re-shipping chunk rows.
+    Emits (id, chunk_idx, n_tokens, chunk_text)."""
+    C, S = chunk_tokens, stride
+    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    keep = pc.not_equal(pc.fill_null(trimmed, ""), "")
+    ids = batch.column(id_col).filter(keep)
+    txt = trimmed.filter(keep)
+    n_docs = len(txt)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    words = pc.split_pattern_regex(txt, r"\s+")
+    n = pc.list_value_length(words).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(words)
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n, out=doc_off[1:])
+    n_chunks = np.where(
+        n <= C, 1, 1 + ((n - C + S - 1) // S)
+    ).astype(np.int64)
+    total = int(n_chunks.sum())
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+    chunk_base = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(n_chunks[:-1], out=chunk_base[1:])
+    idx = np.arange(total, dtype=np.int64) - chunk_base[doc_of]
+    starts = idx * S
+    ends = np.minimum(starts + C, n[doc_of])
+    lens = ends - starts
+    out_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    gather = (
+        np.arange(out_off[-1], dtype=np.int64)
+        - np.repeat(out_off[:-1], lens)
+        + np.repeat(doc_off[doc_of] + starts, lens)
+    )
+    toks = flat.take(pa.array(gather))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = pa.LargeListArray.from_arrays(pa.array(out_off), toks)
+    chunk_text = pc.binary_join(lists, " ")
+    return pa.table(
+        {
+            id_col: pc.cast(ids.take(pa.array(doc_of)), pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": pc.cast(chunk_text, pa.string()),
+        }
+    )
+
+
 def chunk_documents(
     ds: ray.data.Dataset,
     id_col: str,
@@ -46,57 +111,7 @@ def chunk_documents(
     C, S = chunk_tokens, stride
 
     def chunks(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
-        keep = pc.not_equal(pc.fill_null(trimmed, ""), "")
-        ids = batch.column(id_col).filter(keep)
-        txt = trimmed.filter(keep)
-        n_docs = len(txt)
-        empty = pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                "chunk_idx": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
-                "chunk_text": pa.array([], pa.string()),
-            }
-        )
-        if n_docs == 0:
-            return empty
-        words = pc.split_pattern_regex(txt, r"\s+")
-        n = pc.list_value_length(words).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(words)
-        doc_off = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(n, out=doc_off[1:])
-        n_chunks = np.where(
-            n <= C, 1, 1 + ((n - C + S - 1) // S)
-        ).astype(np.int64)
-        total = int(n_chunks.sum())
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
-        chunk_base = np.zeros(n_docs, dtype=np.int64)
-        np.cumsum(n_chunks[:-1], out=chunk_base[1:])
-        idx = np.arange(total, dtype=np.int64) - chunk_base[doc_of]
-        starts = idx * S
-        ends = np.minimum(starts + C, n[doc_of])
-        lens = ends - starts
-        out_off = np.zeros(total + 1, dtype=np.int64)
-        np.cumsum(lens, out=out_off[1:])
-        gather = (
-            np.arange(out_off[-1], dtype=np.int64)
-            - np.repeat(out_off[:-1], lens)
-            + np.repeat(doc_off[doc_of] + starts, lens)
-        )
-        toks = flat.take(pa.array(gather))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lists = pa.LargeListArray.from_arrays(pa.array(out_off), toks)
-        chunk_text = pc.binary_join(lists, " ")
-        return pa.table(
-            {
-                id_col: pc.cast(ids.take(pa.array(doc_of)), pa.int64()),
-                "chunk_idx": pa.array(idx, pa.int64()),
-                "n_tokens": pa.array(lens, pa.int64()),
-                "chunk_text": pc.cast(chunk_text, pa.string()),
-            }
-        )
+        return chunk_table(batch, id_col, text_col, C, S)
 
     return ds.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pyarrow"
