@@ -1777,6 +1777,26 @@ def q_paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
     return paragraph_dedup(docs, "doc_id", "text", window_tokens=8)
 
 
+def q_semdedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup (arXiv:2303.09540) composition: nearest-centroid
+    cluster assignment on the exact int lattice → within-cluster
+    cosine duplicate edges (τ=0.35) → partition-local connected
+    components → keep rule 'farthest from centroid survives'. One
+    exchange; embedding payload crosses once; duplicate search is
+    exact within clusters and skipped across them (the method's
+    published trade)."""
+    from duplicate_finder_ray.stages.semdedup import semdedup
+    from duplicate_finder_ray.stages.stats import grouped_vector_mean
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    cents = grouped_vector_mean(
+        emb.select_columns(["label", "embedding"]), "label", "embedding"
+    )
+    return semdedup(emb, "vec_id", "embedding", cents, threshold=0.35)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1887,6 +1907,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "containment_pairs": q_containment_pairs,
     "centroid_assign": q_centroid_assign,
     "paragraph_dedup": q_paragraph_dedup,
+    "semdedup": q_semdedup,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3309,4 +3330,62 @@ SELECT k.doc_id,
        string_agg(k.para, ' ' ORDER BY k.idx) AS text_dedup
 FROM kept k JOIN tot ON tot.doc_id = k.doc_id
 GROUP BY k.doc_id, tot.n_chunks
+"""
+
+# SemDeDup: lattice assignment (shared with centroid_assign) → same-
+# cluster cosine edges → recursive closure → keep = max d2, tie to the
+# smallest vec_id. Emits only members of ≥2-duplicate groups.
+ORACLE_SQL["semdedup"] = """
+WITH RECURSIVE u AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(e.label AS BIGINT) AS label, u.dim,
+         CAST(sum(u.qv) AS BIGINT) // count(*) AS mean_micro
+  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+  GROUP BY e.label, u.dim
+),
+d AS (
+  SELECT u.vec_id, cent.label,
+         CAST(sum((u.qv - cent.mean_micro) * (u.qv - cent.mean_micro))
+              AS BIGINT) AS d2
+  FROM u JOIN cent ON cent.dim = u.dim
+  GROUP BY u.vec_id, cent.label
+),
+r AS (
+  SELECT vec_id, label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+  FROM d
+),
+a AS (SELECT vec_id, label, d2 FROM r WHERE rn = 1),
+e AS (
+  SELECT x.vec_id AS ea, y.vec_id AS eb
+  FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                               CAST(ey.embedding AS DOUBLE[])) >= 0.35
+),
+sym AS (SELECT ea, eb FROM e UNION SELECT eb AS ea, ea AS eb FROM e),
+reach(src, dst) AS (
+  SELECT ea, eb FROM sym
+  UNION
+  SELECT rch.src, s.eb FROM reach rch JOIN sym s ON s.ea = rch.dst
+),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT c.vec_id,
+       CAST(a.label AS BIGINT) AS cluster,
+       CAST(c.component AS BIGINT) AS component,
+       a.d2,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY c.component ORDER BY a.d2 DESC, c.vec_id
+            ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM comp c JOIN a ON a.vec_id = c.vec_id
 """

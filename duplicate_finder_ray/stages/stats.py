@@ -352,6 +352,7 @@ def nearest_centroid_assign(
     vec_col: str,
     centroids: ray.data.Dataset,
     group_col: str = "label",
+    extra_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Assign every vector to its nearest per-group centroid (squared
     L2 on the int64 micro-lattice) → ``(id, group, d2)`` — the
@@ -365,7 +366,11 @@ def nearest_centroid_assign(
     G distances in one int64 einsum-free broadcast subtract — exact
     integers end-to-end, ties broken toward the smallest group id
     (argmin over group-ascending rows), so the SQL twin's
-    ROW_NUMBER(ORDER BY d2, group) reproduces every row bit-for-bit."""
+    ROW_NUMBER(ORDER BY d2, group) reproduces every row bit-for-bit.
+
+    ``extra_cols`` appends pass-through input columns to the output —
+    SemDeDup uses it to keep the embedding beside its assignment so the
+    cluster co-partition exchange doesn't need an id join."""
     from duplicate_finder_ray.stages.similarity import _matrix
 
     @ray.remote
@@ -385,14 +390,22 @@ def nearest_centroid_assign(
 
     cent_ref = pivot.remote(*centroids.materialize().to_arrow_refs())
 
-    out_schema = pa.schema(
-        [(id_col, pa.int64()), (group_col, pa.int64()), ("d2", pa.int64())]
-    )
+    extras = list(extra_cols or [])
 
     def assign(batch: pa.Table) -> pa.Table:
         got = ray.get(cent_ref)
+        base = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                group_col: pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+            }
+        )
         if got is None or len(batch) == 0:
-            return out_schema.empty_table()
+            out = base
+            for c in extras:
+                out = out.append_column(c, batch.column(c).slice(0, 0))
+            return out
         groups, cent = got
         q = np.floor(_matrix(batch, vec_col) * _MICRO + 0.5).astype(np.int64)
         # (B, G, d) int64 diff² sum — exact; values bounded by
@@ -401,14 +414,18 @@ def nearest_centroid_assign(
         d2 = np.einsum("bgd,bgd->bg", diff, diff)
         best = np.argmin(d2, axis=1)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
+        out = pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
                 group_col: pa.array(groups[best], pa.int64()),
                 "d2": pa.array(d2[np.arange(len(best)), best], pa.int64()),
             }
         )
+        for c in extras:
+            out = out.append_column(c, batch.column(c))
+        return out
 
-    return ds.select_columns([id_col, vec_col]).map_batches(
+    need = [id_col, vec_col] + [c for c in extras if c != vec_col]
+    return ds.select_columns(need).map_batches(
         assign, batch_format="pyarrow", batch_size=2048
     )
