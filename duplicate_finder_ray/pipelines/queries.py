@@ -1797,6 +1797,21 @@ def q_semdedup(sf_dir: str) -> ray.data.Dataset:
     return semdedup(emb, "vec_id", "embedding", cents, threshold=0.35)
 
 
+def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Lloyd's k-means (k=8, 2 updates) on the exact int64 lattice —
+    the iterative-algorithm twin of PageRank: deterministic smallest-id
+    seeds, integer distances, SQL-truncating centroid division, so the
+    chained-CTE oracle reproduces every assignment bit-for-bit. One
+    streaming pass + one k×d-sized reduce per iteration; vectors never
+    shuffle."""
+    from duplicate_finder_ray.stages.kmeans import kmeans_lattice
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_lattice(emb, "vec_id", "embedding", k=8, iterations=2)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1908,6 +1923,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "centroid_assign": q_centroid_assign,
     "paragraph_dedup": q_paragraph_dedup,
     "semdedup": q_semdedup,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3389,3 +3405,56 @@ SELECT c.vec_id,
             ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM comp c JOIN a ON a.vec_id = c.vec_id
 """
+
+
+def _kmeans_sql(k: int, iterations: int) -> str:
+    """Chained-CTE twin of `stages.kmeans.kmeans_lattice`: c0 = the k
+    smallest-id vectors; per iteration an exact-int assignment (tie →
+    smaller cluster id) and a trunc-division centroid update; final
+    SELECT is the assignment against the last centroids."""
+    cte = [
+        "u AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)"
+        " AS BIGINT) AS qv FROM embeddings)",
+        "seed AS (SELECT vec_id,"
+        " CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl"
+        f" FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS (SELECT s.cl, u.dim, u.qv AS m"
+        " FROM seed s JOIN u ON u.vec_id = s.vec_id)",
+    ]
+    for t in range(1, iterations + 1):
+        cte.append(
+            f"d{t} AS (SELECT u.vec_id, c.cl,"
+            " CAST(sum((u.qv - c.m) * (u.qv - c.m)) AS BIGINT) AS d2"
+            f" FROM u JOIN c{t - 1} c ON c.dim = u.dim"
+            " GROUP BY u.vec_id, c.cl)"
+        )
+        cte.append(
+            f"a{t} AS (SELECT vec_id, cl, d2 FROM (SELECT vec_id, cl, d2,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn"
+            f" FROM d{t}) WHERE rn = 1)"
+        )
+        cte.append(
+            f"c{t} AS (SELECT a.cl, u.dim,"
+            " CAST(sum(u.qv) AS BIGINT) // count(*) AS m"
+            f" FROM a{t} a JOIN u ON u.vec_id = a.vec_id"
+            " GROUP BY a.cl, u.dim)"
+        )
+    cte.append(
+        "df AS (SELECT u.vec_id, c.cl,"
+        " CAST(sum((u.qv - c.m) * (u.qv - c.m)) AS BIGINT) AS d2"
+        f" FROM u JOIN c{iterations} c ON c.dim = u.dim"
+        " GROUP BY u.vec_id, c.cl)"
+    )
+    return (
+        "WITH "
+        + ",\n     ".join(cte)
+        + "\nSELECT vec_id, cl AS cluster, d2 FROM"
+        " (SELECT vec_id, cl, d2,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn"
+        " FROM df) WHERE rn = 1"
+    )
+
+
+ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(k=8, iterations=2)
