@@ -1812,6 +1812,93 @@ def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
     return kmeans_lattice(emb, "vec_id", "embedding", k=8, iterations=2)
 
 
+def q_q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3-shaped 3-table analytics composition: BUILDING-segment
+    customers (broadcast dim semi-join into orders) × date-filtered
+    orders × shipdate-filtered lineitems, revenue pre-aggregated per
+    order BEFORE the large×large join (the combiner-before-shuffle
+    doctrine), global top-10 by revenue. Revenue is exact integer
+    cents × (100 − discount%) so the oracle is rounding-proof."""
+    import datetime as _dt
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    cutoff = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_rev_partials(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("l_shipdate"), cutoff)
+        batch = batch.filter(keep)
+        price_c = rel.cents(batch.column("l_extendedprice"))
+        disc_pct = rel.cents(batch.column("l_discount"))  # 0.07 → 7
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100), disc_pct))
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": rev}
+        ).to_pandas()
+        g = t.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    g["l_orderkey"].to_numpy(), pa.int64()
+                ),
+                "rev": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rev = (
+        li.map_batches(li_rev_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue_units"))
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column("o_orderdate"), cutoff))
+        us = pc.cast(batch.column("o_orderdate"), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderdate_us": us,
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+    o_seg = rel.broadcast_hash_join(
+        orders.map_batches(order_filter, batch_format="pyarrow"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        [],
+    ).select_columns(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
+
+    joined = shuffle_hash_join(
+        rev, o_seg, "l_orderkey", "o_orderkey", 8
+    )
+    return rel.topk_global(
+        joined.select_columns(
+            ["l_orderkey", "revenue_units", "o_orderdate_us", "o_orderpriority"]
+        ),
+        by=["revenue_units", "o_orderdate_us", "l_orderkey"],
+        ascending=[False, True, True],
+        k=10,
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -1924,6 +2011,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "semdedup": q_semdedup,
     "kmeans_clusters": q_kmeans_clusters,
+    "q3_shipping_priority": q_q3_shipping_priority,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3458,3 +3546,37 @@ def _kmeans_sql(k: int, iterations: int) -> str:
 
 
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(k=8, iterations=2)
+
+# TPC-H Q3 shape over the synthetic tables: exact integer revenue
+# units (cents × (100 − discount%)), deterministic top-10
+ORACLE_SQL["q3_shipping_priority"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1998-01-01'
+),
+rev AS (
+  SELECT l_orderkey, CAST(sum(rev) AS BIGINT) AS revenue_units
+  FROM li GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+         o_orderpriority
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+j AS (
+  SELECT r.l_orderkey, r.revenue_units, o.o_orderdate_us, o.o_orderpriority
+  FROM rev r JOIN o ON o.o_orderkey = r.l_orderkey
+)
+SELECT l_orderkey, revenue_units,
+       CAST(o_orderdate_us AS BIGINT) AS o_orderdate_us, o_orderpriority,
+       CAST(row_number() OVER (
+         ORDER BY revenue_units DESC, o_orderdate_us, l_orderkey
+       ) AS BIGINT) AS "rank"
+FROM j
+ORDER BY "rank" LIMIT 10
+"""

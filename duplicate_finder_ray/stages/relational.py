@@ -60,8 +60,10 @@ def collect_small_side(ds: ray.data.Dataset, columns: list[str]):
     @ray.remote
     def concat(*tables: pa.Table) -> pa.Table:
         # empty aggregate partitions surface as 0-column blocks that
-        # would poison concat_tables' schema unification — drop them
-        tables = [t for t in tables if t.num_columns]
+        # would poison concat_tables' schema unification — drop them;
+        # expr-filtered upstreams can also emit blocks that dodged the
+        # select_columns projection, so re-project per block
+        tables = [t.select(columns) for t in tables if t.num_columns]
         if not tables:
             return pa.table({c: [] for c in columns})
         return pa.concat_tables(tables).combine_chunks()
@@ -343,6 +345,47 @@ def topk_per_group_by(
 
     pruned = ds.map_batches(local_topk, batch_format="pandas")
     return pruned.groupby(group_col).map_groups(final_topk, batch_format="pandas")
+
+
+def topk_global(
+    ds: ray.data.Dataset,
+    by: list[str],
+    ascending: list[bool],
+    k: int,
+) -> ray.data.Dataset:
+    """Global top-k under a multi-column ordering, with a 1-based
+    ``rank``. Local per-batch top-k combiner (≤ k rows per block reach
+    the reduce) then ONE tiny remote final selection — the ORDER BY /
+    LIMIT k shape where only k × blocks rows ever move."""
+    if len(by) != len(ascending) or not by:
+        raise ValueError("by and ascending must be equal-length, non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def local_topk(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    pruned = ds.map_batches(local_topk, batch_format="pandas").materialize()
+
+    import ray as _ray
+
+    @_ray.remote
+    def final(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and b.num_columns)
+        if not blocks:
+            empty = ds.schema()
+            fields = [
+                pa.field(n, t if isinstance(t, pa.DataType) else pa.string())
+                for n, t in zip(empty.names, empty.types)
+            ]
+            return pa.schema([*fields, pa.field("rank", pa.int64())]).empty_table()
+        part = pa.concat_tables(blocks).to_pandas()
+        part = part.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+        part = part.reset_index(drop=True)
+        part["rank"] = np.arange(1, len(part) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    return ray.data.from_arrow_refs([final.remote(*pruned.to_arrow_refs())])
 
 
 # --------------------------------------------------------------------------

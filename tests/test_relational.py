@@ -264,3 +264,35 @@ class TestSplitAssign:
             rel.split_assign(ds, "doc_id", [("a", "e6"), ("b", "cd")], "z")
         with pytest.raises(ValueError):
             rel.split_assign(ds, "doc_id", [("a", "c"), ("b", "e6")], "z")
+
+
+class TestTopkGlobal:
+    def test_matches_sorted_head(self):
+        rng = np.random.default_rng(4)
+        vals = rng.integers(0, 1000, size=500)
+        ids = np.arange(500, dtype=np.int64)
+        ds = _ds(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        ).repartition(7)
+        got = (
+            rel.topk_global(ds, by=["v", "id"], ascending=[False, True], k=10)
+            .to_pandas()
+        )
+        order = np.lexsort((ids, -vals))[:10]
+        assert list(got["id"]) == list(ids[order])
+        assert list(got["rank"]) == list(range(1, 11))
+
+    def test_k_larger_than_rows(self):
+        ds = _ds({"id": pa.array([3, 1, 2], pa.int64())})
+        got = rel.topk_global(ds, by=["id"], ascending=[True], k=10).to_pandas()
+        assert list(got["id"]) == [1, 2, 3]
+
+    def test_rejects_bad_params(self):
+        ds = _ds({"id": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError):
+            rel.topk_global(ds, by=[], ascending=[], k=5)
+        with pytest.raises(ValueError):
+            rel.topk_global(ds, by=["id"], ascending=[True], k=0)
