@@ -184,6 +184,18 @@ def run_bench() -> dict:
             + QUERIES["edit_distance_pairs"](SF_DIR).count()
         )
 
+    def semantic_sf():
+        # the round-3 semantic suite: paragraph-level window dedup
+        # (slim-key exchange + one text exchange), SemDeDup
+        # (cluster-scoped cosine dup groups), integer-lattice Lloyd
+        # k-means, and the TPC-H Q3-shaped top-k join composition
+        return (
+            QUERIES["paragraph_dedup"](SF_DIR).count()
+            + QUERIES["semdedup"](SF_DIR).count()
+            + QUERIES["kmeans_clusters"](SF_DIR).count()
+            + QUERIES["q3_shipping_priority"](SF_DIR).count()
+        )
+
     timed("exact_dedup", exact_dedup)
     timed("near_dup", near_dup)
     if not os.environ.get("GRAFT_SCALING_ONLY"):
@@ -196,6 +208,7 @@ def run_bench() -> dict:
         timed("relational_sfdocs", relational_sf)
         timed("curation_sfdocs", curation_sf)
         timed("stats_sfdocs", stats_sf)
+        timed("semantic_sfdocs", semantic_sf)
 
     total = round(sum(queries.values()), 3)
     dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)

@@ -56,9 +56,12 @@ def _assign_arrays(
     q: np.ndarray, groups: np.ndarray, cent: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """(cluster_id, d2) per row — exact int64, ties to the smaller
-    cluster id (groups is ascending)."""
-    diff = q[:, None, :] - cent[None, :, :]
-    d2 = np.einsum("bgd,bgd->bg", diff, diff)
+    cluster id (groups is ascending). d2 = |q|² − 2·q·cᵀ + |c|² in
+    int64: identical integers to the broadcast-diff form with (B, G)
+    working memory instead of (B, G, d)."""
+    qq = np.einsum("bd,bd->b", q, q)
+    cc = np.einsum("gd,gd->g", cent, cent)
+    d2 = qq[:, None] - 2 * np.einsum("bd,gd->bg", q, cent) + cc[None, :]
     best = np.argmin(d2, axis=1)
     return groups[best], d2[np.arange(len(best)), best]
 

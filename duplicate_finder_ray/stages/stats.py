@@ -187,9 +187,35 @@ def grouped_vector_mean(
     groupby sums the partials; the finisher divides with
     truncation-toward-zero to mirror SQL's integer ``//``."""
 
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    partial_schema = pa.schema(
+        [
+            (group_col, pa.int64()),
+            ("s", pa.large_list(pa.int64())),
+            ("n", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            (group_col, pa.int64()),
+            ("dim", pa.int64()),
+            ("n_vecs", pa.int64()),
+            ("mean_micro", pa.int64()),
+        ]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
+        # DENSE partials: one row per group present in the batch, the
+        # whole d-dim sum vector as a list cell. The previous
+        # (group, dim)-row explosion emitted groups × d rows per batch
+        # — zero compression once groups ≈ batch rows (measured 83 s at
+        # 40 k vectors × 2048 groups); dense rows keep the exchange at
+        # groups × blocks rows regardless of d.
         from duplicate_finder_ray.stages.similarity import _matrix
 
+        if len(batch) == 0:
+            return partial_schema.empty_table()
         m = _matrix(batch, vec_col)
         q = np.floor(m * _MICRO + 0.5).astype(np.int64)
         g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -198,36 +224,58 @@ def grouped_vector_mean(
         np.add.at(sums, inv, q)
         counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         k, d = sums.shape
+        offs = pa.array(np.arange(k + 1, dtype=np.int64) * d)
         return pa.table(
             {
-                group_col: pa.array(np.repeat(uniq, d), pa.int64()),
-                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
-                "s": pa.array(sums.reshape(-1), pa.int64()),
-                "n": pa.array(np.repeat(counts, d), pa.int64()),
+                group_col: pa.array(uniq, pa.int64()),
+                "s": pa.LargeListArray.from_arrays(
+                    offs, pa.array(sums.reshape(-1), pa.int64())
+                ),
+                "n": pa.array(counts, pa.int64()),
             }
         )
 
-    agg = (
-        ds.select_columns([group_col, vec_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, "dim"])
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    partials = ds.select_columns([group_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
     )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        s = batch.column("s").to_numpy()
-        n = batch.column("n").to_numpy()
-        mean = np.where(s >= 0, s // n, -((-s) // n))  # SQL `//` truncates
+    def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+        g = tbl.column(group_col).to_numpy().astype(np.uint64)
+        return (g % np.uint64(p)).astype(np.int64)
+
+    def reduce_means(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        g = tbl.column(group_col).to_numpy().astype(np.int64)
+        n = tbl.column("n").to_numpy().astype(np.int64)
+        lists = tbl.column("s")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        d = len(lists[0]) if len(lists) else 0
+        mat = lists.flatten().to_numpy().reshape(len(g), d)
+        order = np.argsort(g, kind="stable")
+        g, n, mat = g[order], n[order], mat[order]
+        starts = np.nonzero(np.r_[True, g[1:] != g[:-1]])[0]
+        sums = np.add.reduceat(mat, starts, axis=0)
+        counts = np.add.reduceat(n, starts)
+        mean = np.where(
+            sums >= 0,
+            sums // counts[:, None],
+            -((-sums) // counts[:, None]),  # SQL `//` truncates
+        ).astype(np.int64)
+        k = len(starts)
         return pa.table(
             {
-                group_col: batch.column(group_col),
-                "dim": batch.column("dim"),
-                "n_vecs": batch.column("n"),
-                "mean_micro": pa.array(mean.astype(np.int64), pa.int64()),
+                group_col: pa.array(np.repeat(g[starts], d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "n_vecs": pa.array(np.repeat(counts, d), pa.int64()),
+                "mean_micro": pa.array(mean.reshape(-1), pa.int64()),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return hash_exchange(
+        partials, part_of, 16, reduce_means, out_schema.empty_table()
+    )
 
 
 def _trunc_div(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
@@ -408,10 +456,14 @@ def nearest_centroid_assign(
             return out
         groups, cent = got
         q = np.floor(_matrix(batch, vec_col) * _MICRO + 0.5).astype(np.int64)
-        # (B, G, d) int64 diff² sum — exact; values bounded by
-        # dims · (2·|q|max)² ≪ 2⁶³ for unit-scale embeddings
-        diff = q[:, None, :] - cent[None, :, :]
-        d2 = np.einsum("bgd,bgd->bg", diff, diff)
+        # d2 = |q|² − 2·q·cᵀ + |c|², all int64 — the same exact
+        # integers as the broadcast-diff form but with (B, G) working
+        # memory instead of (B, G, d): at G=2048 clusters × d=768 the
+        # diff tensor would be gigabytes per batch. Values bounded by
+        # dims · |q|max² ≪ 2⁶³ for unit-scale embeddings.
+        qq = np.einsum("bd,bd->b", q, q)
+        cc = np.einsum("gd,gd->g", cent, cent)
+        d2 = qq[:, None] - 2 * np.einsum("bd,gd->bg", q, cent) + cc[None, :]
         best = np.argmin(d2, axis=1)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         out = pa.table(
