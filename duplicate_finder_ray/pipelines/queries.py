@@ -1899,6 +1899,19 @@ def q_q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_trending_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Trending terms: top-5 tokens per tumbling hour over the event
+    payload stream — window derived map-side, per-batch count
+    combiner, one (windows × vocab)-sized groupby, local-top-k
+    selector. Corpus token positions never shuffle."""
+    from duplicate_finder_ray.stages.textstats import trending_tokens
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "props"]
+    )
+    return trending_tokens(ev, "ts", "props", window_us=3_600_000_000, k=5)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2012,6 +2025,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "semdedup": q_semdedup,
     "kmeans_clusters": q_kmeans_clusters,
     "q3_shipping_priority": q_q3_shipping_priority,
+    "trending_tokens": q_trending_tokens,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3579,4 +3593,28 @@ SELECT l_orderkey, revenue_units,
        ) AS BIGINT) AS "rank"
 FROM j
 ORDER BY "rank" LIMIT 10
+"""
+
+# trending tokens: same tokenization class as top_tokens
+# (regexp_extract_all on the token class = RE2 split on its complement)
+ORACLE_SQL["trending_tokens"] = """
+WITH tok AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         unnest(regexp_extract_all(props, '[A-Za-z0-9_]+')) AS token
+  FROM events
+),
+c AS (
+  SELECT window_start_us, token, count(*) AS n
+  FROM tok GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start_us, token, n,
+         row_number() OVER (
+           PARTITION BY window_start_us ORDER BY n DESC, token
+         ) AS rk
+  FROM c
+)
+SELECT CAST(window_start_us AS BIGINT) AS window_start_us, token,
+       CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS "rank"
+FROM r WHERE rk <= 5
 """

@@ -290,9 +290,15 @@ def _token_partials(
             {"g": grp, "t": flat.to_numpy(zero_copy_only=False)}
         )
         agg = key.groupby(["g", "t"], sort=False).size().reset_index(name="n")
+        # preserve the group column's arrow type (string langs,
+        # int64 time windows, ...)
+        gtype = batch.schema.field(group_col).type
+        garr = pa.array(agg["g"])
+        if garr.type != gtype:
+            garr = garr.cast(gtype)
         return pa.table(
             {
-                group_col: pa.array(agg["g"], pa.string()),
+                group_col: garr,
                 "token": pa.array(agg["t"], pa.string()),
                 "n": pa.array(agg["n"].to_numpy(), pa.int64()),
             }
@@ -327,6 +333,47 @@ def top_tokens(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
         totals.map_batches(tag, batch_format="pyarrow"), "__g", "n", "token", k
     )
     return top.select_columns(["token", "n", "rank"])
+
+
+def trending_tokens(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    text_col: str,
+    window_us: int,
+    k: int,
+) -> ray.data.Dataset:
+    """Top-k tokens per tumbling time window (ties by token asc) —
+    trending terms over an event/payload stream, the monitoring twin of
+    :func:`top_tokens`. Shape: derive the window map-side, reuse the
+    per-batch (window, token, n) count combiner, ONE
+    (windows × vocabulary)-sized groupby-sum, then the local-top-k
+    selector per window — corpus token positions never shuffle."""
+    if window_us <= 0 or k <= 0:
+        raise ValueError("window_us and k must be positive")
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.relational import topk_per_group
+
+    W = window_us
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        # force µs before the int cast (sources vary between us/ns)
+        ts_us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        window = pc.multiply(pc.divide(ts_us, W), W)
+        return pa.table(
+            {"window_start_us": window, text_col: batch[text_col]}
+        )
+
+    wds = ds.select_columns([ts_col, text_col]).map_batches(
+        add_window, batch_format="pyarrow"
+    )
+    totals = (
+        _token_partials(wds, text_col, "window_start_us")
+        .groupby(["window_start_us", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = topk_per_group(totals, "window_start_us", "n", "token", k)
+    return top.select_columns(["window_start_us", "token", "n", "rank"])
 
 
 def distinct_token_counts(

@@ -300,3 +300,57 @@ class TestCuration:
         cut = np.quantile(scores, 0.5, method="linear")
         assert kept == sorted(np.nonzero(scores >= cut)[0].tolist())
         assert kept == [0, 2]
+
+
+class TestTrendingTokens:
+    def test_topk_per_window_matches_oracle(self, ray_session):
+        import datetime as dt
+        from collections import Counter
+
+        from duplicate_finder_ray.stages.textstats import trending_tokens
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(minutes=m), txt)
+            for m, txt in [
+                (0, "alpha beta alpha"),
+                (10, "beta gamma"),
+                (59, "alpha"),
+                (61, "delta delta delta"),
+                (90, "alpha delta"),
+            ]
+        ]
+        df = pd.DataFrame(rows, columns=["ts", "props"])
+        got = (
+            trending_tokens(
+                ray_session.data.from_pandas(df), "ts", "props",
+                window_us=3_600_000_000, k=2,
+            )
+            .to_pandas()
+            .sort_values(["window_start_us", "rank"])
+            .reset_index(drop=True)
+        )
+        # oracle: count per (hour, token), top-2 by (n desc, token asc)
+        want = {}
+        for ts, txt in rows:
+            w = (int(ts.timestamp() * 1e6) // 3_600_000_000) * 3_600_000_000
+            want.setdefault(w, Counter()).update(txt.split())
+        expected = []
+        for w in sorted(want):
+            ranked = sorted(want[w].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+            for i, (tok, n) in enumerate(ranked, 1):
+                expected.append((w, tok, n, i))
+        assert [tuple(r) for r in got.itertuples(index=False)] == expected
+
+    def test_rejects_bad_params(self, ray_session):
+        from duplicate_finder_ray.stages.textstats import trending_tokens
+
+        ds = ray_session.data.from_pandas(
+            pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")], "props": ["x"]})
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            trending_tokens(ds, "ts", "props", window_us=0, k=5)
+        with _pytest.raises(ValueError):
+            trending_tokens(ds, "ts", "props", window_us=100, k=0)
