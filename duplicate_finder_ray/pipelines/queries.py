@@ -1912,6 +1912,19 @@ def q_trending_tokens(sf_dir: str) -> ray.data.Dataset:
     return trending_tokens(ev, "ts", "props", window_us=3_600_000_000, k=5)
 
 
+def q_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Daily retention-cohort matrix: users cohorted by first active
+    day, counted per (cohort, day offset) — per-batch distinct
+    combiner, one user-keyed exchange, tiny cohort×offset sum; the
+    event stream never shuffles."""
+    from duplicate_finder_ray.stages.events import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2026,6 +2039,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "q3_shipping_priority": q_q3_shipping_priority,
     "trending_tokens": q_trending_tokens,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3617,4 +3631,18 @@ r AS (
 SELECT CAST(window_start_us AS BIGINT) AS window_start_us, token,
        CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS "rank"
 FROM r WHERE rk <= 5
+"""
+
+ORACLE_SQL["retention_cohorts"] = """
+WITH w AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+  FROM events
+),
+f AS (SELECT user_id, min(day_us) AS cohort_us FROM w GROUP BY user_id)
+SELECT CAST(f.cohort_us AS BIGINT) AS cohort_us,
+       CAST((w.day_us - f.cohort_us) // 86400000000 AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM w JOIN f ON f.user_id = w.user_id
+GROUP BY 1, 2
 """

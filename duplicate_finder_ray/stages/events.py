@@ -815,3 +815,98 @@ def funnel_conversions(
         )
 
     return mins.map_batches(finish, batch_format="pyarrow")
+
+
+def retention_cohorts(
+    events: ray.data.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_us: int = 86_400_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Retention-cohort matrix: users cohorted by their FIRST active
+    time bucket, counted per (cohort, bucket offset) — the product-
+    analytics triangle behind every retention chart. Output:
+    (cohort_us, day_offset, n_users).
+
+    Shape: per-batch distinct-(user, bucket) combiner (slim int64
+    rows), ONE user-keyed hash exchange (all of a user's buckets
+    co-locate, so the first bucket and the offsets are partition-local),
+    per-partition (cohort, offset) count partials, one tiny
+    cohorts × offsets groupby-sum. The event stream itself never
+    shuffles."""
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+    B = bucket_us
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim_schema = pa.schema([("u", pa.int64()), ("b", pa.int64())])
+    part_schema = pa.schema(
+        [
+            ("cohort_us", pa.int64()),
+            ("day_offset", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def distinct_user_bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        ts_us = pc.cast(
+            pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (ts_us // B) * B
+        order = np.lexsort((b, u))
+        u, b = u[order], b[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        np.logical_or(u[1:] != u[:-1], b[1:] != b[:-1], out=first[1:])
+        return pa.table(
+            {"u": pa.array(u[first], pa.int64()), "b": pa.array(b[first], pa.int64())}
+        )
+
+    slim = events.select_columns([user_col, ts_col]).map_batches(
+        distinct_user_bucket, batch_format="pyarrow"
+    )
+
+    def user_part(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("u").to_numpy().astype(np.uint64)
+        return (pd.util.hash_array(u.copy()) % np.uint64(p)).astype(np.int64)
+
+    def cohort_partials(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        u = tbl.column("u").to_numpy().astype(np.int64)
+        b = tbl.column("b").to_numpy().astype(np.int64)
+        order = np.lexsort((b, u))
+        u, b = u[order], b[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        np.logical_or(u[1:] != u[:-1], b[1:] != b[:-1], out=first[1:])
+        u, b = u[first], b[first]  # global distinct (user, bucket)
+        ustart = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        counts = np.diff(np.append(ustart, len(u)))
+        cohort = np.repeat(b[ustart], counts)  # sorted ⇒ first = min
+        offset = (b - cohort) // B
+        key = pd.DataFrame({"c": cohort, "o": offset})
+        agg = key.groupby(["c", "o"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "cohort_us": pa.array(agg["c"].to_numpy(), pa.int64()),
+                "day_offset": pa.array(agg["o"].to_numpy(), pa.int64()),
+                "n_users": pa.array(agg["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = hash_exchange(
+        slim, user_part, num_partitions, cohort_partials,
+        part_schema.empty_table(),
+    )
+    return (
+        partials.groupby(["cohort_us", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

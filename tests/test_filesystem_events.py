@@ -150,3 +150,57 @@ def test_sessionize_single_event_user(ray_session):
     assert len(got) == 1
     assert got.iloc[0]["n_events"] == 1
     assert got.iloc[0]["session_start_us"] == got.iloc[0]["session_end_us"]
+
+
+class TestRetentionCohorts:
+    def test_matches_python_oracle(self, ray_session):
+        import datetime as dt
+        from collections import Counter
+
+        import pandas as pd
+
+        from duplicate_finder_ray.stages.events import retention_cohorts
+
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            (1, base),                              # u1 cohort day 0
+            (1, base + dt.timedelta(hours=5)),      # same day — distinct
+            (1, base + dt.timedelta(days=2)),       # offset 2
+            (2, base + dt.timedelta(days=1)),       # u2 cohort day 1
+            (2, base + dt.timedelta(days=3)),       # offset 2
+            (3, base + dt.timedelta(days=1)),       # u3 cohort day 1
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts"])
+        got = {
+            (r["cohort_us"], r["day_offset"]): r["n_users"]
+            for r in retention_cohorts(
+                ray_session.data.from_pandas(df).repartition(3),
+                num_partitions=4,
+            ).take_all()
+        }
+        day = 86_400_000_000
+        want = Counter()
+        first = {}
+        seen = set()
+        for u, ts in sorted(rows, key=lambda r: (r[0], r[1])):
+            b = (int(ts.timestamp() * 1e6) // day) * day
+            first.setdefault(u, b)
+            if (u, b) not in seen:
+                seen.add((u, b))
+                want[(first[u], (b - first[u]) // day)] += 1
+        assert got == dict(want)
+
+    def test_rejects_bad_params(self, ray_session):
+        import pandas as pd
+
+        from duplicate_finder_ray.stages.events import retention_cohorts
+
+        ds = ray_session.data.from_pandas(
+            pd.DataFrame({"user_id": [1], "ts": [pd.Timestamp("2024-01-01")]})
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            retention_cohorts(ds, bucket_us=0)
+        with _pytest.raises(ValueError):
+            retention_cohorts(ds, num_partitions=0)
