@@ -1925,6 +1925,21 @@ def q_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
     return retention_cohorts(ev)
 
 
+def q_user_revenue_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT with SUM measure: per-user exact-cent value matrix over
+    the five event types (revenue-by-channel shape) — same combiner as
+    the count pivot, values quantized half-up to cents."""
+    from duplicate_finder_ray.stages.relational import pivot_sums
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    return pivot_sums(
+        ev, "user_id", "event_type", "value",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2040,6 +2055,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "trending_tokens": q_trending_tokens,
     "retention_cohorts": q_retention_cohorts,
+    "user_revenue_pivot": q_user_revenue_pivot,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3645,4 +3661,24 @@ SELECT CAST(f.cohort_us AS BIGINT) AS cohort_us,
        CAST(count(*) AS BIGINT) AS n_users
 FROM w JOIN f ON f.user_id = w.user_id
 GROUP BY 1, 2
+"""
+
+ORACLE_SQL["user_revenue_pivot"] = """
+WITH q AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+            AS BIGINT) AS sum_click_cents,
+       CAST(sum(CASE WHEN event_type = 'error' THEN cents ELSE 0 END)
+            AS BIGINT) AS sum_error_cents,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+            AS BIGINT) AS sum_purchase_cents,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN cents ELSE 0 END)
+            AS BIGINT) AS sum_signup_cents,
+       CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END)
+            AS BIGINT) AS sum_view_cents
+FROM q GROUP BY user_id
 """

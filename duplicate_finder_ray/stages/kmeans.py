@@ -24,6 +24,15 @@ Scale shape per iteration: ONE streaming pass over the data
 vectors), one tiny reduce of blocks × k × d partial rows, and a
 driver-held k×d int64 matrix broadcast back via the object store.
 Clusters that lose all members drop out (SQL's GROUP BY does the same).
+
+Bound: the single update reduce concatenates blocks × k × d partial
+rows, so this operator targets moderate k (IVF coarse quantizers,
+SemDeDup cluster counts — k ≤ ~10⁴ at d ≤ ~10³). For very large k
+train on a sample instead (`similarity._sample_blocks` +
+`_kmeans_centroids_task`, the IVF path) — Lloyd over the full corpus
+at k=10⁵⁺ is the wrong algorithm long before it is the wrong shuffle.
+Measured: 1 M × 256-d vectors, k=64, 2 iterations in 7.2 s at 32 CPUs
+(`scripts/bench_semantic.py`).
 """
 
 from __future__ import annotations

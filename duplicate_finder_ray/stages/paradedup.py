@@ -31,6 +31,16 @@ Scale shape (100-TB doctrine: payload crosses a shuffle at most once):
 Skew note: a corpus-hot window (license header, empty line) sends only
 its slim key copies to one partition — O(copies × 24 B), not
 O(copies × text); the hot-window payload is never co-located.
+
+Partition-count bound (the knob that must scale with the corpus): each
+identity-pass reduce holds its hash range's slim keys in memory —
+O(total_windows × 32 B / num_partitions). At 10¹² windows (a ~100 TB
+corpus) that is ~32 TB of keys, so num_partitions must be O(10⁴) (a
+small multiple of cluster parallelism, as with every hash_exchange
+user); the per-batch local-first combiner has already removed
+within-block repeats before the exchange. Measured: 1 M docs / 8 M
+windows in 21.7 s at 32 CPUs with asserted-exact removal counts
+(`scripts/bench_paragraph_dedup.py`).
 """
 
 from __future__ import annotations

@@ -801,6 +801,41 @@ def pivot_counts(
     return agg
 
 
+def pivot_sums(
+    ds: ray.data.Dataset,
+    key_col: str,
+    pivot_col: str,
+    value_col: str,
+    categories: list[str],
+) -> ray.data.Dataset:
+    """PIVOT with a SUM measure: one row per key, one exact-cent sum
+    column per category (conditional aggregation over a double measure
+    — the revenue-by-channel matrix). Same combiner shape as
+    :func:`pivot_counts`: each block collapses to ≤1 row per key, ONE
+    keys-sized aggregate sums the partials; values quantize half-up to
+    cents so the oracle is rounding-proof."""
+    if not categories:
+        raise ValueError("categories must be non-empty")
+    cols = [f"sum_{c}_cents" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        v = batch.column(pivot_col).to_numpy(zero_copy_only=False)
+        c_val = cents(batch.column(value_col)).to_numpy()
+        df = pd.DataFrame({key_col: k})
+        for c, name in zip(categories, cols):
+            df[name] = np.where(v == c, c_val, np.int64(0))
+        g = df.groupby(key_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.select_columns([key_col, pivot_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
 def grouped_rollup(
     ds: ray.data.Dataset,
     group_cols: list[str],

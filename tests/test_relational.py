@@ -296,3 +296,39 @@ class TestTopkGlobal:
             rel.topk_global(ds, by=[], ascending=[], k=5)
         with pytest.raises(ValueError):
             rel.topk_global(ds, by=["id"], ascending=[True], k=0)
+
+
+class TestPivotSums:
+    def test_matches_conditional_sums(self):
+        ds = _ds(
+            {
+                "user_id": pa.array([1, 1, 2, 2, 1], pa.int64()),
+                "event_type": pa.array(
+                    ["click", "view", "click", "click", "click"]
+                ),
+                "value": pa.array([1.005, 2.0, 0.994, 3.0, 10.0]),
+            }
+        ).repartition(2)
+        got = {
+            r["user_id"]: (r["sum_click_cents"], r["sum_view_cents"])
+            for r in rel.pivot_sums(
+                ds, "user_id", "event_type", "value", ["click", "view"]
+            ).take_all()
+        }
+        # floor(x*100+0.5): 1.005 -> 101 (binary 1.005*100 = 100.49999...
+        # -> floor(+0.5)=100? compute exactly like the engine), so derive
+        # expected with the same expression
+        import numpy as np
+
+        def c(x):
+            return int(np.floor(x * 100.0 + 0.5))
+
+        assert got[1] == (c(1.005) + c(10.0), c(2.0))
+        assert got[2] == (c(0.994) + c(3.0), 0)
+
+    def test_rejects_empty_categories(self):
+        ds = _ds({"user_id": pa.array([1], pa.int64()),
+                  "event_type": pa.array(["a"]),
+                  "value": pa.array([1.0])})
+        with pytest.raises(ValueError):
+            rel.pivot_sums(ds, "user_id", "event_type", "value", [])
