@@ -1940,6 +1940,97 @@ def q_user_revenue_pivot(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dedup_rate_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Curation reporting composition: per-language corpus size and
+    normalized-duplicate share (how dirty is each slice — the number a
+    data lead asks for before spending GPU-hours). Normalize map-side
+    (lower, collapse whitespace, trim — the engine's standard
+    normalization), ship only (md5-128 digest, lang) slim rows through
+    ONE digest-keyed exchange, count group sizes partition-locally,
+    emit per-lang partials, one tiny lang-keyed sum. Text never
+    shuffles; exact integer counts out."""
+    import numpy as np
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+    from duplicate_finder_ray.stages.paradedup import _md5_u128
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    slim_schema = pa.schema(
+        [("h1", pa.uint64()), ("h2", pa.uint64()), ("lang", pa.string())]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.replace_substring_regex(t, r"^ | $", "")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        h1, h2 = _md5_u128(t)
+        return pa.table(
+            {
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(h2, pa.uint64()),
+                "lang": batch["lang"],
+            }
+        )
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("n_docs", pa.int64()), ("n_dup_docs", pa.int64())]
+    )
+
+    def digest_part(tbl: pa.Table, p: int) -> np.ndarray:
+        h = tbl.column("h1").to_numpy().astype(np.uint64)
+        return (h % np.uint64(p)).astype(np.int64)
+
+    def lang_partials(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        h1 = tbl.column("h1").to_numpy().astype(np.uint64)
+        h2 = tbl.column("h2").to_numpy().astype(np.uint64)
+        order = np.lexsort((h2, h1))
+        firsts = np.empty(len(h1), dtype=bool)
+        firsts[0] = True
+        np.logical_or(
+            h1[order][1:] != h1[order][:-1],
+            h2[order][1:] != h2[order][:-1],
+            out=firsts[1:],
+        )
+        starts = np.nonzero(firsts)[0]
+        sizes = np.diff(np.append(starts, len(h1)))
+        is_dup = np.empty(len(h1), dtype=bool)
+        is_dup[order] = np.repeat(sizes > 1, sizes)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": tbl.column("lang").to_numpy(zero_copy_only=False),
+                "n_docs": np.int64(1),
+                "n_dup_docs": is_dup.astype(np.int64),
+            }
+        )
+        g = df.groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = hash_exchange(
+        docs.map_batches(slim, batch_format="pyarrow"),
+        digest_part,
+        16,
+        lang_partials,
+        part_schema.empty_table(),
+    )
+    return partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_dup_docs", alias_name="n_dup_docs"),
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2056,6 +2147,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "trending_tokens": q_trending_tokens,
     "retention_cohorts": q_retention_cohorts,
     "user_revenue_pivot": q_user_revenue_pivot,
+    "dedup_rate_by_lang": q_dedup_rate_by_lang,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3681,4 +3773,23 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END)
             AS BIGINT) AS sum_view_cents
 FROM q GROUP BY user_id
+"""
+
+# dedup-rate report: digest identity = the normalized text itself in
+# SQL (the hash-match gate certifies the md5-128 encoding, as in
+# paragraph_dedup)
+ORACLE_SQL["dedup_rate_by_lang"] = r"""
+WITH n AS (
+  SELECT lang,
+         regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                        '^ | $', '', 'g') AS norm
+  FROM documents
+),
+c AS (SELECT norm, count(*) AS s FROM n GROUP BY norm)
+SELECT n.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.s > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs
+FROM n JOIN c ON c.norm = n.norm
+GROUP BY n.lang
 """
