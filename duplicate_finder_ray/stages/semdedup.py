@@ -119,8 +119,21 @@ def semdedup(
             rows = rows[sub]
             sub_ids = sub_ids[sub]
             m = mat[rows]
-            scores = m @ m.T
-            ii, jj = np.nonzero(np.triu(scores >= threshold, k=1))
+            # strip-wise upper-triangle scoring: a hot cluster of n
+            # members needs O(strip × n) floats, never the full n×n
+            # matrix (15 k members would allocate 1.8 GB at once)
+            STRIP = 2048
+            ii_parts: list[np.ndarray] = []
+            jj_parts: list[np.ndarray] = []
+            for s0 in range(0, len(rows), STRIP):
+                s1 = min(s0 + STRIP, len(rows))
+                strip_scores = m[s0:s1] @ m[s0:].T  # cols j >= s0
+                si, sj = np.nonzero(strip_scores >= threshold)
+                keep_ut = sj + s0 > si + s0  # strict upper triangle
+                ii_parts.append(si[keep_ut] + s0)
+                jj_parts.append(sj[keep_ut] + s0)
+            ii = np.concatenate(ii_parts) if ii_parts else np.array([], np.int64)
+            jj = np.concatenate(jj_parts) if jj_parts else np.array([], np.int64)
             if len(ii) == 0:
                 continue
             label = _min_label_cc(ii, jj, len(rows))
