@@ -2031,6 +2031,20 @@ def q_dedup_rate_by_lang(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_novelty_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc novelty counts: of a document's distinct 5-gram
+    shingles, how many appear in NO other document — slim (hash, doc)
+    rows through one exchange, document frequency partition-local,
+    tiny doc-keyed sum. Exact integers (novelty ratio is the caller's
+    division)."""
+    from duplicate_finder_ray.stages.novelty import novelty_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return novelty_counts(docs, "doc_id", "text", k=5)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2148,6 +2162,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "retention_cohorts": q_retention_cohorts,
     "user_revenue_pivot": q_user_revenue_pivot,
     "dedup_rate_by_lang": q_dedup_rate_by_lang,
+    "novelty_scores": q_novelty_scores,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3792,4 +3807,28 @@ SELECT n.lang,
          AS n_dup_docs
 FROM n JOIN c ON c.norm = n.norm
 GROUP BY n.lang
+"""
+
+# novelty: shingle identity = the 5-gram text in SQL, the rolling
+# 64-bit hash in the engine (same certified equivalence as the n-gram
+# pair family); documents with < 5 tokens emit nothing in both engines
+ORACLE_SQL["novelty_scores"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM tok WHERE len(w) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], chr(31)) AS s FROM idx
+),
+df AS (SELECT s, count(*) AS d FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique
+FROM sh JOIN df ON df.s = sh.s
+GROUP BY sh.doc_id
 """
