@@ -2045,6 +2045,21 @@ def q_novelty_scores(sf_dir: str) -> ray.data.Dataset:
     return novelty_counts(docs, "doc_id", "text", k=5)
 
 
+def q_session_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Within-session funnel: per (user, session), did the first
+    signup strictly precede the first purchase inside the session —
+    sessionize + funnel composed in ONE user-keyed exchange of slim
+    rows; boundaries, first-step times and the conversion flag are a
+    single vectorized pass."""
+    from duplicate_finder_ray.stages.events import session_funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return session_funnel(ev, "signup", "purchase")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2163,6 +2178,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_revenue_pivot": q_user_revenue_pivot,
     "dedup_rate_by_lang": q_dedup_rate_by_lang,
     "novelty_scores": q_novelty_scores,
+    "session_funnel": q_session_funnel,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3831,4 +3847,32 @@ SELECT sh.doc_id,
          AS n_unique
 FROM sh JOIN df ON df.s = sh.s
 GROUP BY sh.doc_id
+"""
+
+# within-session funnel: sessionization convention identical to
+# events_sessions (gap > 30 min, ties by event_id); converted = first
+# signup strictly before first purchase inside the session (NULL mins
+# fall to the ELSE 0)
+ORACLE_SQL["session_funnel"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+              AS BIGINT) AS session_id
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(
+         min(CASE WHEN event_type = 'signup' THEN ts_us END) <
+         min(CASE WHEN event_type = 'purchase' THEN ts_us END), FALSE)
+         AS BIGINT) AS converted
+FROM s GROUP BY user_id, session_id
 """

@@ -910,3 +910,125 @@ def retention_cohorts(
         partials.groupby(["cohort_us", "day_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def session_funnel(
+    events: ray.data.Dataset,
+    step_a: str,
+    step_b: str,
+    gap_us: int = 1_800_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Within-session funnel: for every (user, session) — sessions cut
+    at ``gap_us`` inactivity, the engine's sessionize convention — did
+    the first ``step_a`` strictly precede the first ``step_b`` INSIDE
+    the session? Output (user_id, session_id, n_events, converted 0/1);
+    session_id is 1-based per user in time order, matching
+    ``events_sessions``.
+
+    Composition of the sessionize and funnel shapes in ONE user-keyed
+    exchange of slim (user, event_id, ts, type flag) rows: a user's
+    whole stream co-locates, so session boundaries, per-session first-A
+    / first-B and the conversion flag are a single vectorized pass
+    (lexsort + gap diff + cumsum + minimum.at) — no per-user Python, no
+    second shuffle."""
+    if gap_us <= 0:
+        raise ValueError("gap_us must be positive")
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+    if step_a == step_b:
+        raise ValueError("step_a and step_b must differ")
+    G = np.int64(gap_us)
+
+    slim_schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("eid", pa.int64()),
+            ("t", pa.int64()),
+            ("f", pa.int8()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("converted", pa.int64()),
+        ]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        et = batch["event_type"]
+        flag = pc.add(
+            pc.cast(pc.equal(et, step_a), pa.int8()),
+            pc.multiply(pc.cast(pc.equal(et, step_b), pa.int8()), pa.scalar(2, pa.int8())),
+        )
+        return pa.table(
+            {
+                "u": pc.cast(batch["user_id"], pa.int64()),
+                "eid": pc.cast(batch["event_id"], pa.int64()),
+                "t": ts_us,
+                "f": flag,
+            }
+        )
+
+    slim_ds = events.select_columns(
+        ["user_id", "event_id", "ts", "event_type"]
+    ).map_batches(slim, batch_format="pyarrow")
+
+    def user_part(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("u").to_numpy().astype(np.uint64)
+        return (pd.util.hash_array(u.copy()) % np.uint64(p)).astype(np.int64)
+
+    def funnel_partition(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        u = tbl.column("u").to_numpy().astype(np.int64)
+        eid = tbl.column("eid").to_numpy().astype(np.int64)
+        t = tbl.column("t").to_numpy().astype(np.int64)
+        f = tbl.column("f").to_numpy().astype(np.int8)
+        order = np.lexsort((eid, t, u))
+        u, eid, t, f = u[order], eid[order], t[order], f[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[True, (t[1:] - t[:-1]) > G]
+        new_sess = new_user | gap
+        sid_global = np.cumsum(new_sess) - 1  # 0-based global session idx
+        n_sess = int(sid_global[-1]) + 1
+        # 1-based per-user numbering: subtract the user's first session id
+        user_start = np.nonzero(new_user)[0]
+        first_sid_of_user = np.repeat(
+            sid_global[user_start], np.diff(np.append(user_start, len(u)))
+        )
+        sess_local = sid_global - first_sid_of_user + 1
+        INF = np.iinfo(np.int64).max
+        first_a = np.full(n_sess, INF, dtype=np.int64)
+        first_b = np.full(n_sess, INF, dtype=np.int64)
+        a_rows = f == 1
+        b_rows = f == 2
+        np.minimum.at(first_a, sid_global[a_rows], t[a_rows])
+        np.minimum.at(first_b, sid_global[b_rows], t[b_rows])
+        sess_start = np.nonzero(new_sess)[0]
+        n_events = np.diff(np.append(sess_start, len(u))).astype(np.int64)
+        converted = (
+            (first_a < first_b) & (first_b < INF)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[sess_start], pa.int64()),
+                "session_id": pa.array(
+                    sess_local[sess_start].astype(np.int64), pa.int64()
+                ),
+                "n_events": pa.array(n_events, pa.int64()),
+                "converted": pa.array(converted, pa.int64()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(
+        slim_ds, user_part, num_partitions, funnel_partition,
+        out_schema.empty_table(),
+    )

@@ -204,3 +204,81 @@ class TestRetentionCohorts:
             retention_cohorts(ds, bucket_us=0)
         with _pytest.raises(ValueError):
             retention_cohorts(ds, num_partitions=0)
+
+
+class TestSessionFunnel:
+    """session_funnel: sessionize + within-session funnel in one pass."""
+
+    @staticmethod
+    def _mk(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp("2024-03-01") + pd.Timedelta(minutes=m),
+                    "user_id": u,
+                    "event_type": t,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i, (u, m, t) in enumerate(rows)
+            ]
+        )
+
+    def test_conversion_scenarios(self, ray_session):
+        from duplicate_finder_ray.stages.events import session_funnel
+
+        rows = [
+            # user 1, session 1: signup -> purchase (converted)
+            (1, 0, "signup"), (1, 5, "view"), (1, 10, "purchase"),
+            # user 1, session 2 (>30 min gap): purchase before signup
+            (1, 60, "purchase"), (1, 65, "signup"),
+            # user 2: signup only, then (new session) purchase only —
+            # split across the boundary, so NEITHER session converts
+            (2, 0, "signup"), (2, 45, "purchase"),
+            # user 3: one session, no signup at all
+            (3, 0, "view"), (3, 1, "purchase"),
+        ]
+        got = (
+            session_funnel(
+                ray_session.data.from_pandas(self._mk(rows)).repartition(3),
+                "signup",
+                "purchase",
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 2, 3],
+                "session_id": [1, 2, 1, 2, 1],
+                "n_events": [3, 2, 1, 1, 2],
+                "converted": [1, 0, 0, 0, 0],
+            }
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+    def test_simultaneous_steps_not_converted(self, ray_session):
+        """Equal first-A and first-B timestamps are NOT 'strictly before'."""
+        from duplicate_finder_ray.stages.events import session_funnel
+
+        rows = [(7, 0, "signup"), (7, 0, "purchase")]
+        got = session_funnel(
+            ray_session.data.from_pandas(self._mk(rows)), "signup", "purchase"
+        ).to_pandas()
+        assert len(got) == 1 and got.iloc[0]["converted"] == 0
+
+    def test_rejects_bad_params(self, ray_session):
+        from duplicate_finder_ray.stages.events import session_funnel
+
+        ds = ray_session.data.from_pandas(self._mk([(1, 0, "signup")]))
+        with pytest.raises(ValueError):
+            session_funnel(ds, "signup", "signup")
+        with pytest.raises(ValueError):
+            session_funnel(ds, "a", "b", gap_us=0)
+        with pytest.raises(ValueError):
+            session_funnel(ds, "a", "b", num_partitions=0)
