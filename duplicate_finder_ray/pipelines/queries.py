@@ -2060,6 +2060,31 @@ def q_session_funnel(sf_dir: str) -> ray.data.Dataset:
     return session_funnel(ev, "signup", "purchase")
 
 
+def q_repo_overlap_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Repo-overlap matrix: distinct shared contents per repo pair —
+    one sha-keyed exchange, vectorized within-group pair expansion,
+    partial counts before the slim final groupby."""
+    from duplicate_finder_ray.stages.repostats import repo_overlap_pairs
+
+    return repo_overlap_pairs(_derived(sf_dir))
+
+
+def q_vendored_content(sf_dir: str) -> ray.data.Dataset:
+    """Hot-content report: contents present in ≥2 distinct repos with
+    file fan-out and reclaimable bytes."""
+    from duplicate_finder_ray.stages.repostats import vendored_content
+
+    return vendored_content(_derived(sf_dir), min_repos=2)
+
+
+def q_dup_dir_groups(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate directories: one-level Merkle fingerprint (md5 of the
+    sorted member-sha list) groups of ≥2 dirs, members exploded."""
+    from duplicate_finder_ray.stages.repostats import dup_dir_groups
+
+    return dup_dir_groups(_derived(sf_dir))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2179,6 +2204,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_rate_by_lang": q_dedup_rate_by_lang,
     "novelty_scores": q_novelty_scores,
     "session_funnel": q_session_funnel,
+    "repo_overlap_pairs": q_repo_overlap_pairs,
+    "vendored_content": q_vendored_content,
+    "dup_dir_groups": q_dup_dir_groups,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3875,4 +3903,40 @@ SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
          min(CASE WHEN event_type = 'purchase' THEN ts_us END), FALSE)
          AS BIGINT) AS converted
 FROM s GROUP BY user_id, session_id
+"""
+
+# repo-overlap matrix: distinct contents shared per unordered repo pair
+ORACLE_SQL["repo_overlap_pairs"] = f"""
+{_D_SQL},
+h AS (SELECT DISTINCT repo, sha256 FROM d)
+SELECT a.repo AS repo_a, b.repo AS repo_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM h a JOIN h b ON a.sha256 = b.sha256 AND a.repo < b.repo
+GROUP BY a.repo, b.repo
+"""
+
+# hot-content report: contents vendored into >=2 distinct repos
+ORACLE_SQL["vendored_content"] = f"""
+{_D_SQL}
+SELECT sha256,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(min(size) AS BIGINT) AS size,
+       CAST(min(size) * (count(*) - 1) AS BIGINT) AS wasted_bytes
+FROM d GROUP BY sha256
+HAVING count(DISTINCT repo) >= 2
+"""
+
+# duplicate directories: md5 over the sorted member-sha multiset; only
+# fingerprints shared by >=2 directories survive, members exploded
+ORACLE_SQL["dup_dir_groups"] = f"""
+{_D_SQL},
+f AS (SELECT repo, regexp_replace(path, '/[^/]*$', '') AS dir, sha256 FROM d),
+g AS (SELECT repo, dir,
+             md5(string_agg(sha256, ',' ORDER BY sha256)) AS dir_hash,
+             CAST(count(*) AS BIGINT) AS n_files
+      FROM f GROUP BY repo, dir)
+SELECT dir_hash, repo, dir, n_files
+FROM g
+WHERE dir_hash IN (SELECT dir_hash FROM g GROUP BY dir_hash HAVING count(*) > 1)
 """

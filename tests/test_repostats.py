@@ -1,0 +1,138 @@
+"""Cross-repo duplicate analytics (stages/repostats.py) vs Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+from itertools import combinations
+
+import pandas as pd
+import pytest
+
+from duplicate_finder_ray.stages.repostats import (
+    dup_dir_groups,
+    repo_overlap_pairs,
+    vendored_content,
+)
+
+
+def _files_df() -> pd.DataFrame:
+    """Small code-files table with known overlap structure. Contents
+    A/B are vendored; C unique; dir multisets engineered so r1:src and
+    r2:src match (same sha multiset, different filenames) and r3:src
+    does not (extra file)."""
+    rows = [
+        # repo, path, sha256 ("sha:" prefix keeps them readable), size
+        ("r1", "src/a.py", "A", 10),
+        ("r1", "src/b.py", "B", 20),
+        ("r2", "src/x.py", "A", 10),
+        ("r2", "src/y.py", "B", 20),
+        ("r3", "src/a.py", "A", 10),
+        ("r3", "src/b.py", "B", 20),
+        ("r3", "src/c.py", "C", 30),
+        ("r1", "docs/d.md", "D", 5),
+        ("r2", "docs/e.md", "D", 5),
+        # duplicate sha twice in ONE dir (multiset, not set)
+        ("r4", "src/p.py", "A", 10),
+        ("r4", "src/q.py", "A", 10),
+    ]
+    return pd.DataFrame(rows, columns=["repo", "path", "sha256", "size"])
+
+
+@pytest.fixture()
+def files(ray_session):
+    return ray_session.data.from_pandas(_files_df())
+
+
+def test_repo_overlap_matches_bruteforce(files):
+    got = (
+        repo_overlap_pairs(files, num_partitions=4)
+        .to_pandas()
+        .sort_values(["repo_a", "repo_b"])
+        .reset_index(drop=True)
+    )
+    by_sha = defaultdict(set)
+    for r in _files_df().itertuples():
+        by_sha[r.sha256].add(r.repo)
+    want = Counter()
+    for repos in by_sha.values():
+        for a, b in combinations(sorted(repos), 2):
+            want[(a, b)] += 1
+    want_df = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in want.items()],
+            columns=["repo_a", "repo_b", "n_shared"],
+        )
+        .sort_values(["repo_a", "repo_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+def test_repo_overlap_cap_bounds_pairs(files):
+    """With the cap at its floor (2), each content emits at most ONE
+    pair (its two lexicographically-first repos)."""
+    got = repo_overlap_pairs(files, num_partitions=4, max_repos_per_content=2)
+    df = got.to_pandas()
+    # sha A is in r1,r2,r3,r4 -> only (r1,r2) survives the cap
+    a_pairs = df[(df["repo_a"] == "r1") & (df["repo_b"] == "r2")]
+    assert not a_pairs.empty
+    assert "r4" not in set(df["repo_b"])  # capped away
+    with pytest.raises(ValueError):
+        repo_overlap_pairs(files, max_repos_per_content=1)
+
+
+def test_vendored_content_counts(files):
+    got = (
+        vendored_content(files, min_repos=2, num_partitions=4)
+        .to_pandas()
+        .sort_values("sha256")
+        .reset_index(drop=True)
+    )
+    # A: 4 repos (r1,r2,r3,r4x2 files -> 5 files), B: 3 repos/3 files,
+    # D: 2 repos/2 files; C is unique -> excluded
+    want = pd.DataFrame(
+        {
+            "sha256": ["A", "B", "D"],
+            "n_repos": [4, 3, 2],
+            "n_files": [5, 3, 2],
+            "size": [10, 20, 5],
+            "wasted_bytes": [40, 40, 5],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dup_dir_groups_multiset_semantics(files):
+    got = dup_dir_groups(files, num_partitions=4).to_pandas()
+    # r1:src and r2:src share multiset {A,B}; r3:src has {A,B,C} (no
+    # match); r4:src has {A,A} (no match); r1:docs and r2:docs share {D}
+    key = set(zip(got["repo"], got["dir"]))
+    assert key == {("r1", "src"), ("r2", "src"), ("r1", "docs"), ("r2", "docs")}
+    h_ab = hashlib.md5(b"A,B").hexdigest()
+    h_d = hashlib.md5(b"D").hexdigest()
+    assert set(got["dir_hash"]) == {h_ab, h_d}
+    assert (got[got["dir_hash"] == h_ab]["n_files"] == 2).all()
+
+
+def test_dup_dir_no_duplicates_is_empty(ray_session):
+    df = pd.DataFrame(
+        {
+            "repo": ["r1", "r2"],
+            "path": ["src/a.py", "src/b.py"],
+            "sha256": ["X", "Y"],
+            "size": [1, 2],
+        }
+    )
+    got = dup_dir_groups(ray_session.data.from_pandas(df))
+    assert got.count() == 0
+    assert set(got.schema().names) == {"dir_hash", "repo", "dir", "n_files"}
+
+
+def test_rejects_bad_params(files):
+    with pytest.raises(ValueError):
+        repo_overlap_pairs(files, num_partitions=0)
+    with pytest.raises(ValueError):
+        vendored_content(files, min_repos=1)
+    with pytest.raises(ValueError):
+        dup_dir_groups(files, num_partitions=-1)
