@@ -2085,6 +2085,117 @@ def q_dup_dir_groups(sf_dir: str) -> ray.data.Dataset:
     return dup_dir_groups(_derived(sf_dir))
 
 
+def q_q5_supplier_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5-shaped 6-table composition: 1995 revenue per ASIA
+    nation counting only lineitems whose supplier shares the customer's
+    nation. Dims reduce by broadcast (region→nation→supplier/customer
+    semi-joins); lineitem revenue pre-aggregates per (orderkey, supplier
+    nation) BEFORE the single large×large shuffle join on orderkey; the
+    same-nation predicate filters post-join; revenue is exact integer
+    cents × (100 − discount%)."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").filter(
+        expr="r_name == 'ASIA'"
+    )
+    asia = rel.broadcast_hash_join(
+        nation, region, "n_regionkey", "r_regionkey", []
+    )  # (n_nationkey, n_name, n_regionkey) for ASIA nations only
+
+    supp = rel.broadcast_hash_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        asia,
+        "s_nationkey",
+        "n_nationkey",
+        ["n_name"],
+    )
+    cust = rel.broadcast_hash_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        asia,
+        "c_nationkey",
+        "n_nationkey",
+        [],
+    )
+
+    lo = pa.scalar(_dt.datetime(1995, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_filter, batch_format="pyarrow")
+    o_cust = rel.broadcast_hash_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_nationkey"]
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = rel.broadcast_hash_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        supp,
+        "l_suppkey",
+        "s_suppkey",
+        ["s_nationkey", "n_name"],
+    )
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        price_c = rel.cents(batch.column("l_extendedprice"))
+        disc_pct = rel.cents(batch.column("l_discount"))
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100), disc_pct))
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "s_nationkey": batch.column("s_nationkey"),
+                "n_name": batch.column("n_name"),
+                "rev": rev,
+            }
+        ).to_pandas()
+        g = (
+            t.groupby(["l_orderkey", "s_nationkey", "n_name"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "s_nationkey": pa.array(g["s_nationkey"].to_numpy(), pa.int64()),
+                "n_name": pa.array(g["n_name"], pa.string()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    li_agg = li.map_batches(rev_partials, batch_format="pyarrow")
+    joined = shuffle_hash_join(li_agg, o_cust, "l_orderkey", "o_orderkey", 8)
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("s_nationkey"), batch.column("c_nationkey"))
+        return batch.filter(keep).select(["n_name", "rev"])
+
+    return (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue_units"))
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2207,6 +2318,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "repo_overlap_pairs": q_repo_overlap_pairs,
     "vendored_content": q_vendored_content,
     "dup_dir_groups": q_dup_dir_groups,
+    "q5_supplier_volume": q_q5_supplier_volume,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -3939,4 +4051,24 @@ g AS (SELECT repo, dir,
 SELECT dir_hash, repo, dir, n_files
 FROM g
 WHERE dir_hash IN (SELECT dir_hash FROM g GROUP BY dir_hash HAVING count(*) > 1)
+"""
+
+# TPC-H Q5 shape: ASIA-region 1995 revenue per nation, customer and
+# supplier in the SAME nation; revenue on the exact cent lattice
+ORACLE_SQL["q5_supplier_volume"] = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_units
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
 """
