@@ -2196,6 +2196,14 @@ def q_q5_supplier_volume(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_boilerplate_lines(sf_dir: str) -> ray.data.Dataset:
+    """Boilerplate mining: top-15 most repeated non-empty lines across
+    the code corpus (license headers / shared payload lines)."""
+    from duplicate_finder_ray.stages.textstats import common_lines
+
+    return common_lines(code_files_from_documents(sf_dir), "content", k=15)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2319,6 +2327,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "vendored_content": q_vendored_content,
     "dup_dir_groups": q_dup_dir_groups,
     "q5_supplier_volume": q_q5_supplier_volume,
+    "boilerplate_lines": q_boilerplate_lines,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4071,4 +4080,20 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY n_name
+"""
+
+# boilerplate mining: top-15 repeated non-empty lines in code content
+ORACLE_SQL["boilerplate_lines"] = f"""
+WITH code_files AS ({CODE_FILES_SQL}),
+l AS (
+  SELECT unnest(string_split(content, chr(10))) AS line FROM code_files
+),
+c AS (SELECT line, CAST(count(*) AS BIGINT) AS n
+      FROM l WHERE line <> '' GROUP BY 1),
+r AS (
+  SELECT line, n,
+         CAST(row_number() OVER (ORDER BY n DESC, line) AS BIGINT) AS "rank"
+  FROM c
+)
+SELECT line, n, "rank" FROM r WHERE "rank" <= 15
 """

@@ -947,3 +947,45 @@ def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset
         k,
     )
     return top.select_columns(["tok_a", "tok_b", "n", "rank"])
+
+
+def common_lines(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
+    """Boilerplate-line mining: exact global top-k most frequent
+    NON-EMPTY lines across the corpus (ties by line asc, 1-based rank)
+    — the license-header / copyright-banner / generated-code detector.
+    Same scale shape as :func:`top_tokens`: per-batch (line, n) count
+    partials keep the shuffle at distinct-line × blocks (boilerplate
+    compresses hard by construction), one line-keyed groupby-sum, then
+    the local-top-k selector; corpus line positions never shuffle."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.relational import topk_per_group
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lines = pc.list_flatten(pc.split_pattern(batch[text_col], "\n"))
+        lines = lines.filter(pc.not_equal(lines, ""))
+        vals, counts = np.unique(
+            lines.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"line": pa.array(vals, pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(len(batch), dtype=np.int64))
+        )
+
+    top = topk_per_group(
+        totals.map_batches(tag, batch_format="pyarrow"), "__g", "n", "line", k
+    )
+    return top.select_columns(["line", "n", "rank"])

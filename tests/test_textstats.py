@@ -354,3 +354,40 @@ class TestTrendingTokens:
             trending_tokens(ds, "ts", "props", window_us=0, k=5)
         with _pytest.raises(ValueError):
             trending_tokens(ds, "ts", "props", window_us=100, k=0)
+
+
+class TestCommonLines:
+    def test_counts_and_tiebreak(self, ray_session):
+        import pandas as pd
+
+        from duplicate_finder_ray.stages.textstats import common_lines
+
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "# MIT License\nimport os\n\nx = 1",
+                    "# MIT License\nimport os\ny = 2",
+                    "# MIT License\nimport sys",
+                ]
+            }
+        )
+        got = (
+            common_lines(ray_session.data.from_pandas(df), "text", k=3)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        # empty line dropped; ties (import os 2 vs ...) break line-asc
+        assert list(got["line"]) == ["# MIT License", "import os", "import sys"]
+        assert list(got["n"]) == [3, 2, 1]
+        assert list(got["rank"]) == [1, 2, 3]
+
+    def test_rejects_bad_k(self, ray_session):
+        import pandas as pd
+        import pytest as _pytest
+
+        from duplicate_finder_ray.stages.textstats import common_lines
+
+        ds = ray_session.data.from_pandas(pd.DataFrame({"text": ["a"]}))
+        with _pytest.raises(ValueError):
+            common_lines(ds, "text", k=0)
