@@ -2204,6 +2204,39 @@ def q_boilerplate_lines(sf_dir: str) -> ray.data.Dataset:
     return common_lines(code_files_from_documents(sf_dir), "content", k=15)
 
 
+def q_fork_candidates(sf_dir: str) -> ray.data.Dataset:
+    """Fork detection: repo pairs whose shared distinct contents cover
+    ≥50% (500k ppm) of the smaller repo's distinct contents."""
+    from duplicate_finder_ray.stages.repostats import fork_candidates
+
+    return fork_candidates(_derived(sf_dir), min_containment_ppm=500_000)
+
+
+def q_dup_rate_by_size(sf_dir: str) -> ray.data.Dataset:
+    """Dedup audit: duplicate-file share per size bucket (decimal digit
+    count of the byte size — an exact log-ish bucket)."""
+    from duplicate_finder_ray.stages.repostats import dup_rate_by_size
+
+    return dup_rate_by_size(_derived(sf_dir))
+
+
+def q_near_dup_cluster_hist(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup cluster-size histogram: how many clusters of each size
+    the verified pair graph produces — tiny slim-row aggregations over
+    the CC labels (every labelled node is in a ≥2-cluster)."""
+    from ray.data.aggregate import Count
+
+    labels = q_near_dup_clusters(sf_dir)
+    sizes = labels.groupby("component").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    return (
+        sizes.select_columns(["cluster_size"])
+        .groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2328,6 +2361,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dup_dir_groups": q_dup_dir_groups,
     "q5_supplier_volume": q_q5_supplier_volume,
     "boilerplate_lines": q_boilerplate_lines,
+    "fork_candidates": q_fork_candidates,
+    "dup_rate_by_size": q_dup_rate_by_size,
+    "near_dup_cluster_hist": q_near_dup_cluster_hist,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4097,3 +4133,68 @@ r AS (
 )
 SELECT line, n, "rank" FROM r WHERE "rank" <= 15
 """
+
+# fork detection: containment of shared distinct contents vs the
+# smaller repo, on the integer ppm lattice (// truncates; all positive)
+ORACLE_SQL["fork_candidates"] = f"""
+{_D_SQL},
+h AS (SELECT DISTINCT repo, sha256 FROM d),
+rc AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_contents FROM h GROUP BY 1),
+ov AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.sha256 = b.sha256 AND a.repo < b.repo
+  GROUP BY a.repo, b.repo
+)
+SELECT ov.repo_a, ov.repo_b, ov.n_shared,
+       ra.n_contents AS n_a, rb.n_contents AS n_b,
+       CAST((ov.n_shared * 1000000) // least(ra.n_contents, rb.n_contents)
+            AS BIGINT) AS containment_ppm
+FROM ov
+JOIN rc ra ON ra.repo = ov.repo_a
+JOIN rc rb ON rb.repo = ov.repo_b
+WHERE (ov.n_shared * 1000000) // least(ra.n_contents, rb.n_contents) >= 500000
+"""
+
+# dedup audit: duplicate share per size bucket (decimal digit count —
+# exact in both engines, unlike float log2 buckets)
+ORACLE_SQL["dup_rate_by_size"] = f"""
+{_D_SQL},
+m AS (SELECT size, count(*) OVER (PARTITION BY sha256) AS n FROM d),
+b AS (SELECT CAST(length(CAST(size AS VARCHAR)) AS BIGINT) AS size_digits,
+             CASE WHEN n > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM m)
+SELECT size_digits, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_files,
+       CAST((sum(is_dup) * 1000000) // count(*) AS BIGINT) AS dup_rate_ppm
+FROM b GROUP BY 1
+"""
+
+# near-dup cluster-size histogram over the same recursive-closure truth
+# as near_dup_clusters
+ORACLE_SQL["near_dup_cluster_hist"] = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + """,
+    e AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    ),
+    lab AS (
+      SELECT src AS file_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY 1)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM cs GROUP BY 1
+    """
+)

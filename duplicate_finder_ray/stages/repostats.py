@@ -305,3 +305,169 @@ def dup_dir_groups(
     return hash_exchange(
         per_dir, hash_part, num_partitions, keep_groups, out_schema.empty_table()
     )
+
+
+def repo_content_counts(
+    files: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Distinct exact contents per repo: (repo, n_contents). Slim
+    (repo, sha256) rows, ONE repo-keyed exchange, one dedupe+boundary
+    pass per partition — dimension-sized output (one row per repo)."""
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+    slim = files.select_columns(["repo", "sha256"])
+    out_schema = pa.schema([("repo", pa.string()), ("n_contents", pa.int64())])
+
+    def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+        return _str_part(tbl.column("repo"), p)
+
+    def reduce_fn(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas().drop_duplicates(["repo", "sha256"])
+        g = df.groupby("repo", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "repo": pa.array(g["repo"], pa.string()),
+                "n_contents": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return hash_exchange(
+        slim, part_of, num_partitions, reduce_fn, out_schema.empty_table()
+    )
+
+
+def fork_candidates(
+    files: ray.data.Dataset,
+    min_containment_ppm: int = 500_000,
+    num_partitions: int = 16,
+    max_repos_per_content: int = 256,
+) -> ray.data.Dataset:
+    """Fork / vendored-tree detection: repo pairs whose shared DISTINCT
+    contents cover at least ``min_containment_ppm`` parts-per-million of
+    the SMALLER repo's distinct contents — the classic fork signal
+    (a fork contains most of the upstream's files verbatim). Output
+    (repo_a, repo_b, n_shared, n_a, n_b, containment_ppm) with
+    containment_ppm = (n_shared × 10⁶) // min(n_a, n_b) on the exact
+    integer lattice.
+
+    Composition, no new shuffle shapes: the repo-overlap exchange + the
+    per-repo content-count exchange (both slim), then the
+    dimension-sized count table broadcasts into the pair stream via the
+    standard small-side join — the pair stream itself never re-shuffles.
+    The broadcast side is one row PER REPO (not per file); at extreme
+    repo cardinality swap it for a repo-keyed exchange of the pairs."""
+    if not (0 < min_containment_ppm <= 1_000_000):
+        raise ValueError("min_containment_ppm must be in (0, 1e6]")
+    from duplicate_finder_ray.stages.relational import broadcast_hash_join
+
+    overlap = repo_overlap_pairs(
+        files,
+        num_partitions=num_partitions,
+        max_repos_per_content=max_repos_per_content,
+    )
+    rc = repo_content_counts(files, num_partitions=num_partitions)
+
+    def rename(to: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["repo", to])
+
+        return fn
+
+    rc_a = rc.map_batches(rename("n_a"), batch_format="pyarrow")
+    rc_b = rc.map_batches(rename("n_b"), batch_format="pyarrow")
+    withc = broadcast_hash_join(
+        broadcast_hash_join(overlap, rc_a, "repo_a", "repo", ["n_a"]),
+        rc_b,
+        "repo_b",
+        "repo",
+        ["n_b"],
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("containment_ppm", pa.array([], pa.int64()))
+        ns = batch.column("n_shared").to_numpy().astype(np.int64)
+        na = batch.column("n_a").to_numpy().astype(np.int64)
+        nb = batch.column("n_b").to_numpy().astype(np.int64)
+        ppm = (ns * 1_000_000) // np.minimum(na, nb)
+        out = batch.append_column("containment_ppm", pa.array(ppm, pa.int64()))
+        return out.filter(pa.array(ppm >= min_containment_ppm))
+
+    return withc.map_batches(score, batch_format="pyarrow")
+
+
+def dup_rate_by_size(
+    files: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Duplicate-rate-by-size report: files bucketed by the DECIMAL
+    DIGIT COUNT of their byte size (an exact, SQL-twin-safe log bucket:
+    length(CAST(size AS VARCHAR))), per bucket the file count, the
+    count of files belonging to an exact-duplicate group (same sha256
+    seen ≥2 times corpus-wide), and dup_rate_ppm on the integer
+    lattice = (n_dup_files × 10⁶) // n_files. The audit answers "are my
+    duplicates concentrated in small or large files?".
+
+    Shape: slim (sha256, size) rows, ONE sha-keyed exchange (group
+    membership is global per sha), per-partition bucket partials, tiny
+    groupby-sum, ppm computed map-side on the handful of buckets."""
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+    slim = files.select_columns(["sha256", "size"])
+    part_schema = pa.schema(
+        [
+            ("size_digits", pa.int64()),
+            ("n_files", pa.int64()),
+            ("n_dup_files", pa.int64()),
+        ]
+    )
+
+    def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+        return _str_part(tbl.column("sha256"), p)
+
+    def bucket_partials(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        df = tbl.to_pandas().sort_values("sha256", kind="mergesort")
+        sha = df["sha256"].to_numpy(dtype=object)
+        size = df["size"].to_numpy().astype(np.int64)
+        starts = _group_starts(sha)
+        gidx = np.cumsum(starts) - 1
+        gsize = np.bincount(gidx, minlength=int(gidx[-1]) + 1)
+        is_dup = (gsize[gidx] >= 2).astype(np.int64)
+        digits = df["size"].astype(str).str.len().to_numpy().astype(np.int64)
+        g = (
+            pd.DataFrame({"size_digits": digits, "is_dup": is_dup})
+            .groupby("size_digits", sort=False)
+            .agg(n_files=("is_dup", "size"), n_dup_files=("is_dup", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "size_digits": pa.array(g["size_digits"].to_numpy(), pa.int64()),
+                "n_files": pa.array(g["n_files"].to_numpy(), pa.int64()),
+                "n_dup_files": pa.array(g["n_dup_files"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = hash_exchange(
+        slim, part_of, num_partitions, bucket_partials, part_schema.empty_table()
+    )
+    totals = partials.groupby("size_digits").aggregate(
+        Sum("n_files", alias_name="n_files"),
+        Sum("n_dup_files", alias_name="n_dup_files"),
+    )
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("dup_rate_ppm", pa.array([], pa.int64()))
+        nd = batch.column("n_dup_files").to_numpy().astype(np.int64)
+        nf = batch.column("n_files").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "dup_rate_ppm", pa.array((nd * 1_000_000) // nf, pa.int64())
+        )
+
+    return totals.map_batches(ppm, batch_format="pyarrow")

@@ -136,3 +136,67 @@ def test_rejects_bad_params(files):
         vendored_content(files, min_repos=1)
     with pytest.raises(ValueError):
         dup_dir_groups(files, num_partitions=-1)
+
+
+def test_fork_candidates_containment(files):
+    from duplicate_finder_ray.stages.repostats import fork_candidates
+
+    got = fork_candidates(files, min_containment_ppm=500_000, num_partitions=4)
+    df = got.to_pandas().set_index(["repo_a", "repo_b"])
+    # distinct contents: r1{A,B,D}=3, r2{A,B,D}=3, r3{A,B,C}=3, r4{A}=1
+    # shared: (r1,r2)=3 -> ppm 1e6; (r1,r3)=2 -> 666666; (r1,r4)=1 ->
+    # 1e6 (min side r4=1); (r2,r3)=2; (r2,r4)=1; (r3,r4)=1
+    assert df.loc[("r1", "r2"), "containment_ppm"] == 1_000_000
+    assert df.loc[("r1", "r3"), "containment_ppm"] == 666_666
+    assert df.loc[("r1", "r4"), "containment_ppm"] == 1_000_000
+    assert df.loc[("r1", "r2"), "n_shared"] == 3
+    assert (df["containment_ppm"] >= 500_000).all()
+    # tighter threshold drops the 2/3 pairs
+    tight = fork_candidates(
+        files, min_containment_ppm=700_000, num_partitions=4
+    ).to_pandas()
+    assert ("r1", "r3") not in set(zip(tight["repo_a"], tight["repo_b"]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fork_candidates(files, min_containment_ppm=0)
+
+
+def test_repo_content_counts(files):
+    from duplicate_finder_ray.stages.repostats import repo_content_counts
+
+    got = repo_content_counts(files, num_partitions=4).to_pandas()
+    want = {"r1": 3, "r2": 3, "r3": 3, "r4": 1}
+    assert dict(zip(got["repo"], got["n_contents"])) == want
+
+
+def test_dup_rate_by_size(ray_session):
+    from duplicate_finder_ray.stages.repostats import dup_rate_by_size
+
+    df = pd.DataFrame(
+        {
+            "repo": ["r"] * 6,
+            "path": [f"src/f{i}.py" for i in range(6)],
+            # sizes: 5 (1 digit) x3 -> two dup (sha X), one unique;
+            #        50 (2 digits) x2 -> both dup (sha Y); 500 unique
+            "sha256": ["X", "X", "Z", "Y", "Y", "W"],
+            "size": [5, 5, 5, 50, 50, 500],
+        }
+    )
+    got = (
+        dup_rate_by_size(ray_session.data.from_pandas(df), num_partitions=4)
+        .to_pandas()
+        .sort_values("size_digits")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "size_digits": [1, 2, 3],
+            "n_files": [3, 2, 1],
+            "n_dup_files": [2, 2, 0],
+            "dup_rate_ppm": [666_666, 1_000_000, 0],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError):
+        dup_rate_by_size(ray_session.data.from_pandas(df), num_partitions=0)
