@@ -2237,6 +2237,14 @@ def q_near_dup_cluster_hist(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_repo_skew_report(sf_dir: str) -> ray.data.Dataset:
+    """Shuffle-planning diagnostic: how the repo key distributes over 8
+    md5-replayable hash partitions (rows, distinct keys, heaviest key)."""
+    from duplicate_finder_ray.stages.diagnostics import key_skew_report
+
+    return key_skew_report(_derived(sf_dir), "repo", n_parts=8)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2364,6 +2372,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fork_candidates": q_fork_candidates,
     "dup_rate_by_size": q_dup_rate_by_size,
     "near_dup_cluster_hist": q_near_dup_cluster_hist,
+    "repo_skew_report": q_repo_skew_report,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4198,3 +4207,23 @@ ORACLE_SQL["near_dup_cluster_hist"] = (
     FROM cs GROUP BY 1
     """
 )
+
+# skew diagnostic: md5-prefix partitioner (replayable on any engine),
+# per-partition load + heaviest key (ties lexicographic)
+ORACLE_SQL["repo_skew_report"] = f"""
+{_D_SQL},
+b AS (SELECT CAST(('0x' || substr(md5(repo), 1, 8)) AS BIGINT) % 8 AS pid,
+             repo
+      FROM d),
+c AS (SELECT pid, repo, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+top AS (SELECT pid, repo, n,
+               row_number() OVER (PARTITION BY pid ORDER BY n DESC, repo)
+                 AS rn
+        FROM c),
+agg AS (SELECT pid, CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM c GROUP BY 1)
+SELECT agg.pid AS partition_id, agg.n_rows, agg.n_keys,
+       top.repo AS top_key, top.n AS top_key_n
+FROM agg JOIN top ON top.pid = agg.pid AND top.rn = 1
+"""

@@ -200,3 +200,40 @@ def test_dup_rate_by_size(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     with pytest.raises(ValueError):
         dup_rate_by_size(ray_session.data.from_pandas(df), num_partitions=0)
+
+
+def test_key_skew_report(ray_session):
+    import hashlib as _hl
+
+    from duplicate_finder_ray.stages.diagnostics import key_skew_report
+
+    # hot key 'mega' dominates; others spread
+    df = pd.DataFrame({"k": ["mega"] * 50 + ["a", "b", "c", "d"] * 3})
+    got = key_skew_report(
+        ray_session.data.from_pandas(df).repartition(3), "k",
+        n_parts=4, num_partitions=2,
+    ).to_pandas()
+
+    def pid(s):
+        return int(_hl.md5(s.encode()).hexdigest()[:8], 16) % 4
+
+    want = {}
+    for k, n in df["k"].value_counts().items():
+        p = pid(k)
+        rows, keys, top = want.get(p, (0, 0, None))
+        cand = (n, k)
+        if top is None or (-cand[0], cand[1]) < (-top[0], top[1]):
+            top = cand
+        want[p] = (rows + n, keys + 1, top)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        rows, keys, top = want[r.partition_id]
+        assert (r.n_rows, r.n_keys, r.top_key, r.top_key_n) == (
+            rows, keys, top[1], top[0],
+        )
+    mega = got[got["top_key"] == "mega"]
+    assert len(mega) == 1 and mega.iloc[0]["top_key_n"] == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        key_skew_report(ray_session.data.from_pandas(df), "k", n_parts=0)
