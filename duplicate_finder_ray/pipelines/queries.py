@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -2245,6 +2246,78 @@ def q_repo_skew_report(sf_dir: str) -> ray.data.Dataset:
     return key_skew_report(_derived(sf_dir), "repo", n_parts=8)
 
 
+def q_code_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """Incremental-validation diff between two deterministic snapshots
+    of the code table: v2 drops doc_id%11==0 files (removed), appends
+    '!' to doc_id%7==0 texts (changed where content derives from text),
+    and generates one new gen/ file per doc_id%13==0 (added)."""
+    from duplicate_finder_ray.sources.code_table import (
+        _derive_code_files_batch,
+    )
+    from duplicate_finder_ray.stages.derive import add_sha256
+    from duplicate_finder_ray.stages.diagnostics import snapshot_diff
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    left = (
+        docs.map_batches(_derive_code_files_batch, batch_format="pyarrow")
+        .map_batches(add_sha256, batch_format="pyarrow")
+        .select_columns(["repo", "path", "sha256"])
+    )
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        batch = batch.filter(pa.array(ids % 11 != 0))
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        bang = pa.array(ids % 7 == 0)
+        text = pc.if_else(
+            bang,
+            pc.binary_join_element_wise(batch.column("text"), "!", ""),
+            batch.column("text"),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        )
+
+    def gen_added(batch: pa.Table) -> pa.Table:
+        all_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        ids = all_ids[all_ids % 13 == 0]
+        id_str = ids.astype(str).astype(object)
+        repo = (
+            "org" + (ids % 7).astype(str).astype(object)
+            + "/repo" + (ids % 23).astype(str).astype(object)
+        )
+        return pa.table(
+            {
+                "repo": pa.array(repo, pa.string()),
+                "path": pa.array("gen/f" + id_str + ".gen", pa.string()),
+                "content": pa.array("GEN#" + id_str, pa.string()),
+            }
+        )
+
+    right = (
+        docs.map_batches(mutate, batch_format="pyarrow")
+        .map_batches(_derive_code_files_batch, batch_format="pyarrow")
+        .map_batches(add_sha256, batch_format="pyarrow")
+        .select_columns(["repo", "path", "sha256"])
+        .union(
+            docs.map_batches(gen_added, batch_format="pyarrow")
+            .map_batches(add_sha256, batch_format="pyarrow")
+            .select_columns(["repo", "path", "sha256"])
+        )
+    )
+    return snapshot_diff(left, right, ["repo", "path"], "sha256")
+
+
+def q_code_table_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Order-insensitive content checksum of the derived code table
+    (the resumable-run validation primitive)."""
+    from duplicate_finder_ray.stages.diagnostics import table_fingerprint
+
+    return table_fingerprint(_derived(sf_dir), ["file_id", "sha256"])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2373,6 +2446,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dup_rate_by_size": q_dup_rate_by_size,
     "near_dup_cluster_hist": q_near_dup_cluster_hist,
     "repo_skew_report": q_repo_skew_report,
+    "code_snapshot_diff": q_code_snapshot_diff,
+    "code_table_fingerprint": q_code_table_fingerprint,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4226,4 +4301,46 @@ agg AS (SELECT pid, CAST(sum(n) AS BIGINT) AS n_rows,
 SELECT agg.pid AS partition_id, agg.n_rows, agg.n_keys,
        top.repo AS top_key, top.n AS top_key_n
 FROM agg JOIN top ON top.pid = agg.pid AND top.rn = 1
+"""
+
+# snapshot diff: v2 = drop %11 files, '!'-mutate %7 texts, add %13 gen
+# files; statuses via FULL OUTER on (repo, path), zero statuses omitted
+ORACLE_SQL["code_snapshot_diff"] = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+),
+lf AS ({CODE_FILES_SQL}),
+rf AS ({CODE_FILES_SQL.replace("FROM documents", "FROM m")}),
+ra AS (
+  SELECT 'org' || CAST(doc_id % 7 AS VARCHAR) || '/repo'
+           || CAST(doc_id % 23 AS VARCHAR) AS repo,
+         'gen/f' || CAST(doc_id AS VARCHAR) || '.gen' AS path,
+         'GEN#' || CAST(doc_id AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 13 = 0
+),
+l AS (SELECT repo, path, sha256(content) AS sha FROM lf),
+r AS (SELECT repo, path, sha256(content) AS sha FROM rf
+      UNION ALL
+      SELECT repo, path, sha256(content) FROM ra),
+j AS (
+  SELECT CASE WHEN l.sha IS NULL THEN 'added'
+              WHEN r.sha IS NULL THEN 'removed'
+              WHEN l.sha = r.sha THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM l FULL OUTER JOIN r ON l.repo = r.repo AND l.path = r.path
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys FROM j GROUP BY 1
+"""
+
+# order-insensitive 60-bit-md5 wrap-sum checksum (mod 2^64)
+ORACLE_SQL["code_table_fingerprint"] = f"""
+{_D_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       lower(lpad(hex(CAST(
+         sum(CAST(('0x' || substr(md5(file_id || chr(31) || sha256), 1, 15))
+                  AS BIGINT))
+         % 18446744073709551616 AS UBIGINT)), 16, '0')) AS fingerprint
+FROM d
 """
