@@ -196,6 +196,23 @@ def run_bench() -> dict:
             + QUERIES["q3_shipping_priority"](SF_DIR).count()
         )
 
+    def repostats_sf():
+        # the round-3 (session 6) cross-repo analytics suite: repo
+        # overlap matrix, vendored-content report, duplicate-directory
+        # Merkle groups, fork candidates, dup-rate-by-size audit, key
+        # skew report, snapshot diff, table fingerprint — all slim-row
+        # exchanges over the derived code table
+        return (
+            QUERIES["repo_overlap_pairs"](SF_DIR).count()
+            + QUERIES["vendored_content"](SF_DIR).count()
+            + QUERIES["dup_dir_groups"](SF_DIR).count()
+            + QUERIES["fork_candidates"](SF_DIR).count()
+            + QUERIES["dup_rate_by_size"](SF_DIR).count()
+            + QUERIES["repo_skew_report"](SF_DIR).count()
+            + QUERIES["code_snapshot_diff"](SF_DIR).count()
+            + QUERIES["code_table_fingerprint"](SF_DIR).count()
+        )
+
     timed("exact_dedup", exact_dedup)
     timed("near_dup", near_dup)
     if not os.environ.get("GRAFT_SCALING_ONLY"):
@@ -209,6 +226,7 @@ def run_bench() -> dict:
         timed("curation_sfdocs", curation_sf)
         timed("stats_sfdocs", stats_sf)
         timed("semantic_sfdocs", semantic_sf)
+        timed("repostats_sfdocs", repostats_sf)
 
     total = round(sum(queries.values()), 3)
     dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)
