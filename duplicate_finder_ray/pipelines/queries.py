@@ -2318,6 +2318,58 @@ def q_code_table_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return table_fingerprint(_derived(sf_dir), ["file_id", "sha256"])
 
 
+def q_dir_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Recursive per-directory byte/file rollup (du): every ancestor
+    dir of every file, counts pre-aggregated per batch map-side."""
+    from duplicate_finder_ray.stages.repostats import dir_rollup
+
+    return dir_rollup(_derived(sf_dir))
+
+
+def q_user_peak_rate(sf_dir: str) -> ray.data.Dataset:
+    """Per-user peak events-per-minute (burst/bot signal): count
+    partials + one user-keyed exchange + vectorized argmax."""
+    from duplicate_finder_ray.stages.events import user_peak_rate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return user_peak_rate(ev)
+
+
+def q_fork_families(sf_dir: str) -> ray.data.Dataset:
+    """Repo families: transitive closure (connected components) over
+    the ≥50%-containment fork-candidate graph; family = lex-min repo."""
+    from duplicate_finder_ray.stages.repostats import fork_families
+
+    return fork_families(_derived(sf_dir), min_containment_ppm=500_000)
+
+
+def q_clone_groups_type2(sf_dir: str) -> ray.data.Dataset:
+    """Type-2 clone groups: files identical modulo identifier names,
+    numeric literals and whitespace — RE2 normalization + sha256
+    map-side (content never shuffles), one clone-keyed exchange of
+    slim rows."""
+    from duplicate_finder_ray.stages.clones import clone_groups_type2
+
+    ds = code_files_from_documents(sf_dir)
+    ds = ds.map_batches(add_identity, batch_format="pyarrow")
+    return clone_groups_type2(ds)
+
+
+def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event-type transition counts (first-order Markov
+    matrix): LAG-then-GROUP via one user-keyed exchange + vectorized
+    successor pairing; final aggregate is |types|² rows."""
+    from duplicate_finder_ray.stages.events import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return event_transitions(ev)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2448,6 +2500,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "repo_skew_report": q_repo_skew_report,
     "code_snapshot_diff": q_code_snapshot_diff,
     "code_table_fingerprint": q_code_table_fingerprint,
+    "clone_groups_type2": q_clone_groups_type2,
+    "event_transitions": q_event_transitions,
+    "fork_families": q_fork_families,
+    "dir_rollup": q_dir_rollup,
+    "user_peak_rate": q_user_peak_rate,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4343,4 +4400,111 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
                   AS BIGINT))
          % 18446744073709551616 AS UBIGINT)), 16, '0')) AS fingerprint
 FROM d
+"""
+
+# Type-2 clones: RE2 normalization (identifier->ID, digits->N,
+# whitespace stripped) is byte-identical in DuckDB (same regex engine),
+# so sha256(normalized) hash-gates the clone detector end to end.
+ORACLE_SQL["clone_groups_type2"] = f"""
+WITH code_files AS ({CODE_FILES_SQL}),
+norm AS (
+  SELECT repo,
+         repo || ':' || path || '@' || "commit" AS file_id,
+         sha256(regexp_replace(regexp_replace(regexp_replace(content,
+             '[A-Za-z_][A-Za-z0-9_]*', 'ID', 'g'),
+             '[0-9]+', 'N', 'g'),
+             '\\s+', '', 'g')) AS clone_id
+  FROM code_files
+)
+SELECT clone_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       min(file_id) AS rep_file
+FROM norm
+GROUP BY clone_id
+HAVING count(*) >= 2
+"""
+
+# Markov transition matrix: LAG ties broken by (ts, event_id), same
+# order as the engine's lexsort((event_id, ts, user)).
+ORACLE_SQL["event_transitions"] = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM lagged
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+# Fork families: recursive closure over the same containment-filtered
+# pair CTEs as fork_candidates; family = least(repo, min reachable).
+ORACLE_SQL["fork_families"] = (
+    _D_SQL.replace("WITH code_files", "WITH RECURSIVE code_files", 1)
+    + """,
+h AS (SELECT DISTINCT repo, sha256 FROM d),
+rc AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_contents FROM h GROUP BY 1),
+ov AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.sha256 = b.sha256 AND a.repo < b.repo
+  GROUP BY a.repo, b.repo
+),
+fp AS (
+  SELECT ov.repo_a, ov.repo_b
+  FROM ov
+  JOIN rc ra ON ra.repo = ov.repo_a
+  JOIN rc rb ON rb.repo = ov.repo_b
+  WHERE (ov.n_shared * 1000000) // least(ra.n_contents, rb.n_contents)
+        >= 500000
+),
+sym AS (SELECT repo_a AS a, repo_b AS b FROM fp
+        UNION SELECT repo_b, repo_a FROM fp),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+)
+SELECT src AS repo, least(src, min(dst)) AS family
+FROM reach GROUP BY src
+"""
+)
+
+# du rollup: DuckDB builds the same ancestor set by slicing the
+# split-path list at every depth short of the filename.
+ORACLE_SQL["dir_rollup"] = f"""
+{_D_SQL},
+parts AS (SELECT repo, size, string_split(path, '/') AS p FROM d),
+pref AS (
+  SELECT repo, size, array_to_string(p[1:i], '/') AS dir
+  FROM parts, UNNEST(generate_series(1, len(p) - 1)) AS t(i)
+)
+SELECT repo, dir, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size) AS BIGINT) AS total_bytes
+FROM pref GROUP BY 1, 2
+"""
+
+# peak rate: tumbling 1-minute buckets; ties take the earliest bucket.
+ORACLE_SQL["user_peak_rate"] = """
+WITH c AS (
+  SELECT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) * 60000000
+           AS bucket_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, bucket_us, n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY n DESC, bucket_us
+         ) AS rn
+  FROM c
+)
+SELECT user_id, n AS peak_events, bucket_us AS peak_bucket_us
+FROM r WHERE rn = 1
 """

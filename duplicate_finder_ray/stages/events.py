@@ -1032,3 +1032,192 @@ def session_funnel(
         slim_ds, user_part, num_partitions, funnel_partition,
         out_schema.empty_table(),
     )
+
+
+def event_transitions(
+    events: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-user event-type transition counts — the first-order Markov
+    matrix (``from_type``, ``to_type``, ``n``) over each user's
+    time-ordered event stream.  The LAG-then-GROUP shape behind funnel
+    exploration, bot detection and next-action models.
+
+    Execution: slim ``(user_id, ts_us, event_id, event_type)`` rows
+    cross ONE user-keyed hash exchange; each partition lexsorts by
+    (user, ts, event_id), pairs every event with its successor under a
+    same-user mask, and emits (from, to) count partials via a pandas
+    groupby — the interpreter cost is P calls.  The final aggregate is
+    a tiny |event_types|² groupby-sum.  SQL twin:
+    ``LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``."""
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+
+    slim_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    part_schema = pa.schema(
+        [
+            ("from_type", pa.string()),
+            ("to_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": ts_us,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    slim = events.select_columns(
+        ["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow")
+
+    def user_part(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy().astype(np.uint64)
+        return (pd.util.hash_array(u.copy()) % np.uint64(p)).astype(np.int64)
+
+    def transition_partials(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) < 2:
+            return part_schema.empty_table()
+        u = tbl.column("user_id").to_numpy()
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        types, codes = np.unique(
+            np.asarray(tbl.column("event_type").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        order = np.lexsort((e, t, u))
+        u, codes = u[order], codes[order]
+        same_user = u[1:] == u[:-1]
+        frm = codes[:-1][same_user]
+        to = codes[1:][same_user]
+        if len(frm) == 0:
+            return part_schema.empty_table()
+        agg = (
+            pd.DataFrame({"f": frm, "t": to})
+            .groupby(["f", "t"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "from_type": pa.array(types[agg["f"].to_numpy()], pa.string()),
+                "to_type": pa.array(types[agg["t"].to_numpy()], pa.string()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    partials = hash_exchange(
+        slim, user_part, num_partitions, transition_partials,
+        part_schema.empty_table(),
+    )
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def user_peak_rate(
+    events: ray.data.Dataset,
+    bucket_us: int = 60_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-user peak event rate: the busiest ``bucket_us`` window
+    (tumbling, default 1 minute) for every user — the burst signal
+    behind bot/abuse detection and rate-limit sizing.  Output
+    ``(user_id, peak_events, peak_bucket_us)``; ties take the earliest
+    bucket (= SQL ``ROW_NUMBER ... ORDER BY n DESC, bucket``).
+
+    Shape: per-batch (user, bucket) count partials map-side, ONE
+    user-keyed exchange of slim int64 rows, per-partition vectorized
+    sum + argmax — the event stream never shuffles."""
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+    B = bucket_us
+
+    slim_schema = pa.schema(
+        [("u", pa.int64()), ("b", pa.int64()), ("n", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("peak_events", pa.int64()),
+            ("peak_bucket_us", pa.int64()),
+        ]
+    )
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (ts_us // B) * B
+        agg = (
+            pd.DataFrame({"u": u, "b": b})
+            .groupby(["u", "b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "u": pa.array(agg["u"].to_numpy(np.int64)),
+                "b": pa.array(agg["b"].to_numpy(np.int64)),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+
+    slim = events.select_columns(["user_id", "ts"]).map_batches(
+        count_partials, batch_format="pyarrow"
+    )
+
+    def user_part(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("u").to_numpy().astype(np.uint64)
+        return (pd.util.hash_array(u.copy()) % np.uint64(p)).astype(np.int64)
+
+    def peak_per_user(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        df = (
+            tbl.to_pandas()
+            .groupby(["u", "b"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        # argmax per user, ties → earliest bucket: sort by
+        # (u, -n, b) and keep each user's first row
+        df = df.sort_values(["u", "n", "b"], ascending=[True, False, True])
+        first = df.groupby("u", sort=False).head(1)
+        return pa.table(
+            {
+                "user_id": pa.array(first["u"].to_numpy(np.int64)),
+                "peak_events": pa.array(first["n"].to_numpy(np.int64)),
+                "peak_bucket_us": pa.array(first["b"].to_numpy(np.int64)),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(
+        slim, user_part, num_partitions, peak_per_user,
+        out_schema.empty_table(),
+    )

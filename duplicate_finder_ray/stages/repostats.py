@@ -471,3 +471,116 @@ def dup_rate_by_size(
         )
 
     return totals.map_batches(ppm, batch_format="pyarrow")
+
+
+def fork_families(
+    files: ray.data.Dataset,
+    min_containment_ppm: int = 500_000,
+    num_partitions: int = 16,
+    max_repos_per_content: int = 256,
+) -> ray.data.Dataset:
+    """Repo FAMILIES: connected components over the fork-candidate
+    graph — transitive closure of "A is a fork/vendored copy of B", so
+    a chain upstream → fork → fork-of-fork lands in one family even
+    when the endpoints share too little directly.  Output
+    ``(repo, family)`` where ``family`` is the lexicographically
+    smallest repo in the component (the same min-label rule as
+    near-dup clusters).
+
+    Pure composition: the fork-candidate pair stream (slim, repo-keyed)
+    feeds stages/cc.py's contraction — no new shuffle shapes.  Repos
+    with no qualifying pair are singletons and never enter the
+    computation."""
+    from duplicate_finder_ray.config import PipelineConfig
+    from duplicate_finder_ray.stages.cc import connected_components
+
+    pairs = fork_candidates(
+        files,
+        min_containment_ppm=min_containment_ppm,
+        num_partitions=num_partitions,
+        max_repos_per_content=max_repos_per_content,
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return batch.select(["repo_a", "repo_b"]).rename_columns(["a", "b"])
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    labels = connected_components(edges, PipelineConfig())
+
+    def to_family(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["repo", "family"])
+
+    return labels.map_batches(to_family, batch_format="pyarrow")
+
+
+def dir_rollup(
+    files: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Recursive per-directory rollup (``du``): for EVERY ancestor
+    directory of every file, the file count and total bytes beneath it
+    — the tree view behind storage audits and the dup-dir report.
+    Output ``(repo, dir, n_files, total_bytes)``; top-level files have
+    no ancestor and contribute no row.
+
+    Shape: ancestor prefixes are emitted map-side with D C-level
+    ``rpartition`` passes (D = max path depth, a small constant) and
+    pre-aggregated per batch, so the single (repo, dir)-keyed
+    groupby-sum only carries directory-vocabulary rows — never one row
+    per file × depth."""
+    part_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("dir", pa.string()),
+            ("n_files", pa.int64()),
+            ("total_bytes", pa.int64()),
+        ]
+    )
+
+    def prefix_partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        repo = pd.Series(batch.column("repo").to_pylist(), dtype=object)
+        path = pd.Series(batch.column("path").to_pylist(), dtype=object)
+        size = pd.Series(
+            batch.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        frames = []
+        cur = path.str.rpartition("/")[0]
+        while True:
+            keep = cur != ""
+            if not keep.any():
+                break
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "repo": repo[keep],
+                        "dir": cur[keep],
+                        "size": size[keep],
+                    }
+                )
+            )
+            cur = cur.str.rpartition("/")[0]
+        if not frames:
+            return part_schema.empty_table()
+        rows = pd.concat(frames, ignore_index=True)
+        agg = (
+            rows.groupby(["repo", "dir"], sort=False)
+            .agg(n_files=("size", "size"), total_bytes=("size", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "repo": pa.array(agg["repo"], pa.string()),
+                "dir": pa.array(agg["dir"], pa.string()),
+                "n_files": pa.array(agg["n_files"].to_numpy(np.int64)),
+                "total_bytes": pa.array(agg["total_bytes"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = files.select_columns(["repo", "path", "size"]).map_batches(
+        prefix_partials, batch_format="pyarrow"
+    )
+    return partials.groupby(["repo", "dir"]).aggregate(
+        Sum("n_files", alias_name="n_files"),
+        Sum("total_bytes", alias_name="total_bytes"),
+    )

@@ -282,3 +282,146 @@ class TestSessionFunnel:
             session_funnel(ds, "a", "b", gap_us=0)
         with pytest.raises(ValueError):
             session_funnel(ds, "a", "b", num_partitions=0)
+
+
+class TestEventTransitions:
+    """event_transitions: per-user Markov bigram counts vs a pandas
+    LAG oracle."""
+
+    @staticmethod
+    def _mk(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp("2024-03-01")
+                    + pd.Timedelta(minutes=m),
+                    "user_id": u,
+                    "event_type": t,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i, (u, m, t) in enumerate(rows)
+            ]
+        )
+
+    def _oracle(self, df):
+        d = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        d["prev"] = d.groupby("user_id")["event_type"].shift()
+        d = d[d["prev"].notna()]
+        out = (
+            d.groupby(["prev", "event_type"])
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"prev": "from_type", "event_type": "to_type"})
+            .sort_values(["from_type", "to_type"])
+            .reset_index(drop=True)
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def test_matches_lag_oracle(self, ray_session):
+        from duplicate_finder_ray.stages.events import event_transitions
+
+        rows = [
+            (1, 0, "view"), (1, 1, "view"), (1, 2, "cart"),
+            (1, 3, "purchase"),
+            (2, 0, "view"), (2, 1, "cart"), (2, 2, "view"),
+            (3, 5, "view"),  # single event: no transitions
+        ]
+        df = self._mk(rows)
+        got = (
+            event_transitions(
+                ray_session.data.from_pandas(df).repartition(3),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["from_type", "to_type"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._oracle(df))
+
+    def test_tie_break_by_event_id(self, ray_session):
+        """Same-timestamp events order by event_id (LAG ORDER BY ts,
+        event_id)."""
+        from duplicate_finder_ray.stages.events import event_transitions
+
+        rows = [(5, 0, "a"), (5, 0, "b"), (5, 0, "c")]
+        got = event_transitions(
+            ray_session.data.from_pandas(self._mk(rows))
+        ).to_pandas()
+        pairs = set(zip(got["from_type"], got["to_type"]))
+        assert pairs == {("a", "b"), ("b", "c")}
+
+    def test_rejects_bad_partitions(self, ray_session):
+        from duplicate_finder_ray.stages.events import event_transitions
+
+        ds = ray_session.data.from_pandas(self._mk([(1, 0, "a")]))
+        with pytest.raises(ValueError):
+            event_transitions(ds, num_partitions=0)
+
+
+class TestUserPeakRate:
+    """user_peak_rate: busiest tumbling minute per user."""
+
+    @staticmethod
+    def _mk(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp("2024-03-01")
+                    + pd.Timedelta(seconds=s),
+                    "user_id": u,
+                    "event_type": "e",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i, (u, s) in enumerate(rows)
+            ]
+        )
+
+    def test_peak_and_tie_break(self, ray_session):
+        from duplicate_finder_ray.stages.events import user_peak_rate
+
+        base = pd.Timestamp("2024-03-01").value // 1000  # us
+        rows = [
+            # user 1: 3 events in minute 0, 1 in minute 2
+            (1, 0), (1, 10), (1, 59), (1, 120),
+            # user 2: 2 events in minute 0 and 2 in minute 1 — tie,
+            # earliest bucket wins
+            (2, 0), (2, 30), (2, 60), (2, 90),
+            # user 3: single event
+            (3, 400),
+        ]
+        got = (
+            user_peak_rate(
+                ray_session.data.from_pandas(self._mk(rows)).repartition(3),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        minute = 60_000_000
+        want = pd.DataFrame(
+            {
+                "user_id": [1, 2, 3],
+                "peak_events": [3, 2, 1],
+                "peak_bucket_us": [
+                    base,
+                    base,
+                    base + (400 // 60) * minute,
+                ],
+            }
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_rejects_bad_params(self, ray_session):
+        from duplicate_finder_ray.stages.events import user_peak_rate
+
+        ds = ray_session.data.from_pandas(self._mk([(1, 0)]))
+        with pytest.raises(ValueError):
+            user_peak_rate(ds, bucket_us=0)
+        with pytest.raises(ValueError):
+            user_peak_rate(ds, num_partitions=0)

@@ -237,3 +237,69 @@ def test_key_skew_report(ray_session):
 
     with _pytest.raises(ValueError):
         key_skew_report(ray_session.data.from_pandas(df), "k", n_parts=0)
+
+
+def test_fork_families_transitive_closure(ray_session):
+    from duplicate_finder_ray.stages.repostats import fork_families
+
+    rows = [
+        # chain up ← fork ← leaf: transitivity must join all three
+        ("up", "1", "A", 1), ("up", "2", "B", 1),
+        ("up", "3", "C", 1), ("up", "4", "D", 1),
+        # fork: 3 of up's 4 contents + one new → pair with up (750k)
+        ("fork", "1", "A", 1), ("fork", "2", "B", 1),
+        ("fork", "3", "C", 1), ("fork", "4", "E", 1),
+        # leaf: {E} only → 100% of leaf inside fork, but NOT ≥50% of up
+        # directly (0 shared) — transitivity must pull it into the family
+        ("leaf", "1", "E", 1),
+        # island pair: share F fully, disconnected from the family
+        ("is1", "1", "F", 1), ("is2", "1", "F", 1),
+        # hermit: unique content → singleton, absent from output
+        ("hermit", "1", "G", 1),
+    ]
+    df = pd.DataFrame(rows, columns=["repo", "path", "sha256", "size"])
+    got = (
+        fork_families(
+            ray_session.data.from_pandas(df), num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "repo": ["fork", "is1", "is2", "leaf", "up"],
+            "family": ["fork", "is1", "is1", "fork", "fork"],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dir_rollup_matches_du(ray_session):
+    from duplicate_finder_ray.stages.repostats import dir_rollup
+
+    rows = [
+        ("r1", "a/b/c/f1.py", "X", 10),
+        ("r1", "a/b/f2.py", "X", 20),
+        ("r1", "a/f3.py", "X", 40),
+        ("r1", "top.py", "X", 80),      # no ancestor dir
+        ("r2", "a/b/f4.py", "X", 100),  # same dir names, other repo
+    ]
+    df = pd.DataFrame(rows, columns=["repo", "path", "sha256", "size"])
+    got = (
+        dir_rollup(ray_session.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["repo", "dir"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            ("r1", "a", 3, 70),
+            ("r1", "a/b", 2, 30),
+            ("r1", "a/b/c", 1, 10),
+            ("r2", "a", 1, 100),
+            ("r2", "a/b", 1, 100),
+        ],
+        columns=["repo", "dir", "n_files", "total_bytes"],
+    )
+    pd.testing.assert_frame_equal(got, want)
