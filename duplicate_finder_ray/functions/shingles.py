@@ -141,7 +141,7 @@ class Shingler:
     def shingle_hashes_batch_column(
         self, col: "pa.Array | pa.ChunkedArray", ascii_only: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Arrow-native twin of :meth:`shingle_hashes_batch` taking the
+        r"""Arrow-native twin of :meth:`shingle_hashes_batch` taking the
         string column directly. For ALL-ASCII token-mode batches the
         tokenize runs as RE2 split + dictionary-encode entirely in
         Arrow C — no per-doc Python regex, no per-token Python string

@@ -1097,10 +1097,12 @@ def event_transitions(
         u = tbl.column("user_id").to_numpy()
         t = tbl.column("ts_us").to_numpy()
         e = tbl.column("event_id").to_numpy()
-        types, codes = np.unique(
-            np.asarray(tbl.column("event_type").to_pylist(), dtype=object),
-            return_inverse=True,
+        # factorize (C-level hash) instead of np.unique (O(n log n)
+        # Python-object compares) — the combiner runs on every row
+        codes, types = pd.factorize(
+            np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
         )
+        types = np.asarray(types, dtype=object)
         order = np.lexsort((e, t, u))
         u, codes = u[order], codes[order]
         same_user = u[1:] == u[:-1]

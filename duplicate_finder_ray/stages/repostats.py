@@ -539,27 +539,33 @@ def dir_rollup(
     def prefix_partials(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return part_schema.empty_table()
-        repo = pd.Series(batch.column("repo").to_pylist(), dtype=object)
-        path = pd.Series(batch.column("path").to_pylist(), dtype=object)
-        size = pd.Series(
-            batch.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
-        )
+        # ancestor emission: D RE2 passes strip one trailing component
+        # each round (C++ kernels — no per-row Python string work)
+        repo = pa.chunked_array([batch.column("repo")]).combine_chunks()
+        cur = pa.chunked_array([batch.column("path")]).combine_chunks()
+        size = pa.chunked_array([batch.column("size")]).combine_chunks()
         frames = []
-        cur = path.str.rpartition("/")[0]
         while True:
-            keep = cur != ""
-            if not keep.any():
+            mask = pc.match_substring_regex(cur, "/")
+            if not pc.any(mask).as_py():
                 break
+            repo = pc.filter(repo, mask)
+            cur = pc.filter(cur, mask)
+            size = pc.filter(size, mask)
+            cur = pc.replace_substring_regex(
+                cur, pattern="/[^/]*$", replacement=""
+            )
             frames.append(
                 pd.DataFrame(
                     {
-                        "repo": repo[keep],
-                        "dir": cur[keep],
-                        "size": size[keep],
+                        "repo": repo.to_pandas(),
+                        "dir": cur.to_pandas(),
+                        "size": size.to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        ),
                     }
                 )
             )
-            cur = cur.str.rpartition("/")[0]
         if not frames:
             return part_schema.empty_table()
         rows = pd.concat(frames, ignore_index=True)
