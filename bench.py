@@ -151,6 +151,8 @@ def run_bench() -> dict:
             + QUERIES["events_sliding"](SF_DIR).count()
             + QUERIES["join_segment_revenue"](SF_DIR).count()
             + QUERIES["top_tokens"](SF_DIR).count()
+            + QUERIES["q10_returned_items"](SF_DIR).count()
+            + len(QUERIES["integrity_audit"](SF_DIR))
         )
 
     def curation_sf():
@@ -211,6 +213,16 @@ def run_bench() -> dict:
             + QUERIES["repo_skew_report"](SF_DIR).count()
             + QUERIES["code_snapshot_diff"](SF_DIR).count()
             + QUERIES["code_table_fingerprint"](SF_DIR).count()
+            + QUERIES["fork_families"](SF_DIR).count()
+            + QUERIES["dir_rollup"](SF_DIR).count()
+            + QUERIES["clone_groups_type2"](SF_DIR).count()
+        )
+
+    def events_sf():
+        # event-stream analytics batch: transition matrix + burst peaks
+        return (
+            QUERIES["event_transitions"](SF_DIR).count()
+            + QUERIES["user_peak_rate"](SF_DIR).count()
         )
 
     timed("exact_dedup", exact_dedup)
@@ -227,6 +239,7 @@ def run_bench() -> dict:
         timed("stats_sfdocs", stats_sf)
         timed("semantic_sfdocs", semantic_sf)
         timed("repostats_sfdocs", repostats_sf)
+        timed("events_sfdocs", events_sf)
 
     total = round(sum(queries.values()), 3)
     dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)

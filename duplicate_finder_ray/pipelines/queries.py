@@ -2318,6 +2318,150 @@ def q_code_table_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return table_fingerprint(_derived(sf_dir), ["file_id", "sha256"])
 
 
+def q_q10_returned_items(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q10-shaped 4-table composition: returned-line revenue
+    pre-aggregated per order BEFORE the large×large order join, summed
+    per customer, customer/nation dims broadcast in, global top-20.
+    Exact integer revenue units."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 7, 1), pa.timestamp("us"))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def li_rev_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        price_c = rel.cents(batch.column("l_extendedprice"))
+        disc_pct = rel.cents(batch.column("l_discount"))
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100), disc_pct))
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": rev}
+        ).to_pandas()
+        g = t.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.int64()),
+            }
+        )
+
+    rev = (
+        li.map_batches(li_rev_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def order_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        batch = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+            }
+        )
+
+    o_win = orders.map_batches(order_window, batch_format="pyarrow")
+    joined = shuffle_hash_join(rev, o_win, "l_orderkey", "o_orderkey", 8)
+    per_cust = (
+        joined.select_columns(["o_custkey", "rev"])
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="revenue_units"))
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    withc = rel.broadcast_hash_join(
+        per_cust, cust, "o_custkey", "c_custkey", ["c_name", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    withn = rel.broadcast_hash_join(
+        withc, nation, "c_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "c_name": batch.column("c_name"),
+                "n_name": batch.column("n_name"),
+                "revenue_units": batch.column("revenue_units"),
+            }
+        )
+
+    out = withn.map_batches(project, batch_format="pyarrow")
+    return rel.topk_global(
+        out, by=["revenue_units", "c_custkey"], ascending=[False, True], k=20
+    )
+
+
+def q_repo_size_gini(sf_dir: str) -> ray.data.Dataset:
+    """Corpus concentration: Gini of per-repo byte totals on the exact
+    integer ppm lattice (one row)."""
+    from duplicate_finder_ray.stages.repostats import repo_size_gini
+
+    return repo_size_gini(_derived(sf_dir))
+
+
+def q_integrity_audit(sf_dir: str) -> Any:
+    """Referential-integrity audit across the fact tables: orders whose
+    customer is missing and lineitems whose order is missing — both as
+    ANTI-joins (dimension side broadcast for customers; large×large
+    shuffle anti for lineitem→orders), reduced to one count row. The
+    pre-ingest hygiene check every pipeline runs before joining."""
+    import pandas as pd
+
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    orphan_orders = shuffle_hash_join(
+        orders, cust, "o_custkey", "c_custkey", 8, how="anti"
+    ).count()
+    orphan_lineitems = shuffle_hash_join(
+        li,
+        orders.select_columns(["o_orderkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        8,
+        how="anti",
+    ).count()
+    return pd.DataFrame(
+        {
+            "orphan_orders": pd.array([orphan_orders], dtype="int64"),
+            "orphan_lineitems": pd.array([orphan_lineitems], dtype="int64"),
+        }
+    )
+
+
 def q_dir_rollup(sf_dir: str) -> ray.data.Dataset:
     """Recursive per-directory byte/file rollup (du): every ancestor
     dir of every file, counts pre-aggregated per batch map-side."""
@@ -2505,6 +2649,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fork_families": q_fork_families,
     "dir_rollup": q_dir_rollup,
     "user_peak_rate": q_user_peak_rate,
+    "q10_returned_items": q_q10_returned_items,
+    "repo_size_gini": q_repo_size_gini,
+    "integrity_audit": q_integrity_audit,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4507,4 +4654,62 @@ r AS (
 )
 SELECT user_id, n AS peak_events, bucket_us AS peak_bucket_us
 FROM r WHERE rn = 1
+"""
+
+# Q10 shape: same cent lattice as Q3; rank ties break on c_custkey.
+ORACLE_SQL["q10_returned_items"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+rev AS (SELECT l_orderkey, CAST(sum(rev) AS BIGINT) AS rev
+        FROM li GROUP BY 1),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'),
+percust AS (
+  SELECT o_custkey, CAST(sum(rev) AS BIGINT) AS revenue_units
+  FROM rev JOIN o ON o_orderkey = l_orderkey GROUP BY 1
+),
+j AS (
+  SELECT c_custkey, c_name, n_name, revenue_units
+  FROM percust
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT c_custkey, c_name, n_name, revenue_units,
+       CAST(row_number() OVER (
+         ORDER BY revenue_units DESC, c_custkey
+       ) AS BIGINT) AS "rank"
+FROM j ORDER BY "rank" LIMIT 20
+"""
+
+# Gini on the exact ppm lattice: DuckDB's HUGEINT sums mirror the
+# engine's Python-int reduce; // truncates identically (non-negative).
+ORACLE_SQL["repo_size_gini"] = f"""
+{_D_SQL},
+rt AS (SELECT repo, CAST(sum(size) AS BIGINT) AS bytes FROM d GROUP BY 1),
+rk AS (SELECT repo, bytes,
+              row_number() OVER (ORDER BY bytes, repo) AS r,
+              count(*) OVER () AS n,
+              sum(bytes) OVER () AS tot
+       FROM rt)
+SELECT CAST(max(n) AS BIGINT) AS n_repos,
+       CAST(max(tot) AS BIGINT) AS total_bytes,
+       CAST((1000000 * (2 * sum(r * bytes) - (max(n) + 1) * max(tot)))
+            // (max(n) * max(tot)) AS BIGINT) AS gini_ppm
+FROM rk
+"""
+
+# integrity audit: NOT EXISTS twins of the two anti-joins
+ORACLE_SQL["integrity_audit"] = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems
 """

@@ -590,3 +590,80 @@ def dir_rollup(
         Sum("n_files", alias_name="n_files"),
         Sum("total_bytes", alias_name="total_bytes"),
     )
+
+
+def repo_size_gini(files: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus concentration audit: the Gini coefficient of per-repo
+    byte totals on an exact integer ppm lattice — "how unevenly is the
+    corpus distributed across repos" (the number behind sampling and
+    skew decisions). One row: (n_repos, total_bytes, gini_ppm) with
+    gini_ppm = 10⁶·(2·Σᵢ rᵢ·bᵢ − (n+1)·Σb) // (n·Σb), ranks ascending
+    by (bytes, repo) — every step integer, so the SQL twin reproduces
+    it bit-for-bit (DuckDB sums in HUGEINT; the engine reduces in
+    Python ints, both overflow-free).
+
+    Shape: per-batch (repo, bytes) partials, one repo-keyed
+    groupby-sum (dimension-sized), ONE tiny remote task for the rank
+    arithmetic — file rows never co-locate."""
+    out_schema = pa.schema(
+        [
+            ("n_repos", pa.int64()),
+            ("total_bytes", pa.int64()),
+            ("gini_ppm", pa.int64()),
+        ]
+    )
+
+    def byte_partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("repo", pa.string()), ("bytes", pa.int64())]
+            ).empty_table()
+        df = pa.table(
+            {"repo": batch.column("repo"), "bytes": batch.column("size")}
+        ).to_pandas()
+        g = df.groupby("repo", sort=False)["bytes"].sum().reset_index()
+        return pa.table(
+            {
+                "repo": pa.array(g["repo"], pa.string()),
+                "bytes": pa.array(g["bytes"].to_numpy(np.int64)),
+            }
+        )
+
+    totals = (
+        files.select_columns(["repo", "size"])
+        .map_batches(byte_partials, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Sum("bytes", alias_name="bytes"))
+    )
+
+    import ray as _ray
+
+    @_ray.remote
+    def gini(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and b.num_columns)
+        if not blocks:
+            return out_schema.empty_table()
+        df = (
+            pa.concat_tables(blocks)
+            .to_pandas()
+            .sort_values(["bytes", "repo"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(df)
+        b = df["bytes"].to_numpy(np.int64)
+        tot = int(b.sum())
+        if tot == 0:
+            ppm = 0
+        else:
+            s1 = sum((i + 1) * int(v) for i, v in enumerate(b))
+            ppm = (1_000_000 * (2 * s1 - (n + 1) * tot)) // (n * tot)
+        return pa.table(
+            {
+                "n_repos": pa.array([n], pa.int64()),
+                "total_bytes": pa.array([tot], pa.int64()),
+                "gini_ppm": pa.array([ppm], pa.int64()),
+            }
+        )
+
+    refs = totals.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([gini.remote(*refs)])

@@ -303,3 +303,25 @@ def test_dir_rollup_matches_du(ray_session):
         columns=["repo", "dir", "n_files", "total_bytes"],
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_repo_size_gini_lattice(ray_session):
+    from duplicate_finder_ray.stages.repostats import repo_size_gini
+
+    def run(byte_map):
+        rows = [
+            (r, f"f{i}.py", "X", s)
+            for r, sizes in byte_map.items()
+            for i, s in enumerate(sizes)
+        ]
+        df = pd.DataFrame(rows, columns=["repo", "path", "sha256", "size"])
+        return repo_size_gini(
+            ray_session.data.from_pandas(df).repartition(2)
+        ).to_pandas()
+
+    # uniform distribution -> gini 0
+    got = run({"a": [10], "b": [5, 5], "c": [10]})
+    assert got.iloc[0].tolist() == [3, 30, 0]
+    # totals 1,2,3,4 -> s1=30, n=4, tot=10 -> 1e6*(60-50)//40 = 250000
+    got = run({"a": [1], "b": [2], "c": [3], "d": [4]})
+    assert got.iloc[0].tolist() == [4, 10, 250_000]
