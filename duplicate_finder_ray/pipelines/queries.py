@@ -2424,6 +2424,28 @@ def q_repo_size_gini(sf_dir: str) -> ray.data.Dataset:
     return repo_size_gini(_derived(sf_dir))
 
 
+def q_session_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket over sessions: sessions (30-min gap) containing
+    BOTH event types, per unordered type pair — sessionize + distinct +
+    pair expansion in one user-keyed exchange."""
+    from duplicate_finder_ray.stages.events import session_cooccurrence
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return session_cooccurrence(ev)
+
+
+def q_dedup_summary(sf_dir: str) -> Any:
+    """One-row executive dedup report: total/distinct/dup counts +
+    reclaimable bytes — one sha-keyed exchange, one partial row per
+    partition."""
+    from duplicate_finder_ray.stages.repostats import dedup_summary
+
+    return dedup_summary(_derived(sf_dir))
+
+
 def q_integrity_audit(sf_dir: str) -> Any:
     """Referential-integrity audit across the fact tables: orders whose
     customer is missing and lineitems whose order is missing — both as
@@ -2652,6 +2674,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q10_returned_items": q_q10_returned_items,
     "repo_size_gini": q_repo_size_gini,
     "integrity_audit": q_integrity_audit,
+    "session_cooccurrence": q_session_cooccurrence,
+    "dedup_summary": q_dedup_summary,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4712,4 +4736,44 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
    WHERE NOT EXISTS (SELECT 1 FROM orders o
                      WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems
+"""
+
+# session co-occurrence: same session CTE as events_sessions, then a
+# distinct-type self-join per session with type_a < type_b.
+ORACLE_SQL["session_cooccurrence"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type,
+         CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+              AS BIGINT) AS session_id
+  FROM e
+),
+d AS (SELECT DISTINCT user_id, session_id, event_type FROM s)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM d a
+JOIN d b ON a.user_id = b.user_id AND a.session_id = b.session_id
+        AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+# executive dedup summary: per-sha group stats folded to five scalars
+ORACLE_SQL["dedup_summary"] = f"""
+{_D_SQL},
+g AS (SELECT sha256, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(size) AS BIGINT) AS size
+      FROM d GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS total_files,
+       CAST(count(*) AS BIGINT) AS distinct_contents,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_files,
+       CAST(sum((n - 1) * size) AS BIGINT) AS reclaimable_bytes
+FROM g
 """

@@ -1223,3 +1223,122 @@ def user_peak_rate(
         slim, user_part, num_partitions, peak_per_user,
         out_schema.empty_table(),
     )
+
+
+def session_cooccurrence(
+    events: ray.data.Dataset,
+    gap_us: int = 1_800_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Market-basket analysis over sessions: for every unordered pair
+    of event types, the number of SESSIONS (cut at ``gap_us``
+    inactivity, the engine's sessionize convention) in which both
+    occur.  Output (type_a, type_b, n_sessions) with type_a < type_b —
+    the co-occurrence matrix behind "users who do X in a visit also do
+    Y" product analytics.
+
+    One user-keyed exchange of slim rows; per partition: session
+    boundaries (lexsort + gap diff + cumsum), distinct
+    (session, type), and a vectorized predecessor pair expansion over
+    the type-sorted session runs (sessions hold at most |event types|
+    distinct types, so the expansion is bounded per session).  The
+    final aggregate is |types|² rows."""
+    if gap_us <= 0:
+        raise ValueError("gap_us must be positive")
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+    G = np.int64(gap_us)
+
+    slim_schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("eid", pa.int64()),
+            ("t", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    part_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        return pa.table(
+            {
+                "u": pc.cast(batch["user_id"], pa.int64()),
+                "eid": pc.cast(batch["event_id"], pa.int64()),
+                "t": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    slim_ds = events.select_columns(
+        ["user_id", "event_id", "ts", "event_type"]
+    ).map_batches(slim, batch_format="pyarrow")
+
+    def user_part(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("u").to_numpy().astype(np.uint64)
+        return (pd.util.hash_array(u.copy()) % np.uint64(p)).astype(np.int64)
+
+    def cooccur_partition(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        u = tbl.column("u").to_numpy().astype(np.int64)
+        eid = tbl.column("eid").to_numpy().astype(np.int64)
+        t = tbl.column("t").to_numpy().astype(np.int64)
+        codes, types = pd.factorize(
+            np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        )
+        order = np.lexsort((eid, t, u))
+        u, t, codes = u[order], t[order], codes[order]
+        new_sess = np.r_[True, (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > G)]
+        sid = np.cumsum(new_sess) - 1
+        # distinct (session, type), type-sorted within session — sort
+        # by the type STRING so pair order is lexicographic like SQL
+        df = pd.DataFrame(
+            {"sid": sid, "type": np.asarray(types, dtype=object)[codes]}
+        ).drop_duplicates()
+        df = df.sort_values(["sid", "type"], kind="mergesort")
+        s = df["sid"].to_numpy()
+        ty = df["type"].to_numpy(dtype=object)
+        starts = np.r_[True, s[1:] != s[:-1]]
+        start_pos = np.nonzero(starts)[0]
+        gidx = np.cumsum(starts) - 1
+        n_pred = np.arange(len(s)) - start_pos[gidx]
+        total = int(n_pred.sum())
+        if total == 0:
+            return part_schema.empty_table()
+        b_idx = np.repeat(np.arange(len(s)), n_pred)
+        run_start = np.repeat(np.cumsum(n_pred) - n_pred, n_pred)
+        offset = np.arange(total) - run_start
+        a_idx = np.repeat(start_pos[gidx], n_pred) + offset
+        agg = (
+            pd.DataFrame({"a": ty[a_idx], "b": ty[b_idx]})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "type_a": pa.array(agg["a"], pa.string()),
+                "type_b": pa.array(agg["b"], pa.string()),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    partials = hash_exchange(
+        slim_ds, user_part, num_partitions, cooccur_partition,
+        part_schema.empty_table(),
+    )
+    return partials.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n", alias_name="n_sessions")
+    )

@@ -667,3 +667,66 @@ def repo_size_gini(files: ray.data.Dataset) -> ray.data.Dataset:
 
     refs = totals.materialize().to_arrow_refs()
     return ray.data.from_arrow_refs([gini.remote(*refs)])
+
+
+def dedup_summary(
+    files: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> "pd.DataFrame":
+    """One-row executive dedup report: total files, distinct contents,
+    duplicate groups/files and the bytes an exact dedup would reclaim —
+    the headline numbers of the reference's final report
+    (/root/reference/duplicate_finder/duplicate_finder.py:306-340)
+    generalized to corpus scale.
+
+    Shape: slim (sha256, size) rows cross ONE sha-keyed exchange; each
+    partition reduces its groups to a SINGLE partial row (sha groups
+    never span partitions), and the five scalars sum across the
+    partition-count-sized result on the driver."""
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+
+    part_schema = pa.schema(
+        [
+            ("total_files", pa.int64()),
+            ("distinct_contents", pa.int64()),
+            ("dup_groups", pa.int64()),
+            ("dup_files", pa.int64()),
+            ("reclaimable_bytes", pa.int64()),
+        ]
+    )
+
+    slim = files.select_columns(["sha256", "size"])
+
+    def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+        return _str_part(tbl.column("sha256"), p)
+
+    def summarize(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        df = tbl.to_pandas().sort_values("sha256", kind="mergesort")
+        sha = df["sha256"].to_numpy(dtype=object)
+        size = df["size"].to_numpy().astype(np.int64)
+        starts = _group_starts(sha)
+        gidx = np.cumsum(starts) - 1
+        n_groups = int(gidx[-1]) + 1
+        n = np.bincount(gidx, minlength=n_groups)
+        g_size = size[np.nonzero(starts)[0]]
+        dup = n > 1
+        return pa.table(
+            {
+                "total_files": pa.array([int(len(sha))], pa.int64()),
+                "distinct_contents": pa.array([n_groups], pa.int64()),
+                "dup_groups": pa.array([int(dup.sum())], pa.int64()),
+                "dup_files": pa.array([int(n[dup].sum())], pa.int64()),
+                "reclaimable_bytes": pa.array(
+                    [int(((n - 1) * g_size)[dup].sum())], pa.int64()
+                ),
+            }
+        )
+
+    partials = hash_exchange(
+        slim, part_of, num_partitions, summarize, part_schema.empty_table()
+    )
+    agg = partials.to_pandas().sum()
+    return pd.DataFrame([{c: int(agg[c]) for c in part_schema.names}])

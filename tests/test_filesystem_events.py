@@ -425,3 +425,70 @@ class TestUserPeakRate:
             user_peak_rate(ds, bucket_us=0)
         with pytest.raises(ValueError):
             user_peak_rate(ds, num_partitions=0)
+
+
+class TestSessionCooccurrence:
+    """session_cooccurrence: unordered type pairs per session."""
+
+    @staticmethod
+    def _mk(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp("2024-03-01")
+                    + pd.Timedelta(minutes=m),
+                    "user_id": u,
+                    "event_type": t,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i, (u, m, t) in enumerate(rows)
+            ]
+        )
+
+    def test_pairs_per_session(self, ray_session):
+        from duplicate_finder_ray.stages.events import session_cooccurrence
+
+        rows = [
+            # user 1 session 1: {view, cart, purchase} -> 3 pairs
+            (1, 0, "view"), (1, 1, "cart"), (1, 2, "purchase"),
+            (1, 3, "view"),  # repeat type: still ONE distinct per session
+            # user 1 session 2 (>30 min gap): {view} only -> no pairs
+            (1, 60, "view"),
+            # user 2: {view, cart} -> 1 pair
+            (2, 0, "cart"), (2, 5, "view"),
+        ]
+        got = (
+            session_cooccurrence(
+                ray_session.data.from_pandas(self._mk(rows)).repartition(3),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["type_a", "type_b"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            {
+                "type_a": ["cart", "cart", "cart", "purchase"],
+                "type_b": ["purchase", "view", "view", "view"],
+                "n_sessions": [1, 1, 1, 1],
+            }
+        )
+        # (cart,view) appears in BOTH user 1 s1 and user 2 s1 -> merge
+        want = (
+            want.groupby(["type_a", "type_b"], as_index=False)["n_sessions"]
+            .sum()
+            .sort_values(["type_a", "type_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_rejects_bad_params(self, ray_session):
+        from duplicate_finder_ray.stages.events import session_cooccurrence
+
+        ds = ray_session.data.from_pandas(self._mk([(1, 0, "a")]))
+        with pytest.raises(ValueError):
+            session_cooccurrence(ds, gap_us=0)
+        with pytest.raises(ValueError):
+            session_cooccurrence(ds, num_partitions=0)

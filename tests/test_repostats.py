@@ -325,3 +325,17 @@ def test_repo_size_gini_lattice(ray_session):
     # totals 1,2,3,4 -> s1=30, n=4, tot=10 -> 1e6*(60-50)//40 = 250000
     got = run({"a": [1], "b": [2], "c": [3], "d": [4]})
     assert got.iloc[0].tolist() == [4, 10, 250_000]
+
+
+def test_dedup_summary(files):
+    from duplicate_finder_ray.stages.repostats import dedup_summary
+
+    got = dedup_summary(files, num_partitions=4)
+    # _files_df: 11 files; contents A(5 files,10B) B(3,20) C(1,30)
+    # D(2,5) -> 4 distinct; dup groups A,B,D; dup files 10;
+    # reclaimable = 4*10 + 2*20 + 1*5 = 85
+    assert got.iloc[0].tolist() == [11, 4, 3, 10, 85]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_summary(files, num_partitions=0)
