@@ -2536,6 +2536,451 @@ def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     return event_transitions(ev)
 
 
+def q_q4_order_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4-shaped EXISTS decorrelation: orders placed in 1996-Q1
+    with at least one RETURNED lineitem, counted per order priority
+    (the testdata lineitem carries no commit/receipt dates, so the
+    returned-flag predicate stands in for Q4's late-delivery EXISTS).
+    Shape: both sides pruned at the read, the returned-line side
+    deduplicated per batch (combiner) so the semi-join shuffles one
+    slim key row per (order, batch), then ONE barrier-free shuffle
+    semi-join + a 5-row count aggregate."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Count
+
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(o_filter, batch_format="pyarrow")
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+        keys = batch.filter(keep).column("l_orderkey")
+        # batch-local distinct: the semi-join only needs key EXISTENCE,
+        # so collapse the ~4 lines/order before they cross the exchange
+        return pa.table({"l_orderkey": pc.unique(keys)})
+
+    returned = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(returned_keys, batch_format="pyarrow")
+
+    sem = shuffle_hash_join(
+        orders, returned, "o_orderkey", "l_orderkey", 8, how="semi"
+    )
+    return sem.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders")
+    )
+
+
+def q_q6_forecast_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q6: forecast-revenue delta — sum(extendedprice × discount)
+    over 1996 shipments with discount in [5%, 7%] and quantity < 24, on
+    the exact cent×percent integer lattice. Pure scan-side map: pruned
+    4-column read, per-batch filter + ONE partial row per block; the
+    driver folds O(blocks) scalars — nothing shuffles."""
+    import pandas as pd
+
+    import datetime as _dt
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    part_schema = pa.schema(
+        [("revenue_cp", pa.int64()), ("n_lines", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_c = rel.cents(batch.column("l_discount"))
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_c, pa.scalar(5)),
+                    pc.less_equal(disc_c, pa.scalar(7)),
+                ),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        sel = batch.filter(keep)
+        if len(sel) == 0:
+            return part_schema.empty_table()
+        rev = pc.multiply(
+            rel.cents(sel.column("l_extendedprice")),
+            rel.cents(sel.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "revenue_cp": pa.array(
+                    [pc.sum(rev).as_py() or 0], pa.int64()
+                ),
+                "n_lines": pa.array([len(sel)], pa.int64()),
+            }
+        )
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = partials.to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "revenue_cp": int(agg["revenue_cp"].sum()) if len(agg) else 0,
+                "n_lines": int(agg["n_lines"].sum()) if len(agg) else 0,
+            }
+        ]
+    )
+
+
+def q_q12_priority_lines(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q12-shaped priority×shipment matrix: 1996-shipped line
+    counts per return flag, split into high-priority (1-URGENT/2-HIGH)
+    vs lower-priority orders (the testdata carries no ship mode, so
+    the return flag is the grouping axis). Shape: lineitem combines to
+    (orderkey, flag, n) partials map-side, ONE large×large shuffle
+    join against the pruned orders table, then a 3-row conditional
+    aggregate."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        sel = batch.filter(keep)
+        t = pa.table(
+            {
+                "l_orderkey": sel.column("l_orderkey"),
+                "l_returnflag": sel.column("l_returnflag"),
+            }
+        ).to_pandas()
+        g = (
+            t.groupby(["l_orderkey", "l_returnflag"], sort=False)
+            .size()
+            .reset_index(name="n_lines")
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+                "n_lines": pa.array(g["n_lines"].to_numpy(np.int64)),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(li_partials, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = shuffle_hash_join(
+        li, orders, "l_orderkey", "o_orderkey", 8,
+        right_cols=["o_orderpriority"],
+    )
+
+    def split_counts(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority")
+        high = pc.or_(
+            pc.equal(pri, pa.scalar("1-URGENT")),
+            pc.equal(pri, pa.scalar("2-HIGH")),
+        )
+        n = batch.column("n_lines")
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "high_lines": pc.if_else(high, n, zero),
+                "low_lines": pc.if_else(high, zero, n),
+            }
+        )
+
+    return (
+        joined.map_batches(split_counts, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_lines", alias_name="high_lines"),
+            Sum("low_lines", alias_name="low_lines"),
+        )
+    )
+
+
+def q_q14_promo_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q14: PROMO-part share of September-1996 revenue, exact to
+    the end — revenue on the cent×(100−disc%) lattice, the share as
+    ppm via arbitrary-precision integer division (promo×10⁶ // total
+    exceeds int64 at warehouse scale; Python ints don't wrap). Shape:
+    pruned month read, part dimension broadcast ONCE (ray.put'd table,
+    probed per batch), one partial row per block, driver folds three
+    scalars."""
+    import pandas as pd
+
+    import datetime as _dt
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    lo = pa.scalar(_dt.datetime(1996, 9, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 10, 1), pa.timestamp("us"))
+    part_schema = pa.schema(
+        [("promo_cp", pa.int64()), ("total_cp", pa.int64())]
+    )
+
+    def month_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        return batch.filter(keep).select(
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(month_filter, batch_format="pyarrow")
+
+    joined = rel.broadcast_hash_join(
+        li,
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ),
+        "l_partkey",
+        "p_partkey",
+        ["p_type"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        rev = pc.multiply(
+            rel.cents(batch.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), rel.cents(batch.column("l_discount"))
+            ),
+        )
+        promo = pc.if_else(
+            pc.equal(batch.column("p_type"), pa.scalar("PROMO")),
+            rev,
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "promo_cp": pa.array([pc.sum(promo).as_py() or 0], pa.int64()),
+                "total_cp": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            }
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo = int(agg["promo_cp"].sum()) if len(agg) else 0
+    total = int(agg["total_cp"].sum()) if len(agg) else 0
+    return pd.DataFrame(
+        [
+            {
+                "promo_revenue_cp": promo,
+                "total_revenue_cp": total,
+                "promo_ppm": (promo * 1_000_000) // total if total else 0,
+            }
+        ]
+    )
+
+
+def q_q18_large_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q18: top-100 largest orders — orders whose total quantity
+    exceeds 200 units, with customer name and exact cent total price.
+    Shape: lineitem combines quantity per orderkey map-side before ONE
+    slim-row groupby, the survivors (a tiny fraction) join orders via
+    the shuffle join and the customer dimension by broadcast; the
+    global sort ranks only the survivor set, tie-broken by the unique
+    orderkey so the top-100 cut is deterministic."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.floor(pc.add(batch.column("l_quantity"), 0.5)), pa.int64()
+        )
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "q": qty}
+        ).to_pandas()
+        g = t.groupby("l_orderkey", sort=False)["q"].sum().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "q": pa.array(g["q"].to_numpy(np.int64)),
+            }
+        )
+
+    qty = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="total_qty"))
+        .filter(expr="total_qty > 200")
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    joined = shuffle_hash_join(
+        qty, orders, "l_orderkey", "o_orderkey", 8,
+        right_cols=["o_custkey", "o_totalprice"],
+    )
+
+    def price_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "total_qty": batch.column("total_qty"),
+                "o_totalprice_cents": rel.cents(batch.column("o_totalprice")),
+            }
+        )
+
+    withc = rel.broadcast_hash_join(
+        joined.map_batches(price_cents, batch_format="pyarrow"),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ),
+        "o_custkey",
+        "c_custkey",
+        ["c_name"],
+    )
+    return (
+        withc.select_columns(
+            ["c_name", "o_orderkey", "total_qty", "o_totalprice_cents"]
+        )
+        .sort(["o_totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def q_q22_lapsed_balances(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22-shaped lapsed-account report: customers in three
+    target segments whose balance exceeds the segment-pool's
+    positive-balance average and who placed NO order since 1999
+    (the testdata has no phone column and every customer has SOME
+    order, so 'no recent order' stands in for Q22's NOT EXISTS).
+    The avg comparison is EXACT: bal_c × n_pos > tot_pos cross-multiply
+    on the cents lattice — no float division anywhere. Shape: two
+    scan-side partial folds (pool stats are 2 scalars), a broadcastable
+    predicate, ONE anti semi-join shuffle of slim keys, 3-row final
+    aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    segs = ("AUTOMOBILE", "FURNITURE", "MACHINERY")
+
+    def seg_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("c_mktsegment"), value_set=pa.array(segs)
+        )
+        sel = batch.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": sel.column("c_custkey"),
+                "c_mktsegment": sel.column("c_mktsegment"),
+                "bal_c": rel.cents(sel.column("c_acctbal")),
+            }
+        )
+
+    seg = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(seg_filter, batch_format="pyarrow")
+
+    stat_schema = pa.schema([("tot", pa.int64()), ("n", pa.int64())])
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("bal_c")
+        pos = batch.filter(pc.greater(bal, pa.scalar(0, pa.int64())))
+        if len(pos) == 0:
+            return stat_schema.empty_table()
+        return pa.table(
+            {
+                "tot": pa.array(
+                    [pc.sum(pos.column("bal_c")).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    stats = seg.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    # Python ints: bal_c × n_pos overflows int64 once the pool passes
+    # ~10^10 positive-balance customers — keep the comparison exact
+    tot_pos = int(stats["tot"].sum()) if len(stats) else 0
+    n_pos = int(stats["n"].sum()) if len(stats) else 0
+
+    def rich_filter(batch: pa.Table) -> pa.Table:
+        bal = batch.column("bal_c").to_numpy().astype(np.int64)
+        if (
+            n_pos
+            and tot_pos < 2**62
+            and abs(int(np.abs(bal).max(initial=0))) < (2**62) // n_pos
+        ):
+            keep = bal * np.int64(n_pos) > np.int64(tot_pos)  # vectorized
+        else:  # product would wrap int64 — exact object-int fallback
+            keep = np.array(
+                [int(b) * n_pos > tot_pos for b in bal], dtype=bool
+            )
+        return batch.filter(pa.array(keep))
+
+    rich = seg.map_batches(rich_filter, batch_format="pyarrow")
+
+    import datetime as _dt
+
+    lo = pa.scalar(_dt.datetime(1999, 1, 1), pa.timestamp("us"))
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("o_orderdate"), lo)
+        return pa.table(
+            {"o_custkey": pc.unique(batch.filter(keep).column("o_custkey"))}
+        )
+
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_keys, batch_format="pyarrow")
+
+    lapsed = shuffle_hash_join(
+        rich, recent, "c_custkey", "o_custkey", 8, how="anti"
+    )
+    return lapsed.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_custs"),
+        Sum("bal_c", alias_name="total_balance_cents"),
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -2676,6 +3121,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "integrity_audit": q_integrity_audit,
     "session_cooccurrence": q_session_cooccurrence,
     "dedup_summary": q_dedup_summary,
+    "q4_order_priority": q_q4_order_priority,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q12_priority_lines": q_q12_priority_lines,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q18_large_orders": q_q18_large_orders,
+    "q22_lapsed_balances": q_q22_lapsed_balances,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4776,4 +5227,109 @@ SELECT CAST(sum(n) AS BIGINT) AS total_files,
        CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_files,
        CAST(sum((n - 1) * size) AS BIGINT) AS reclaimable_bytes
 FROM g
+"""
+
+# TPC-H Q4-shaped: 1996-Q1 orders with >=1 returned line, per priority
+ORACLE_SQL["q4_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+# TPC-H Q6: exact cent x percent lattice revenue delta
+ORACLE_SQL["q6_forecast_revenue"] = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cp,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+# TPC-H Q12-shaped: 1996-shipped line counts per return flag, split by
+# order priority class
+ORACLE_SQL["q12_priority_lines"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+# TPC-H Q14: PROMO revenue share for 1996-09, ppm on the integer
+# lattice (HUGEINT product; // truncates, both operands positive)
+ORACLE_SQL["q14_promo_revenue"] = """
+WITH m AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01'
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+              AS HUGEINT) AS promo,
+         CAST(sum(rev) AS HUGEINT) AS total
+  FROM m
+)
+SELECT CAST(promo AS BIGINT) AS promo_revenue_cp,
+       CAST(total AS BIGINT) AS total_revenue_cp,
+       CAST((promo * 1000000) // total AS BIGINT) AS promo_ppm
+FROM s
+"""
+
+# TPC-H Q18: top-100 orders by total quantity > 200, deterministic cut
+# (unique orderkey tiebreak)
+ORACLE_SQL["q18_large_orders"] = """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 200
+)
+SELECT c_name, o_orderkey, total_qty,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents
+FROM q
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+# TPC-H Q22-shaped: lapsed high-balance customers per segment; the
+# avg comparison is the exact cross-multiply bal*n > tot on HUGEINT
+ORACLE_SQL["q22_lapsed_balances"] = """
+WITH seg AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE', 'MACHINERY')
+),
+st AS (
+  SELECT CAST(sum(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END) AS HUGEINT)
+           AS tot,
+         CAST(sum(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n
+  FROM seg
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bal_c) AS BIGINT) AS total_balance_cents
+FROM seg, st
+WHERE CAST(bal_c AS HUGEINT) * n > tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = seg.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
 """
