@@ -2981,6 +2981,1288 @@ def q_q22_lapsed_balances(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1: pricing summary — per (returnflag, linestatus) totals
+    over lines shipped on/before 1998-09-02, every measure exact on the
+    integer lattice (qty half-up units, base cents, discounted revenue
+    cent×pct, charge cent×pct×pct; Q1's avg columns are these sums ÷
+    n_lines, derivable downstream without float drift). Shape: ONE
+    pruned scan; a per-batch pandas combiner collapses each block to
+    ≤|flag×status| partial rows, then a tiny multi-key groupby-sum —
+    the fact table never shuffles."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    hi = pa.scalar(_dt.datetime(1998, 9, 2), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.less_equal(batch.column("l_shipdate"), hi))
+        base = rel.cents(sel.column("l_extendedprice"))
+        keep_pct = pc.subtract(
+            pa.scalar(100, pa.int64()), rel.cents(sel.column("l_discount"))
+        )
+        tax_pct = pc.add(
+            pa.scalar(100, pa.int64()), rel.cents(sel.column("l_tax"))
+        )
+        disc_cp = pc.multiply(base, keep_pct)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": sel.column("l_returnflag").to_pandas(),
+                "l_linestatus": sel.column("l_linestatus").to_pandas(),
+                "sum_qty": pc.cast(
+                    pc.floor(pc.add(sel.column("l_quantity"), 0.5)),
+                    pa.int64(),
+                ).to_numpy(),
+                "sum_base_cents": base.to_numpy(),
+                "sum_disc_cp": disc_cp.to_numpy(),
+                "sum_charge_cpp": pc.multiply(disc_cp, tax_pct).to_numpy(),
+            }
+        )
+        g = df.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False, as_index=False
+        ).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_cents=("sum_base_cents", "sum"),
+            sum_disc_cp=("sum_disc_cp", "sum"),
+            sum_charge_cpp=("sum_charge_cpp", "sum"),
+            n_lines=("sum_qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_shipdate",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cp", alias_name="sum_disc_cp"),
+            Sum("sum_charge_cpp", alias_name="sum_charge_cpp"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+
+
+def q_q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q7-shaped volume shipping: revenue between every ordered
+    pair of DISTINCT nations (supplier nation → customer nation), per
+    ship year, for 1995–1996 shipments, exact cent×pct lattice.
+    Shape: the supplier→nation and customer→nation maps broadcast
+    (dimension-sized); lineitem pre-aggregates revenue per (orderkey,
+    supp_nation, year) map-side BEFORE the one large×large shuffle
+    join against orders; a slim multi-key groupby-sum finishes."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    lo = pa.scalar(_dt.datetime(1995, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def nation_map(key_out: str, name_out: str, table: str, key: str, nk: str):
+        return rel.broadcast_hash_join(
+            ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key, nk]),
+            ray.data.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ),
+            nk,
+            "n_nationkey",
+            ["n_name"],
+        ).map_batches(
+            lambda b: pa.table(
+                {key_out: b.column(key), name_out: b.column("n_name")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    sup = nation_map("s_suppkey", "supp_nation", "supplier", "s_suppkey", "s_nationkey")
+    cust = nation_map("c_custkey", "cust_nation", "customer", "c_custkey", "c_nationkey")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        sel = batch.filter(keep)
+        rev = pc.multiply(
+            rel.cents(sel.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), rel.cents(sel.column("l_discount"))
+            ),
+        )
+        return pa.table(
+            {
+                "l_orderkey": sel.column("l_orderkey"),
+                "l_suppkey": sel.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(sel.column("l_shipdate")), pa.int64()),
+                "rev": rev,
+            }
+        )
+
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+    )
+    withsup = rel.broadcast_hash_join(li, sup, "l_suppkey", "s_suppkey", ["supp_nation"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "supp_nation": batch.column("supp_nation"),
+                "l_year": batch.column("l_year"),
+                "rev": batch.column("rev"),
+            }
+        ).to_pandas()
+        g = (
+            df.groupby(["l_orderkey", "supp_nation", "l_year"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "supp_nation": pa.array(g["supp_nation"], pa.string()),
+                "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    combined = withsup.map_batches(combine, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = shuffle_hash_join(
+        combined, orders, "l_orderkey", "o_orderkey", 8, right_cols=["o_custkey"]
+    )
+    withcust = rel.broadcast_hash_join(
+        joined, cust, "o_custkey", "c_custkey", ["cust_nation"]
+    )
+    cross = withcust.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("supp_nation"), b.column("cust_nation"))
+        ).select(["supp_nation", "cust_nation", "l_year", "rev"]),
+        batch_format="pyarrow",
+    )
+    return cross.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev", alias_name="revenue_cp")
+    )
+
+
+def q_q8_market_share(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q8-shaped market share: of all 1995–1996 ECONOMY-part
+    revenue bought by ASIA-region customers, the share supplied by
+    EUROPE-region suppliers, per order year — the share exact as ppm
+    via arbitrary-precision integer division. Shape: part keys and the
+    supplier→region map broadcast; lineitem combines to (orderkey,
+    total, europe) partials map-side; ONE large×large shuffle join
+    against the year-filtered orders; customer→region broadcast
+    prunes to the ASIA market; a years-sized aggregate folds on the
+    driver."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    econ = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("p_type"), pa.scalar("ECONOMY"))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def region_map(key_out: str, reg_out: str, table: str, key: str, nk: str):
+        withn = rel.broadcast_hash_join(
+            ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key, nk]),
+            ray.data.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+            ),
+            nk,
+            "n_nationkey",
+            ["n_regionkey"],
+        )
+        withr = rel.broadcast_hash_join(
+            withn,
+            ray.data.read_parquet(
+                f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+            ),
+            "n_regionkey",
+            "r_regionkey",
+            ["r_name"],
+        )
+        return withr.map_batches(
+            lambda b: pa.table({key_out: b.column(key), reg_out: b.column("r_name")}),
+            batch_format="pyarrow",
+        )
+
+    sup = region_map("s_suppkey", "supp_region", "supplier", "s_suppkey", "s_nationkey")
+    asia_cust = region_map(
+        "c_custkey", "cust_region", "customer", "c_custkey", "c_nationkey"
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("cust_region"), pa.scalar("ASIA"))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = rel.broadcast_hash_join(li, econ, "l_partkey", "p_partkey", [])
+    li = rel.broadcast_hash_join(li, sup, "l_suppkey", "s_suppkey", ["supp_region"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            rel.cents(batch.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), rel.cents(batch.column("l_discount"))
+            ),
+        ).to_numpy()
+        eu = pc.equal(
+            batch.column("supp_region"), pa.scalar("EUROPE")
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                "tot": rev,
+                "eu": np.where(eu, rev, 0),
+            }
+        )
+        g = df.groupby("l_orderkey", sort=False, as_index=False).sum()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "tot": pa.array(g["tot"].to_numpy(np.int64)),
+                "eu": pa.array(g["eu"].to_numpy(np.int64)),
+            }
+        )
+
+    combined = li.map_batches(combine, batch_format="pyarrow")
+
+    lo = pa.scalar(_dt.datetime(1995, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        sel = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": sel.column("o_orderkey"),
+                "o_custkey": sel.column("o_custkey"),
+                "o_year": pc.cast(pc.year(sel.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_filter, batch_format="pyarrow")
+    joined = shuffle_hash_join(
+        combined, orders, "l_orderkey", "o_orderkey", 8,
+        right_cols=["o_custkey", "o_year"],
+    )
+    asia = rel.broadcast_hash_join(joined, asia_cust, "o_custkey", "c_custkey", [])
+    years = (
+        asia.groupby("o_year")
+        .aggregate(Sum("tot", alias_name="tot"), Sum("eu", alias_name="eu"))
+        .to_pandas()
+    )
+    rows = []
+    for _, r in years.sort_values("o_year").iterrows():
+        tot, eu = int(r["tot"]), int(r["eu"])
+        rows.append(
+            {
+                "o_year": int(r["o_year"]),
+                "total_revenue_cp": tot,
+                "europe_revenue_cp": eu,
+                "europe_share_ppm": (eu * 1_000_000) // tot if tot else 0,
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["o_year", "total_revenue_cp", "europe_revenue_cp", "europe_share_ppm"],
+    )
+
+
+def q_q13_order_distribution(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly N non-urgent orders, INCLUDING the
+    zero-order bucket (the testdata carries no order comment, so the
+    urgent-priority exclusion stands in for Q13's comment NOT LIKE).
+    Shape: orders combine to (custkey, n) partials map-side, one slim
+    groupby-sum, ONE left shuffle join against the customer key table
+    (unmatched customers keep the 0 bucket), then a tiny histogram
+    aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            batch.column("o_orderpriority"), pa.scalar("1-URGENT")
+        )
+        sel = batch.filter(keep)
+        g = (
+            pa.table({"o_custkey": sel.column("o_custkey")})
+            .to_pandas()
+            .groupby("o_custkey", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    joined = shuffle_hash_join(
+        cust, counts, "c_custkey", "o_custkey", 8,
+        how="left", right_cols=["n_orders"],
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(
+            pc.cast(batch.column("n_orders"), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table({"n_orders": n})
+
+    return (
+        joined.map_batches(fill, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Count(alias_name="n_custs"))
+    )
+
+
+def q_q15_top_supplier(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q15: the top supplier(s) by 1996-Q1 shipment revenue —
+    every tie survives, exact cent×pct lattice. Shape: lineitem
+    combines revenue per suppkey map-side (one partial row per
+    (block, supplier)), ONE slim groupby-sum produces the
+    supplier-dimension-sized revenue table; the max + tie filter and
+    the name join run on that dimension table driver-side."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        sel = batch.filter(keep)
+        rev = pc.multiply(
+            rel.cents(sel.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), rel.cents(sel.column("l_discount"))
+            ),
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "l_suppkey": sel.column("l_suppkey").to_numpy(),
+                    "rev": rev.to_numpy(),
+                }
+            )
+            .groupby("l_suppkey", sort=False, as_index=False)["rev"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    revenue = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="total_revenue_cp"))
+        .to_pandas()  # supplier-dimension-sized
+    )
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    if len(revenue) == 0:
+        return pd.DataFrame(
+            columns=["s_suppkey", "s_name", "total_revenue_cp"]
+        ).astype({"s_suppkey": "int64", "s_name": "object", "total_revenue_cp": "int64"})
+    top = revenue[revenue["total_revenue_cp"] == revenue["total_revenue_cp"].max()]
+    out = top.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    return (
+        out[["s_suppkey", "s_name", "total_revenue_cp"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_q17_small_qty_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q17-shaped small-quantity revenue: total price of
+    Brand#1 small-part (size ≤ 10) lines whose quantity is below 20%
+    of that part's average — the avg predicate EXACT via the
+    cross-multiply 5·q·n < Σq (all positive ints; no float division).
+    Shape: the brand's part keys broadcast as a semi-probe, the
+    surviving slim (partkey, qty, cents) rows materialize ONCE and
+    feed two passes: a per-part (Σq, n) combiner + slim groupby whose
+    dimension-sized result broadcasts back, then a scan-side fold to
+    one row."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    pk = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b.column("p_brand"), pa.scalar("Brand#1")),
+                pc.less_equal(b.column("p_size"), pa.scalar(10, pa.int32())),
+            )
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "q": pc.cast(
+                    pc.floor(pc.add(batch.column("l_quantity"), 0.5)), pa.int64()
+                ),
+                "price_c": rel.cents(batch.column("l_extendedprice")),
+            }
+        )
+
+    sel = (
+        rel.broadcast_hash_join(li, pk, "l_partkey", "p_partkey", [])
+        .map_batches(slim, batch_format="pyarrow")
+        .materialize()  # tiny brand slice; feeds both passes below
+    )
+    stats = sel.groupby("l_partkey").aggregate(
+        Sum("q", alias_name="sq"), Count(alias_name="n")
+    )
+    withstats = rel.broadcast_hash_join(
+        sel, stats, "l_partkey", "l_partkey", ["sq", "n"]
+    )
+    part_schema = pa.schema(
+        [("rev", pa.int64()), ("n_lines", pa.int64())]
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        q = batch.column("q").to_numpy()
+        n = batch.column("n").to_numpy().astype(np.int64)
+        sq = batch.column("sq").to_numpy()
+        # q ≤ ~2^6 and n is per-part line count: 5·q·n stays far from
+        # int64 even at warehouse scale
+        keep = 5 * q * n < sq
+        price = batch.column("price_c").to_numpy()[keep]
+        if len(price) == 0:
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "rev": pa.array([int(price.sum())], pa.int64()),
+                "n_lines": pa.array([len(price)], pa.int64()),
+            }
+        )
+
+    agg = withstats.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "small_qty_revenue_cents": int(agg["rev"].sum()) if len(agg) else 0,
+                "n_lines": int(agg["n_lines"].sum()) if len(agg) else 0,
+            }
+        ]
+    )
+
+
+def q_q19_bracket_revenue(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q19-shaped OR-bracket revenue: discounted revenue of
+    lines matching any of three (brand, size-range, quantity-range)
+    conjunctions — the disjunctive multi-attribute predicate that
+    defeats single-column pruning. Shape: part attributes broadcast
+    ONCE; each batch evaluates all three brackets vectorized and
+    emits one partial row; the driver folds O(blocks) scalars —
+    nothing shuffles."""
+    import pandas as pd
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    brackets = (
+        ("Brand#1", 1, 5, 1, 11),
+        ("Brand#2", 1, 10, 10, 20),
+        ("Brand#3", 1, 15, 20, 30),
+    )
+    part_schema = pa.schema([("rev", pa.int64()), ("n_lines", pa.int64())])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    withp = rel.broadcast_hash_join(
+        li,
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        ),
+        "l_partkey",
+        "p_partkey",
+        ["p_brand", "p_size"],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        brand = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = pc.cast(
+            pc.floor(pc.add(batch.column("l_quantity"), 0.5)), pa.int64()
+        ).to_numpy()
+        keep = np.zeros(len(batch), dtype=bool)
+        for b, slo, shi, qlo, qhi in brackets:
+            keep |= (
+                (brand == b)
+                & (size >= slo)
+                & (size <= shi)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+        if not keep.any():
+            return part_schema.empty_table()
+        sel = batch.filter(pa.array(keep))
+        rev = pc.multiply(
+            rel.cents(sel.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), rel.cents(sel.column("l_discount"))
+            ),
+        )
+        return pa.table(
+            {
+                "rev": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+                "n_lines": pa.array([len(sel)], pa.int64()),
+            }
+        )
+
+    agg = withp.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "bracket_revenue_cp": int(agg["rev"].sum()) if len(agg) else 0,
+                "n_lines": int(agg["n_lines"].sum()) if len(agg) else 0,
+            }
+        ]
+    )
+
+
+def q_q21_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21-shaped sole-fault suppliers: on finalized ('F')
+    multi-supplier orders, the supplier who is the ONLY one with a
+    returned line, counted per supplier (the testdata carries no
+    commit/receipt dates, so the returned flag stands in for Q21's
+    late-delivery predicate; the ≥2-supplier EXISTS and the
+    single-fault NOT EXISTS survive intact). Shape: lineitem collapses
+    to per-(order, supplier) returned flags map-side, a semi shuffle
+    join keeps F-orders, ONE orderkey-keyed hash exchange computes
+    each order's supplier/fault counts vectorized, then a
+    supplier-dimension-sized count + broadcast name join."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    def ls_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                    "l_suppkey": batch.column("l_suppkey").to_numpy(),
+                    "ret": pc.equal(
+                        batch.column("l_returnflag"), pa.scalar("R")
+                    )
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)["ret"]
+            .max()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64()),
+                "ret": pa.array(g["ret"].to_numpy(np.int64)),
+            }
+        )
+
+    ls = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    ).map_batches(ls_partial, batch_format="pyarrow")
+
+    fkeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": pc.unique(
+                    b.filter(
+                        pc.equal(b.column("o_orderstatus"), pa.scalar("F"))
+                    ).column("o_orderkey")
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ls_f = shuffle_hash_join(ls, fkeys, "l_orderkey", "o_orderkey", 8, how="semi")
+
+    empty = pa.schema([("l_suppkey", pa.int64())]).empty_table()
+
+    def part_of(tbl: pa.Table, n: int) -> np.ndarray:
+        return (tbl.column("l_orderkey").to_numpy() % n).astype(np.int64)
+
+    def reduce_fn(_p: int, part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return empty
+        # re-collapse cross-block (order, supplier) duplicates, then
+        # per-order supplier/fault counts — all vectorized
+        g = (
+            part.to_pandas()
+            .groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)["ret"]
+            .max()
+        )
+        per_order = g.groupby("l_orderkey", sort=False)["ret"].agg(
+            n_supp="size", n_ret="sum"
+        )
+        m = g.merge(per_order, on="l_orderkey")
+        sel = m[(m["ret"] == 1) & (m["n_supp"] >= 2) & (m["n_ret"] == 1)]
+        return pa.table(
+            {"l_suppkey": pa.array(sel["l_suppkey"].to_numpy(np.int64))}
+        )
+
+    waiting = hash_exchange(ls_f, part_of, 8, reduce_fn, empty)
+    cnt = waiting.groupby("l_suppkey").aggregate(Count(alias_name="numwait"))
+    named = rel.broadcast_hash_join(
+        cnt,
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        ),
+        "l_suppkey",
+        "s_suppkey",
+        ["s_name"],
+    )
+    return named.map_batches(
+        lambda b: pa.table(
+            {
+                "s_name": b.column("s_name"),
+                "s_suppkey": b.column("l_suppkey"),
+                "numwait": b.column("numwait"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["numwait", "s_name"], descending=[True, False])
+
+
+def q_q2_min_cost_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q2-shaped min-cost supplier: for STANDARD parts of size
+    ≤ 15, the EUROPE supplier(s) offering each part at the lowest
+    observed line price — every tie survives, exact cent lattice
+    (lineitem stands in for the absent partsupp table as the
+    part→supplier price list). Shape: the region→nation→supplier map
+    and the filtered part keys broadcast (dimension-sized); lineitem
+    collapses to per-(part, supplier) min-price partials map-side;
+    ONE slim two-key groupby-min yields the pair table; its per-part
+    min broadcasts back as the tie probe; attribute joins run
+    broadcast on the surviving pair-dimension rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    eu = rel.broadcast_hash_join(
+        rel.broadcast_hash_join(
+            ray.data.read_parquet(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+            ),
+            ray.data.read_parquet(
+                f"{sf_dir}/nation.parquet",
+                columns=["n_nationkey", "n_name", "n_regionkey"],
+            ),
+            "s_nationkey",
+            "n_nationkey",
+            ["n_name", "n_regionkey"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        ),
+        "n_regionkey",
+        "r_regionkey",
+        ["r_name"],
+    ).map_batches(
+        lambda b: (
+            lambda sel: pa.table(
+                {
+                    "s_suppkey": sel.column("s_suppkey"),
+                    "s_name": sel.column("s_name"),
+                    "n_name": sel.column("n_name"),
+                    "bal_c": rel.cents(sel.column("s_acctbal")),
+                }
+            )
+        )(b.filter(pc.equal(b.column("r_name"), pa.scalar("EUROPE")))),
+        batch_format="pyarrow",
+    )
+    pk = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_type", "p_size"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b.column("p_type"), pa.scalar("STANDARD")),
+                pc.less_equal(b.column("p_size"), pa.scalar(15, pa.int32())),
+            )
+        ).select(["p_partkey", "p_name"]),
+        batch_format="pyarrow",
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    li = rel.broadcast_hash_join(li, pk, "l_partkey", "p_partkey", [])
+    li = rel.broadcast_hash_join(li, eu, "l_suppkey", "s_suppkey", [])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": batch.column("l_partkey").to_numpy(),
+                    "l_suppkey": batch.column("l_suppkey").to_numpy(),
+                    "price_c": rel.cents(batch.column("l_extendedprice")).to_numpy(),
+                }
+            )
+            .groupby(["l_partkey", "l_suppkey"], sort=False, as_index=False)["price_c"]
+            .min()
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"].to_numpy(), pa.int64()),
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64()),
+                "price_c": pa.array(g["price_c"].to_numpy(np.int64)),
+            }
+        )
+
+    pairs = (
+        li.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("price_c", alias_name="min_price_cents"))
+    )
+    pmin = pairs.groupby("l_partkey").aggregate(
+        Min("min_price_cents", alias_name="part_min")
+    )
+    winners = rel.broadcast_hash_join(
+        pairs, pmin, "l_partkey", "l_partkey", ["part_min"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("min_price_cents"), b.column("part_min"))
+        ).select(["l_partkey", "l_suppkey", "min_price_cents"]),
+        batch_format="pyarrow",
+    )
+    named = rel.broadcast_hash_join(
+        winners, eu, "l_suppkey", "s_suppkey", ["s_name", "n_name", "bal_c"]
+    )
+    withpart = rel.broadcast_hash_join(
+        named, pk, "l_partkey", "p_partkey", ["p_name"]
+    )
+    return withpart.map_batches(
+        lambda b: pa.table(
+            {
+                "s_acctbal_cents": b.column("bal_c"),
+                "s_name": b.column("s_name"),
+                "n_name": b.column("n_name"),
+                "p_partkey": b.column("l_partkey"),
+                "p_name": b.column("p_name"),
+                "min_price_cents": b.column("min_price_cents"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_q9_nation_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9-shaped nation profit: per (supplier nation, order
+    year) profit on 'red…' parts, where profit = discounted revenue
+    minus retail cost of the shipped quantity (p_retailprice stands in
+    for the absent ps_supplycost), exact on the cent×pct lattice (cost
+    cents × 100 to match revenue's cents×pct scale; amounts may be
+    negative). Shape: the filtered part cost map and supplier→nation
+    map broadcast; lineitem combines profit per (orderkey, nation)
+    map-side; ONE large×large shuffle join against orders attaches the
+    year; a slim two-key groupby-sum finishes."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    pk = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(
+        lambda b: (
+            lambda sel: pa.table(
+                {
+                    "p_partkey": sel.column("p_partkey"),
+                    "retail_c": rel.cents(sel.column("p_retailprice")),
+                }
+            )
+        )(b.filter(pc.starts_with(b.column("p_name"), "red"))),
+        batch_format="pyarrow",
+    )
+    sup = rel.broadcast_hash_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+        "s_nationkey",
+        "n_nationkey",
+        ["n_name"],
+    ).map_batches(
+        lambda b: pa.table(
+            {"s_suppkey": b.column("s_suppkey"), "nation": b.column("n_name")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    li = rel.broadcast_hash_join(li, pk, "l_partkey", "p_partkey", ["retail_c"])
+    li = rel.broadcast_hash_join(li, sup, "l_suppkey", "s_suppkey", ["nation"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            rel.cents(batch.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), rel.cents(batch.column("l_discount"))
+            ),
+        ).to_numpy()
+        qty = (
+            pc.cast(pc.floor(pc.add(batch.column("l_quantity"), 0.5)), pa.int64())
+            .to_numpy()
+        )
+        cost = batch.column("retail_c").to_numpy() * qty * 100
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": batch.column("l_orderkey").to_numpy(),
+                    "nation": batch.column("nation").to_numpy(zero_copy_only=False),
+                    "amount": rev - cost,
+                }
+            )
+            .groupby(["l_orderkey", "nation"], sort=False, as_index=False)["amount"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "nation": pa.array(g["nation"], pa.string()),
+                "amount": pa.array(g["amount"].to_numpy(np.int64)),
+            }
+        )
+
+    combined = li.map_batches(combine, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_hash_join(
+        combined, orders, "l_orderkey", "o_orderkey", 8, right_cols=["o_year"]
+    )
+    return joined.groupby(["nation", "o_year"]).aggregate(
+        Sum("amount", alias_name="profit_cp")
+    )
+
+
+def q_q11_important_parts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q11-shaped important parts: per-part shipped value from
+    NATION_3 suppliers, keeping parts whose value exceeds 1/1000 of
+    that nation's total (lineitem revenue stands in for the absent
+    partsupp stock value). The threshold is EXACT without the
+    cross-multiply: value·1000 > tot ⟺ value > tot // 1000 for
+    non-negative int64 (no overflow path). Shape: the nation's
+    supplier keys broadcast; lineitem combines value per partkey
+    map-side; ONE slim groupby-sum yields the part-dimension value
+    table, whose grand total folds to a driver scalar gating the
+    final filter."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    nsup = rel.broadcast_hash_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+        "s_nationkey",
+        "n_nationkey",
+        ["n_name"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("n_name"), pa.scalar("NATION_3"))
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    )
+    li = rel.broadcast_hash_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        nsup,
+        "l_suppkey",
+        "s_suppkey",
+        [],
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        val = pc.multiply(
+            rel.cents(batch.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), rel.cents(batch.column("l_discount"))
+            ),
+        ).to_numpy()
+        g = (
+            pd.DataFrame(
+                {"l_partkey": batch.column("l_partkey").to_numpy(), "val": val}
+            )
+            .groupby("l_partkey", sort=False, as_index=False)["val"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"].to_numpy(), pa.int64()),
+                "val": pa.array(g["val"].to_numpy(np.int64)),
+            }
+        )
+
+    grouped = (
+        li.map_batches(combine, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("val", alias_name="value_cp"))
+        .materialize()  # part-dimension-sized; feeds the total + filter
+    )
+    tot = int(grouped.aggregate(Sum("value_cp"))["sum(value_cp)"] or 0)
+    floor_t = tot // 1000
+    return grouped.map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("value_cp"), pa.scalar(floor_t, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_q16_supplier_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16-shaped supplier counts: distinct suppliers per
+    (brand, type, size) over the observed part→supplier relation
+    (distinct lineitem pairs stand in for partsupp), excluding
+    Brand#1, PROMO-type parts, sizes outside {1,5,10,15,20,25}, and
+    negative-balance suppliers (the complaints stand-in). Shape: the
+    filtered part attributes and the excluded supplier keys broadcast;
+    lineitem collapses to distinct (part, supplier) pairs map-side;
+    ONE slim 4-key groupby dedupes globally; the final count groups
+    the already-distinct rows per attribute triple."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    sizes = (1, 5, 10, 15, 20, 25)
+    attrs = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(
+        lambda b: (
+            lambda sel: pa.table(
+                {
+                    "p_partkey": sel.column("p_partkey"),
+                    "p_brand": sel.column("p_brand"),
+                    "p_type": sel.column("p_type"),
+                    "p_size": pc.cast(sel.column("p_size"), pa.int64()),
+                }
+            )
+        )(
+            b.filter(
+                pc.and_(
+                    pc.and_(
+                        pc.not_equal(b.column("p_brand"), pa.scalar("Brand#1")),
+                        pc.not_equal(b.column("p_type"), pa.scalar("PROMO")),
+                    ),
+                    pc.is_in(
+                        b.column("p_size"),
+                        value_set=pa.array(sizes, pa.int32()),
+                    ),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("s_acctbal"), pa.scalar(0.0))
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "l_partkey": batch.column("l_partkey").to_numpy(),
+                "l_suppkey": batch.column("l_suppkey").to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"].to_numpy(), pa.int64()),
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+    )
+    pairs = rel.broadcast_hash_join(pairs, ok, "l_suppkey", "s_suppkey", [])
+    tagged = rel.broadcast_hash_join(
+        pairs, attrs, "l_partkey", "p_partkey", ["p_brand", "p_type", "p_size"]
+    )
+    distinct = (
+        tagged.map_batches(
+            lambda b: b.select(["p_brand", "p_type", "p_size", "l_suppkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        distinct.map_batches(
+            lambda b: b.select(["p_brand", "p_type", "p_size"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+    )
+
+
+def q_q20_volume_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q20-shaped volume suppliers: AFRICA-region suppliers whose
+    1996 shipped quantity of 'small…' parts exceeds the average across
+    the region's shipping suppliers (the relative threshold stands in
+    for Q20's half-of-availqty predicate; without partsupp the
+    lineitem sums are the stock proxy). The avg predicate is EXACT
+    without float division: qty·n > tot ⟺ qty > tot // n for
+    non-negative int64. Shape: part keys and the region's supplier
+    keys broadcast; lineitem combines shipped qty per supplier
+    map-side; ONE slim groupby-sum yields the supplier-dimension
+    table; its (total, count) fold to driver scalars gating the
+    filter; the name join runs broadcast on survivors."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from duplicate_finder_ray.stages import relational as rel
+
+    af = rel.broadcast_hash_join(
+        rel.broadcast_hash_join(
+            ray.data.read_parquet(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name", "s_nationkey"],
+            ),
+            ray.data.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+            ),
+            "s_nationkey",
+            "n_nationkey",
+            ["n_regionkey"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        ),
+        "n_regionkey",
+        "r_regionkey",
+        ["r_name"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("r_name"), pa.scalar("AFRICA"))
+        ).select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow",
+    )
+    pk = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: b.filter(pc.starts_with(b.column("p_name"), "small")).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi),
+        )
+        sel = batch.filter(keep)
+        qty = (
+            pc.cast(pc.floor(pc.add(sel.column("l_quantity"), 0.5)), pa.int64())
+            .to_numpy()
+        )
+        g = (
+            pd.DataFrame(
+                {"l_suppkey": sel.column("l_suppkey").to_numpy(), "qty": qty}
+            )
+            .groupby("l_suppkey", sort=False, as_index=False)["qty"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64()),
+                "qty": pa.array(g["qty"].to_numpy(np.int64)),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    li = rel.broadcast_hash_join(li, pk, "l_partkey", "p_partkey", [])
+    li = rel.broadcast_hash_join(li, af, "l_suppkey", "s_suppkey", [])
+    shipped = (
+        li.map_batches(combine, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("qty", alias_name="shipped_qty"))
+        .materialize()  # supplier-dimension-sized; feeds stats + filter
+    )
+    stats = shipped.aggregate(
+        Sum("shipped_qty"), Count(alias_name="n")
+    )
+    tot = int(stats["sum(shipped_qty)"] or 0)
+    n = int(stats["n"] or 0)
+    floor_t = tot // n if n else 0
+    over = shipped.map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("shipped_qty"), pa.scalar(floor_t, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    return rel.broadcast_hash_join(
+        over, af, "l_suppkey", "s_suppkey", ["s_name"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("l_suppkey"),
+                "s_name": b.column("s_name"),
+                "shipped_qty": b.column("shipped_qty"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "code_files_derive": q_code_files_derive,
     "incremental_dedup": q_incremental_dedup,
@@ -3121,8 +4403,21 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "integrity_audit": q_integrity_audit,
     "session_cooccurrence": q_session_cooccurrence,
     "dedup_summary": q_dedup_summary,
+    "q1_pricing_summary": q_q1_pricing_summary,
     "q4_order_priority": q_q4_order_priority,
     "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q8_market_share": q_q8_market_share,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q19_bracket_revenue": q_q19_bracket_revenue,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_nation_profit": q_q9_nation_profit,
+    "q11_important_parts": q_q11_important_parts,
+    "q16_supplier_counts": q_q16_supplier_counts,
+    "q20_volume_suppliers": q_q20_volume_suppliers,
     "q12_priority_lines": q_q12_priority_lines,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q18_large_orders": q_q18_large_orders,
@@ -5308,6 +6603,190 @@ ORDER BY o_totalprice_cents DESC, o_orderkey
 LIMIT 100
 """
 
+# TPC-H Q1: pricing summary on the integer lattice (qty half-up, base
+# cents, disc cent×pct, charge cent×pct×pct); HUGEINT sums cast back
+ORACLE_SQL["q1_pricing_summary"] = """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS base,
+         100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS keep_pct,
+         100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_pct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(base) AS BIGINT) AS sum_base_cents,
+       CAST(sum(base * keep_pct) AS BIGINT) AS sum_disc_cp,
+       CAST(sum(base * keep_pct * tax_pct) AS BIGINT) AS sum_charge_cpp,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM m
+GROUP BY 1, 2
+"""
+
+# TPC-H Q7-shaped: revenue per (supp_nation → cust_nation, ship year),
+# all distinct directed nation pairs, 1995–1996
+ORACLE_SQL["q7_nation_volume"] = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT supp_nation, cn.n_name AS cust_nation, l_year,
+       CAST(sum(rev) AS BIGINT) AS revenue_cp
+FROM l
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE supp_nation <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+# TPC-H Q8-shaped: EUROPE-supplier share of ASIA-market ECONOMY-part
+# revenue per order year; ppm on HUGEINT (// truncates, both positive)
+ORACLE_SQL["q8_market_share"] = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         CASE WHEN sr.r_name = 'EUROPE' THEN 1 ELSE 0 END AS eu
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN region sr ON sr.r_regionkey = sn.n_regionkey
+),
+o AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+  WHERE cr.r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+),
+y AS (
+  SELECT o_year, CAST(sum(rev) AS HUGEINT) AS total,
+         CAST(sum(rev * eu) AS HUGEINT) AS eu
+  FROM l JOIN o ON o_orderkey = l_orderkey
+  GROUP BY 1
+)
+SELECT o_year,
+       CAST(total AS BIGINT) AS total_revenue_cp,
+       CAST(eu AS BIGINT) AS europe_revenue_cp,
+       CAST((eu * 1000000) // total AS BIGINT) AS europe_share_ppm
+FROM y
+"""
+
+# TPC-H Q13-shaped: customer count per non-urgent order count,
+# including the zero-order bucket (LEFT JOIN with the filter in the
+# join condition)
+ORACLE_SQL["q13_order_distribution"] = """
+WITH c AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer
+  LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+FROM c
+GROUP BY 1
+"""
+
+# TPC-H Q15: top supplier(s) by 1996-Q1 revenue, every tie survives
+ORACLE_SQL["q15_top_supplier"] = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS total_revenue_cp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_cp
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue_cp = (SELECT max(total_revenue_cp) FROM r)
+"""
+
+# TPC-H Q17-shaped: revenue of small-quantity Brand#1 small-part lines;
+# the 20%-of-avg predicate exact via cross-multiply 5·q·n < Σq
+ORACLE_SQL["q17_small_qty_revenue"] = """
+WITH pk AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 10
+),
+l AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+),
+s AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM l GROUP BY 1
+)
+SELECT COALESCE(CAST(sum(price_c) AS BIGINT), 0)
+         AS small_qty_revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM l JOIN s USING (l_partkey)
+WHERE 5 * q * n < sq
+"""
+
+# TPC-H Q19-shaped: OR-ed (brand, size, quantity) bracket revenue
+ORACLE_SQL["q19_bracket_revenue"] = """
+WITH m AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         p_brand, p_size
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT COALESCE(CAST(sum(rev) AS BIGINT), 0) AS bracket_revenue_cp,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM m
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND qty BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND qty BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND qty BETWEEN 20 AND 30)
+"""
+
+# TPC-H Q21-shaped: sole-fault suppliers on finalized multi-supplier
+# orders (returned flag stands in for the late-delivery predicate)
+ORACLE_SQL["q21_waiting_suppliers"] = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem
+  GROUP BY 1, 2
+),
+o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret
+  FROM ls
+  JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1
+)
+SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM ls
+JOIN o USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE ls.ret = 1 AND o.n_supp >= 2 AND o.n_ret = 1
+GROUP BY 1, 2
+"""
+
 # TPC-H Q22-shaped: lapsed high-balance customers per segment; the
 # avg comparison is the exact cross-multiply bal*n > tot on HUGEINT
 ORACLE_SQL["q22_lapsed_balances"] = """
@@ -5332,4 +6811,144 @@ WHERE CAST(bal_c AS HUGEINT) * n > tot
                   WHERE o.o_custkey = seg.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
+"""
+
+# TPC-H Q2-shaped: min-price EUROPE supplier per STANDARD small part,
+# all ties survive; lineitem stands in for partsupp
+ORACLE_SQL["q2_min_cost_supplier"] = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pk AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'STANDARD' AND p_size <= 15
+),
+pairs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS min_price_cents
+  FROM lineitem
+  JOIN pk ON p_partkey = l_partkey
+  JOIN eu ON eu.s_suppkey = l_suppkey
+  GROUP BY 1, 2
+),
+pm AS (
+  SELECT l_partkey, min(min_price_cents) AS part_min FROM pairs GROUP BY 1
+)
+SELECT bal_c AS s_acctbal_cents, s_name, n_name,
+       pairs.l_partkey AS p_partkey, p_name, min_price_cents
+FROM pairs
+JOIN pm ON pm.l_partkey = pairs.l_partkey AND min_price_cents = part_min
+JOIN eu ON eu.s_suppkey = pairs.l_suppkey
+JOIN pk ON pk.p_partkey = pairs.l_partkey
+"""
+
+# TPC-H Q9-shaped: per-(nation, year) profit on red parts; retailprice
+# stands in for supplycost; cost cents x100 to match the cents x pct
+# revenue lattice
+ORACLE_SQL["q9_nation_profit"] = """
+WITH pk AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS retail_c
+  FROM part WHERE p_name LIKE 'red%'
+),
+l AS (
+  SELECT l_orderkey, n_name AS nation,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           - retail_c * CAST(floor(l_quantity + 0.5) AS BIGINT) * 100
+           AS amount
+  FROM lineitem
+  JOIN pk ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+)
+SELECT nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(amount) AS BIGINT) AS profit_cp
+FROM l JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+# TPC-H Q11-shaped: parts whose NATION_3 shipped value exceeds 1/1000
+# of the nation total; the threshold is the exact integer equivalent
+# value*1000 > tot <=> value > tot // 1000
+ORACLE_SQL["q11_important_parts"] = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS value_cp
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, value_cp
+FROM v
+WHERE CAST(value_cp AS HUGEINT) * 1000 > (SELECT CAST(sum(value_cp) AS HUGEINT) FROM v)
+"""
+
+# TPC-H Q16-shaped: distinct suppliers per (brand, type, size) over
+# the observed lineitem part-supplier relation, with brand/type/size
+# and negative-balance supplier exclusions
+ORACLE_SQL["q16_supplier_counts"] = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+attrs AS (
+  SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
+  FROM part
+  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+    AND p_size IN (1, 5, 10, 15, 20, 25)
+),
+ok AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN attrs ON p_partkey = l_partkey
+JOIN ok ON ok.s_suppkey = l_suppkey
+GROUP BY 1, 2, 3
+"""
+
+# TPC-H Q20-shaped: AFRICA suppliers whose 1996 shipped qty of small
+# parts beats the region average; qty*n > tot exactly as HUGEINT
+ORACLE_SQL["q20_volume_suppliers"] = """
+WITH pk AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+af AS (
+  SELECT s_suppkey, s_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'AFRICA'
+),
+q AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS shipped_qty
+  FROM lineitem
+  JOIN pk ON p_partkey = l_partkey
+  JOIN af ON af.s_suppkey = l_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+st AS (
+  SELECT CAST(sum(shipped_qty) AS HUGEINT) AS tot,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM q
+)
+SELECT s_suppkey, s_name, shipped_qty
+FROM q
+JOIN af ON af.s_suppkey = q.l_suppkey, st
+WHERE CAST(shipped_qty AS HUGEINT) * n > tot
 """
