@@ -2246,6 +2246,24 @@ def q_repo_skew_report(sf_dir: str) -> ray.data.Dataset:
     return key_skew_report(_derived(sf_dir), "repo", n_parts=8)
 
 
+def q_repo_distinct_contents(sf_dir: str) -> ray.data.Dataset:
+    """Distinct content blobs per repo via EXPLICIT salted
+    repartitioning — the skew-breaking shape for mega-repos whose full
+    blob set must never co-locate on one reducer: values fan out over
+    md5(value)-salted partitions, each dedupes its disjoint slice, a
+    slim per-repo sum folds the partials."""
+    from duplicate_finder_ray.stages.relational import salted_distinct_count
+
+    return salted_distinct_count(
+        _derived(sf_dir).select_columns(["repo", "sha256"]),
+        "repo",
+        "sha256",
+        n_salts=4,
+        parts_per_salt=2,
+        alias="n_distinct",
+    )
+
+
 def q_code_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     """Incremental-validation diff between two deterministic snapshots
     of the code table: v2 drops doc_id%11==0 files (removed), appends
@@ -4422,6 +4440,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q14_promo_revenue": q_q14_promo_revenue,
     "q18_large_orders": q_q18_large_orders,
     "q22_lapsed_balances": q_q22_lapsed_balances,
+    "repo_distinct_contents": q_repo_distinct_contents,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6306,6 +6325,13 @@ j AS (
   FROM l FULL OUTER JOIN r ON l.repo = r.repo AND l.path = r.path
 )
 SELECT status, CAST(count(*) AS BIGINT) AS n_keys FROM j GROUP BY 1
+"""
+
+# distinct blobs per repo — the salted-repartition skew breaker's twin
+ORACLE_SQL["repo_distinct_contents"] = f"""
+{_D_SQL}
+SELECT repo, CAST(count(DISTINCT sha256) AS BIGINT) AS n_distinct
+FROM d GROUP BY repo
 """
 
 # order-insensitive 60-bit-md5 wrap-sum checksum (mod 2^64)

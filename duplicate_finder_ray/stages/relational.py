@@ -31,6 +31,12 @@ shape stated up front:
   work of a portable cryptographic sampler).
 * ``grouped_quantiles`` — exact linear-interpolation quantiles per
   group via one groupby; per-group numpy kernel.
+* ``salted_distinct_count`` — explicit salted repartitioning: a hot
+  key's value set fans out over ``n_salts`` reducers by
+  ``md5(value) % n_salts`` (same value → same salt, so per-slice
+  dedupe is globally exact) and a slim per-key sum folds the partials.
+  Breaks the mega-repo / hot-shingle skew that a plain per-key
+  groupby cannot.
 """
 
 from __future__ import annotations
@@ -553,6 +559,121 @@ def grouped_quantiles(
         .groupby(group_col)
         .map_groups(per_group, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# salted repartitioning (explicit skew breaking for hot keys)
+# --------------------------------------------------------------------------
+
+
+def _salted_pid(
+    key_col: pa.ChunkedArray | pa.Array,
+    value_col: pa.ChunkedArray | pa.Array,
+    n_salts: int,
+    n_parts: int,
+) -> np.ndarray:
+    """Partition id for (key, value) rows under salted repartitioning:
+    ``(md5(key) * n_salts + md5(value) % n_salts) % n_parts``. One hot
+    key fans out over exactly ``n_salts`` partitions (consecutive mod
+    n_parts), while any fixed (key, value) pair always lands in the
+    SAME partition — the invariant that keeps per-partition dedupe
+    globally correct. md5-based so the assignment is replayable in any
+    engine (same doctrine as ``deterministic_sample``)."""
+    kh = _md5_prefix_u64(key_col)
+    vh = _md5_prefix_u64(value_col)
+    salt = vh % np.uint64(n_salts)
+    return (
+        (kh * np.uint64(n_salts) + salt) % np.uint64(n_parts)
+    ).astype(np.int64)
+
+
+def salted_distinct_count(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    n_salts: int = 8,
+    parts_per_salt: int = 4,
+    alias: str = "n_distinct",
+) -> ray.data.Dataset:
+    """Per-key distinct-value count with EXPLICIT salted repartitioning
+    — the skew breaker for mega-keys (a mega-repo's blob set, a hot
+    shingle's doc list) whose full value set must never co-locate on
+    one reducer.
+
+    A plain ``groupby(key).nunique`` ships every (key, value) row of a
+    hot key to ONE task: O(hot key) memory, the classic skew OOM. Here
+    the exchange partitions by ``(key, salt)`` where
+    ``salt = md5(value) % n_salts``: the hot key's values spread over
+    ``n_salts`` reducers, each dedupes its disjoint slice (same value
+    → same salt → same partition, so slices partition the distinct
+    set), and a final slim groupby sums the ≤ n_salts partials per
+    key. Memory bound drops from O(hot key) to O(hot key / n_salts);
+    the partials shuffle is key-cardinality-sized.
+
+    Map-side, each block pre-dedupes its (key, value) pairs so the
+    exchange carries block-distinct rows, not raw rows. Keys and
+    values must be non-null (md5 kernel contract)."""
+    if n_salts <= 0 or parts_per_salt <= 0:
+        raise ValueError("n_salts and parts_per_salt must be positive")
+    n_parts = n_salts * parts_per_salt
+
+    from duplicate_finder_ray.stages.join import _pa_type
+
+    key_type = None
+    schema = ds.schema()
+    if schema is not None:
+        key_type = {
+            c: _pa_type(t) for c, t in zip(schema.names, schema.types)
+        }[key_col]
+
+    def pre_dedupe(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+                value_col: batch.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col], key_type),
+                value_col: pa.array(g[value_col]),
+            }
+        )
+
+    slim = ds.select_columns([key_col, value_col]).map_batches(
+        pre_dedupe, batch_format="pyarrow"
+    )
+
+    empty = pa.schema(
+        [(key_col, key_type or pa.string()), ("n", pa.int64())]
+    ).empty_table()
+
+    def part_of(tbl: pa.Table, n: int) -> np.ndarray:
+        return _salted_pid(
+            tbl.column(key_col), tbl.column(value_col), n_salts, n
+        )
+
+    def reduce_fn(_p: int, part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return empty
+        g = (
+            part.to_pandas()
+            .drop_duplicates()  # cross-block dupes within this slice
+            .groupby(key_col, sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col], key_type),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    partials = hash_exchange(slim, part_of, n_parts, reduce_fn, empty)
+    return partials.groupby(key_col).aggregate(Sum("n", alias_name=alias))
 
 
 # --------------------------------------------------------------------------

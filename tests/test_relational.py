@@ -332,3 +332,51 @@ class TestPivotSums:
                   "value": pa.array([1.0])})
         with pytest.raises(ValueError):
             rel.pivot_sums(ds, "user_id", "event_type", "value", [])
+
+
+class TestSaltedDistinctCount:
+    def test_matches_pandas_nunique(self):
+        # one hot key (k=0) holding most values, plus cross-block
+        # duplicates of the same (key, value) pair — the salted slices
+        # must still partition the distinct set exactly
+        rng = np.random.default_rng(7)
+        keys = np.where(rng.random(4000) < 0.7, 0, rng.integers(1, 20, 4000))
+        vals = rng.integers(0, 300, 4000)
+        ds = _ds(
+            {
+                "k": pa.array(keys.astype(str)),
+                "v": pa.array(vals.astype(str)),
+            }
+        ).repartition(8)
+        got = {
+            r["k"]: r["nd"]
+            for r in rel.salted_distinct_count(
+                ds, "k", "v", n_salts=4, parts_per_salt=2, alias="nd"
+            ).take_all()
+        }
+        import pandas as pd
+
+        want = (
+            pd.DataFrame({"k": keys.astype(str), "v": vals.astype(str)})
+            .groupby("k")["v"]
+            .nunique()
+            .to_dict()
+        )
+        assert got == want
+
+    def test_salt_one_equals_plain_groupby(self):
+        ds = _ds({"k": pa.array(["a", "a", "b"]), "v": pa.array(["x", "x", "x"])})
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in rel.salted_distinct_count(
+                ds, "k", "v", n_salts=1, parts_per_salt=1
+            ).take_all()
+        }
+        assert got == {"a": 1, "b": 1}
+
+    def test_rejects_bad_params(self):
+        ds = _ds({"k": pa.array(["a"]), "v": pa.array(["x"])})
+        with pytest.raises(ValueError):
+            rel.salted_distinct_count(ds, "k", "v", n_salts=0)
+        with pytest.raises(ValueError):
+            rel.salted_distinct_count(ds, "k", "v", parts_per_salt=0)
