@@ -2264,6 +2264,35 @@ def q_repo_distinct_contents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_code_global_rank(sf_dir: str) -> ray.data.Dataset:
+    """Exact distributed row_number over the whole code table ordered
+    by (size, sha256, file_id) — sampled range boundaries, one range
+    exchange, per-slice Arrow sort, driver folds P offset ints."""
+    from duplicate_finder_ray.stages.rank import global_rank
+
+    return global_rank(
+        _derived(sf_dir).select_columns(["file_id", "size", "sha256"]),
+        ["size", "sha256", "file_id"],
+        num_partitions=16,
+    ).select_columns(["file_id", "rnk"])
+
+
+def q_snm_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Sorted-neighborhood blocking: candidate pairs within 4 rank
+    positions under the (size, sha256, file_id) sort — the classic
+    record-linkage window complement to LSH blocking."""
+    from duplicate_finder_ray.stages.rank import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _derived(sf_dir).select_columns(["file_id", "size", "sha256"]),
+        ["size", "sha256", "file_id"],
+        "file_id",
+        window=4,
+        chunk=512,
+        num_partitions=16,
+    )
+
+
 def q_code_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     """Incremental-validation diff between two deterministic snapshots
     of the code table: v2 drops doc_id%11==0 files (removed), appends
@@ -4441,6 +4470,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q18_large_orders": q_q18_large_orders,
     "q22_lapsed_balances": q_q22_lapsed_balances,
     "repo_distinct_contents": q_repo_distinct_contents,
+    "code_global_rank": q_code_global_rank,
+    "snm_candidate_pairs": q_snm_candidate_pairs,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6332,6 +6363,27 @@ ORACLE_SQL["repo_distinct_contents"] = f"""
 {_D_SQL}
 SELECT repo, CAST(count(DISTINCT sha256) AS BIGINT) AS n_distinct
 FROM d GROUP BY repo
+"""
+
+# global row_number / sorted-neighborhood twins: Arrow's multi-key sort
+# and DuckDB's ORDER BY both compare strings bytewise (binary
+# collation), so the rank assignment is engine-identical
+ORACLE_SQL["code_global_rank"] = f"""
+{_D_SQL}
+SELECT file_id,
+       row_number() OVER (ORDER BY size, sha256, file_id) - 1 AS rnk
+FROM d
+"""
+
+ORACLE_SQL["snm_candidate_pairs"] = f"""
+{_D_SQL},
+r AS (
+  SELECT file_id,
+         row_number() OVER (ORDER BY size, sha256, file_id) - 1 AS rnk
+  FROM d
+)
+SELECT x.file_id AS a, y.file_id AS b, CAST(y.rnk - x.rnk AS BIGINT) AS dist
+FROM r x JOIN r y ON y.rnk > x.rnk AND y.rnk <= x.rnk + 4
 """
 
 # order-insensitive 60-bit-md5 wrap-sum checksum (mod 2^64)
