@@ -2293,6 +2293,48 @@ def q_snm_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_skew_join_repo_bytes(sf_dir: str) -> ray.data.Dataset:
+    """Skew-adaptive join demo: per-file repo-bytes attribution rolled
+    up by language. The join runs through ``skew_join`` with a
+    deliberately low hot threshold so most repos take the SALTED path
+    (left fans over salts, right rows replicated per salt) — the
+    mega-repo shape where a plain hash join pins one reducer."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.join import skew_join
+
+    d = _derived(sf_dir)
+    rb = (
+        d.select_columns(["repo", "size"])
+        .groupby("repo")
+        .aggregate(Sum("size", alias_name="repo_bytes"))
+    )
+    joined = skew_join(
+        d.select_columns(["repo", "lang"]),
+        rb,
+        "repo",
+        "repo",
+        n_parts=8,
+        right_cols=["repo_bytes"],
+        hot_threshold=4,
+        n_salts=4,
+    )
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__one", pa.array(np.ones(len(t), dtype=np.int64))
+        )
+
+    return (
+        joined.map_batches(add_one, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("repo_bytes", alias_name="total_repo_bytes"),
+            Sum("__one", alias_name="n_files"),
+        )
+    )
+
+
 def q_code_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     """Incremental-validation diff between two deterministic snapshots
     of the code table: v2 drops doc_id%11==0 files (removed), appends
@@ -4472,6 +4514,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "repo_distinct_contents": q_repo_distinct_contents,
     "code_global_rank": q_code_global_rank,
     "snm_candidate_pairs": q_snm_candidate_pairs,
+    "skew_join_repo_bytes": q_skew_join_repo_bytes,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6363,6 +6406,19 @@ ORACLE_SQL["repo_distinct_contents"] = f"""
 {_D_SQL}
 SELECT repo, CAST(count(DISTINCT sha256) AS BIGINT) AS n_distinct
 FROM d GROUP BY repo
+"""
+
+# skew-adaptive join: the salted routing is invisible to the result,
+# so the twin is the plain join + rollup
+ORACLE_SQL["skew_join_repo_bytes"] = f"""
+{_D_SQL},
+rb AS (SELECT repo, CAST(sum(size) AS BIGINT) AS repo_bytes
+       FROM d GROUP BY repo)
+SELECT d.lang,
+       CAST(sum(rb.repo_bytes) AS BIGINT) AS total_repo_bytes,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM d JOIN rb USING (repo)
+GROUP BY d.lang
 """
 
 # global row_number / sorted-neighborhood twins: Arrow's multi-key sort

@@ -158,6 +158,8 @@ def shuffle_hash_join(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     how: str = "inner",
+    hot_keys: frozenset | set | None = None,
+    n_salts: int = 8,
 ) -> ray.data.Dataset:
     """Large × large equi-join on the barrier-free hash exchange.
 
@@ -177,9 +179,24 @@ def shuffle_hash_join(
     with NO match, left columns only), or 'full' (both sides' unmatched
     rows survive; the key column is coalesced from whichever side has
     the row).
+
+    ``hot_keys`` (skew salting): left rows whose key is hot spread over
+    ``n_salts`` partitions (salt = row position % n_salts) and the
+    matching right rows are REPLICATED once per salt, so a hot key's
+    reduce-side bound drops from O(hot rows) to O(hot rows / n_salts)
+    while each (left, right) match still meets in exactly one
+    partition. Cold keys take the unsalted path unchanged. Right rows
+    per hot key should be modest (each is copied ``n_salts`` times);
+    'full' is rejected under salting (replicated right copies would
+    multiply unmatched-right emission).
     """
     if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"unsupported how={how!r}")
+    if hot_keys and how == "full":
+        raise ValueError("hot-key salting does not support how='full'")
+    if n_salts <= 0:
+        raise ValueError("n_salts must be positive")
+    n_salts = min(n_salts, n_parts)  # distinct-partition guarantee
     lschema = left.schema()
     rschema = right.schema()
     # a fully-empty side has no inferable schema (schema() is None):
@@ -215,7 +232,7 @@ def shuffle_hash_join(
 
     key_type = ltypes[left_key]  # right keys are cast to the left's type
     combined = pa.schema(
-        [("__key", key_type), ("__side", pa.int8())]
+        [("__key", key_type), ("__side", pa.int8()), ("__salt", pa.int32())]
         + [(n, ltypes[n]) for n in lpayload]
         + [(n, rtypes[n]) for n in rpayload]
     )
@@ -227,18 +244,53 @@ def shuffle_hash_join(
     if lschema is None:  # schemaless-empty left: empty result for every how
         return ray.data.from_arrow(out_schema.empty_table())
 
+    hot_arr = (
+        pa.array(sorted(hot_keys), type=key_type)
+        if hot_keys
+        else None
+    )
+
     def tag(side: int, key: str, keep: list[str]):
-        def fn(batch: pa.Table) -> pa.Table:
+        def project(tbl: pa.Table, salt: np.ndarray) -> pa.Table:
             arrays = [
-                batch.column(key).cast(key_type),
-                pa.array(np.full(len(batch), side, dtype=np.int8)),
+                tbl.column(key).cast(key_type),
+                pa.array(np.full(len(tbl), side, dtype=np.int8)),
+                pa.array(salt, pa.int32()),
             ]
-            for field in list(combined)[2:]:
+            for field in list(combined)[3:]:
                 if field.name in keep:
-                    arrays.append(batch.column(field.name).cast(field.type))
+                    arrays.append(tbl.column(field.name).cast(field.type))
                 else:
-                    arrays.append(pa.nulls(len(batch), field.type))
+                    arrays.append(pa.nulls(len(tbl), field.type))
             return pa.Table.from_arrays(arrays, schema=combined)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            salt = np.zeros(len(batch), dtype=np.int32)
+            if hot_arr is None or len(hot_arr) == 0:
+                return project(batch, salt)
+            hm = np.asarray(
+                pc.is_in(batch.column(key).cast(key_type), value_set=hot_arr)
+            )
+            if side == 0:
+                # hot left rows fan out by row position — any spread works,
+                # the matching right copy exists in every salt partition
+                salt[hm] = np.arange(len(batch), dtype=np.int32)[hm] % n_salts
+                return project(batch, salt)
+            out = [project(batch, salt)]
+            if hm.any():
+                hot_tbl = batch.filter(pa.array(hm))
+                out += [
+                    project(
+                        hot_tbl,
+                        np.full(len(hot_tbl), s, dtype=np.int32),
+                    )
+                    for s in range(1, n_salts)
+                ]
+            return (
+                out[0]
+                if len(out) == 1
+                else pa.concat_tables(out).combine_chunks()
+            )
 
         return fn
 
@@ -252,7 +304,13 @@ def shuffle_hash_join(
             h = pd.util.hash_array(vals)
         else:
             h = pd.util.hash_array(np.ascontiguousarray(vals))
-        return (h % np.uint64(n)).astype(np.int64)
+        # salt shifts hot rows across partitions; cold rows (salt 0)
+        # keep the exact unsalted assignment. +salt (not hash(salt))
+        # with n_salts <= n_parts guarantees a key's salt copies land
+        # in n_salts DISTINCT partitions — two copies sharing a
+        # partition would double-match its left rows
+        salt = tbl.column("__salt").to_numpy().astype(np.uint64)
+        return ((h + salt) % np.uint64(n)).astype(np.int64)
 
     def merge(_p: int, part: pa.Table) -> pa.Table:
         side = part.column("__side").to_numpy()
@@ -307,3 +365,82 @@ def shuffle_hash_join(
     )
 
 
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    n_parts: int,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    hot_threshold: int = 100_000,
+    n_salts: int = 8,
+    max_hot: int = 4096,
+) -> ray.data.Dataset:
+    """Skew-adaptive equi-join: measures the left side's per-key row
+    counts first (the adaptive-execution move), then routes keys with
+    >= ``hot_threshold`` rows through ``shuffle_hash_join``'s salted
+    path (left fans over ``n_salts`` reducers, matching right rows
+    replicated per salt) while cold keys take the plain hash exchange.
+    A mega-key — one repo holding half the corpus, one user emitting
+    half the events — no longer pins its entire row set on a single
+    reducer.
+
+    The count pass is map-side combined (per-block ``value_counts``
+    partials → one key-cardinality-slim groupby); the hot set is
+    capped at ``max_hot`` keys by (count, key) order — beyond that the
+    skew is better fixed upstream, and the cap keeps the broadcast hot
+    array bounded. ``left`` is materialized once so the count pass and
+    the exchange don't recompute its lineage."""
+    if hot_threshold <= 0:
+        raise ValueError("hot_threshold must be positive")
+    if max_hot <= 0:
+        raise ValueError("max_hot must be positive")
+    from ray.data.aggregate import Sum
+
+    mleft = left.materialize()
+    lschema = mleft.schema()
+    if lschema is None:
+        raise ValueError("left side has no schema")
+    key_type = _pa_type(
+        dict(zip(lschema.names, lschema.types))[left_key]
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column(left_key).cast(key_type))
+        return pa.table(
+            {
+                left_key: vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        mleft.select_columns([left_key])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(left_key)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot_rows = sorted(
+        (
+            (r["n"], r[left_key])
+            for r in counts.take_all()
+            if r["n"] >= hot_threshold
+        ),
+        reverse=True,
+    )[:max_hot]
+    hot = frozenset(k for _, k in hot_rows)
+    return shuffle_hash_join(
+        mleft,
+        right,
+        left_key,
+        right_key,
+        n_parts,
+        left_cols=left_cols,
+        right_cols=right_cols,
+        how=how,
+        hot_keys=hot,
+        n_salts=n_salts,
+    )

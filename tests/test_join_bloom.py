@@ -196,3 +196,59 @@ class TestAntiJoin:
             left, right, "k", "rk", 2, right_cols=[], how="anti"
         ).take_all()
         assert sorted(r["k"] for r in out) == [1, 2]
+
+
+class TestSkewSalting:
+    def _sides(self):
+        rng = np.random.default_rng(3)
+        # one mega key (0) with 600 left rows; right has 1-2 rows per key
+        lk = np.where(rng.random(800) < 0.75, 0, rng.integers(1, 12, 800))
+        left = _ds({"k": pa.array(lk, pa.int64()),
+                    "x": pa.array(np.arange(800, dtype=np.int64))})
+        rk = np.array([0, 0, 1, 2, 3, 5, 7, 9, 11, 20], dtype=np.int64)
+        right = _ds({"rk": pa.array(rk),
+                     "y": pa.array(rk * 10)})
+        return left.repartition(6), right
+
+    def _pairs(self, rows, cols):
+        return sorted(tuple(r[c] for c in cols) for r in rows)
+
+    def test_salted_equals_unsalted_all_hows(self, ray_session):
+        from duplicate_finder_ray.stages.join import skew_join
+
+        left, right = self._sides()
+        for how, cols in [
+            ("inner", ["k", "x", "y"]),
+            ("left", ["k", "x", "y"]),
+            ("semi", ["k", "x"]),
+            ("anti", ["k", "x"]),
+        ]:
+            plain = shuffle_hash_join(
+                left, right, "k", "rk", 5, how=how
+            ).take_all()
+            salted = skew_join(
+                left, right, "k", "rk", 5, how=how,
+                hot_threshold=50, n_salts=4,
+            ).take_all()
+            assert self._pairs(salted, cols) == self._pairs(plain, cols), how
+
+    def test_n_salts_clamped_to_n_parts(self, ray_session):
+        from duplicate_finder_ray.stages.join import skew_join
+
+        left, right = self._sides()
+        plain = shuffle_hash_join(left, right, "k", "rk", 3).take_all()
+        salted = skew_join(
+            left, right, "k", "rk", 3, hot_threshold=50, n_salts=64
+        ).take_all()
+        assert self._pairs(salted, ["k", "x", "y"]) == self._pairs(
+            plain, ["k", "x", "y"]
+        )
+
+    def test_full_rejected_under_salting(self, ray_session):
+        left, right = self._sides()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            shuffle_hash_join(
+                left, right, "k", "rk", 4, how="full", hot_keys={0}
+            )
