@@ -2293,6 +2293,55 @@ def q_snm_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_near_dup_kcore(sf_dir: str) -> ray.data.Dataset:
+    """3-core of the exact-Jaccard near-dup graph after three peel
+    rounds — separates clique-like duplicate neighborhoods from chains
+    and hubs that degree alone can't distinguish. Fixed round count so
+    the chained-CTE SQL twin is exact."""
+    from duplicate_finder_ray.stages.graph import kcore_peel
+
+    return kcore_peel(
+        q_ngram_jaccard_pairs(sf_dir), k=3, rounds=3, n_parts=16
+    )
+
+
+def q_doclen_equidepth_hist(sf_dir: str) -> ray.data.Dataset:
+    """Equi-depth (equal-frequency) 8-bucket histogram of document
+    lengths: global_rank assigns exact row numbers, bucket =
+    rnk*8//n, per-bucket (lo, hi, count) via one slim groupby — the
+    optimizer-statistics shape equi-width histograms can't give on
+    heavy-tailed lengths."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from duplicate_finder_ray.stages.rank import global_rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ranked = global_rank(docs, ["n_chars", "doc_id"], num_partitions=16)
+    n = ranked.count()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        rnk = t.column("rnk").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(rnk * 8 // n, pa.int64()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "__one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    return (
+        ranked.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Min("n_chars", alias_name="lo"),
+            Max("n_chars", alias_name="hi"),
+            Sum("__one", alias_name="n_docs"),
+        )
+    )
+
+
 def q_skew_join_repo_bytes(sf_dir: str) -> ray.data.Dataset:
     """Skew-adaptive join demo: per-file repo-bytes attribution rolled
     up by language. The join runs through ``skew_join`` with a
@@ -4515,6 +4564,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "code_global_rank": q_code_global_rank,
     "snm_candidate_pairs": q_snm_candidate_pairs,
     "skew_join_repo_bytes": q_skew_join_repo_bytes,
+    "near_dup_kcore": q_near_dup_kcore,
+    "doclen_equidepth_hist": q_doclen_equidepth_hist,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -5868,6 +5919,48 @@ def _pagerank_sql(iterations: int = 3, dn: int = 17, dd: int = 20,
 
 
 ORACLE_SQL["near_dup_pagerank"] = _pagerank_sql(iterations=3)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
+    """Chained-CTE SQL twin of stages/graph.py:kcore_peel — same k,
+    same FIXED round count, so the peel sequence is in lockstep."""
+    cte = ["e0 AS (SELECT a, b FROM e)"]
+    for i in range(1, rounds + 1):
+        cte.append(
+            f"d{i} AS (SELECT node, CAST(count(*) AS BIGINT) AS deg"
+            f" FROM (SELECT a AS node FROM e{i-1}"
+            f"       UNION ALL SELECT b FROM e{i-1}) GROUP BY node)"
+        )
+        cte.append(f"k{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        cte.append(
+            f"e{i} AS (SELECT x.a, x.b FROM e{i-1} x"
+            f" JOIN k{i} ka ON ka.node = x.a"
+            f" JOIN k{i} kb ON kb.node = x.b)"
+        )
+    return (
+        "WITH " + _NGRAM_CTES + "," + _EDGE_CTE + ",\n    "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node, CAST(count(*) AS BIGINT) AS degree"
+        f" FROM (SELECT a AS node FROM e{rounds}"
+        f"       UNION ALL SELECT b FROM e{rounds}) GROUP BY node"
+    )
+
+
+ORACLE_SQL["near_dup_kcore"] = _kcore_sql(k=3, rounds=3)
+
+ORACLE_SQL["doclen_equidepth_hist"] = """
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rnk,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT CAST((rnk * 8) // n AS BIGINT) AS bucket,
+       CAST(min(n_chars) AS BIGINT) AS lo,
+       CAST(max(n_chars) AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM r GROUP BY 1
+"""
 
 # containment on the same shingle CTEs: c / least(na, nb) — both
 # engines compare the identical float64 division of exact ints, and

@@ -501,3 +501,49 @@ def pagerank(
         return pa.table({"node": t.column("node"), "rank": t.column("r")})
 
     return rank.map_batches(finalize, batch_format="pyarrow")
+
+def kcore_peel(
+    pairs: ray.data.Dataset,
+    k: int,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    n_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded-round k-core peel over an unordered unique edge set —
+    the dup-graph densification audit (a node in the 3-core sits in a
+    tight clique-ish duplicate neighborhood; degree alone can't tell a
+    hub from a core). Each round: exact degrees (count partials → slim
+    groupby), keep nodes with degree >= ``k``, semi-join the edge list
+    against the keepers on BOTH endpoints — two slim shuffle
+    semi-joins, no node-set broadcast, no driver materialization.
+    Returns the surviving (node, degree) table after ``rounds`` peels.
+
+    A FIXED round count (not a fixpoint loop) keeps the op
+    deterministic and its SQL twin exact; each extra round costs three
+    slim exchanges. Convergence: if a round removes nothing the
+    remaining rounds are no-ops, so rounds only needs to reach the
+    peel depth."""
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if rounds <= 0:
+        raise ValueError("rounds must be positive")
+    n_parts = n_parts or _default_parts()
+    edges = pairs.select_columns([a_col, b_col])
+    for _ in range(rounds):
+        keep = (
+            pair_degrees(edges, a_col, b_col)
+            .filter(expr=f"degree >= {k}")
+            .select_columns(["node"])
+        )
+        edges = shuffle_hash_join(
+            edges, keep, a_col, "node", n_parts,
+            left_cols=[a_col, b_col], how="semi",
+        )
+        edges = shuffle_hash_join(
+            edges, keep, b_col, "node", n_parts,
+            left_cols=[a_col, b_col], how="semi",
+        )
+    return pair_degrees(edges, a_col, b_col)

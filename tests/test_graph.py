@@ -154,3 +154,58 @@ def test_pagerank_partitioning_invariant():
     # integer flooring only ever loses mass: total ≤ scale, close to it
     total = sum(want.values())
     assert 0.99 * 10**12 < total <= 10**12
+
+
+def _kcore_oracle(pairs: list[tuple], k: int, rounds: int) -> dict:
+    edges = list(pairs)
+    for _ in range(rounds):
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    out: dict = {}
+    for a, b in edges:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def test_kcore_peel_matches_python_oracle():
+    from duplicate_finder_ray.stages.graph import kcore_peel
+
+    # a 5-clique (survives any 3-core peel), a 6-chain (dies), and a
+    # pendant hanging off the clique (dies round 1, lowering c0's
+    # degree — exercises the iterative re-peel)
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    chain = [(f"h{i}", f"h{i+1}") for i in range(6)]
+    pend = [("c0", "p0")]
+    pairs = clique + chain + pend
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs]),
+                "b": pa.array([p[1] for p in pairs]),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(ds, k=3, rounds=3, n_parts=4).take_all()
+    }
+    want = _kcore_oracle(pairs, 3, 3)
+    assert got == want
+    assert set(got) == {f"c{i}" for i in range(5)}  # only the clique survives
+
+
+def test_kcore_rejects_bad_params():
+    import pytest as _pytest
+
+    from duplicate_finder_ray.stages.graph import kcore_peel
+
+    ds = ray.data.from_arrow(pa.table({"a": ["x"], "b": ["y"]}))
+    with _pytest.raises(ValueError):
+        kcore_peel(ds, k=0, rounds=1)
+    with _pytest.raises(ValueError):
+        kcore_peel(ds, k=1, rounds=0)
