@@ -289,14 +289,26 @@ def run_scaling() -> None:
             GRAFT_BENCH_ROWS=str(SCALING_ROWS),
             GRAFT_SCALING_ONLY="1",
         )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # a leg can die transiently (host OOM/steal burst mid-window) —
+        # surface its stderr instead of discarding it, retry once
+        for attempt in (1, 2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py")],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                return json.loads(out.strip().splitlines()[-1])
+            except subprocess.CalledProcessError as e:
+                sys.stderr.write(
+                    f"scaling child ncpu={ncpu} attempt {attempt} failed:\n"
+                    f"{(e.stderr or '')[-2000:]}\n"
+                )
+                if attempt == 2:
+                    raise
+                time.sleep(10)
 
     def leg_sec(r: dict) -> float:
         return r["queries"]["exact_dedup"] + r["queries"]["near_dup"]

@@ -2342,6 +2342,38 @@ def q_doclen_equidepth_hist(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_media_phash(sf_dir: str) -> ray.data.Dataset:
+    """64-bit DCT perceptual hash per media item — the signature media
+    dedup groups on (``phash_groups`` is the grouping op; this corpus
+    has no exact-payload dups, so the driver checks the signature
+    table itself). The pHash math is real (batched einsum per actor,
+    gated against a naive-DCT reference in tests/test_multimodal.py);
+    pixel acquisition is the documented codec stub, hence rows-only."""
+    from duplicate_finder_ray.stages.multimodal import (
+        media_from_documents,
+        media_phash,
+    )
+
+    return media_phash(media_from_documents(sf_dir)).select_columns(
+        ["media_id", "media_type", "phash"]
+    )
+
+
+def q_profile_documents(sf_dir: str) -> ray.data.Dataset:
+    """Column profile of the documents table (row/null counts, exact
+    distinct cardinality, min/max) — the ingest-time data-quality
+    audit. Typed min/max partials fold on the driver; distinct counts
+    ride the salted hot-key exchange (col_name is the textbook hot
+    key)."""
+    from duplicate_finder_ray.stages.profile import profile_table
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=cols
+    )
+    return profile_table(docs, cols)
+
+
 def q_skew_join_repo_bytes(sf_dir: str) -> ray.data.Dataset:
     """Skew-adaptive join demo: per-file repo-bytes attribution rolled
     up by language. The join runs through ``skew_join`` with a
@@ -4566,6 +4598,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "skew_join_repo_bytes": q_skew_join_repo_bytes,
     "near_dup_kcore": q_near_dup_kcore,
     "doclen_equidepth_hist": q_doclen_equidepth_hist,
+    "profile_documents": q_profile_documents,
+    "media_phash": q_media_phash,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -5947,6 +5981,27 @@ def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
 
 
 ORACLE_SQL["near_dup_kcore"] = _kcore_sql(k=3, rounds=3)
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    """UNION-ALL-per-column twin of stages/profile.py:profile_table —
+    same null semantics (count/min/max skip nulls) and the same
+    int→VARCHAR stringification (Arrow cast ≡ DuckDB CAST)."""
+    parts = [
+        f"SELECT '{c}' AS col_name,"
+        f" CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(*) - count({c}) AS BIGINT) AS n_null,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST(min({c}) AS VARCHAR) AS min_value,"
+        f" CAST(max({c}) AS VARCHAR) AS max_value"
+        f" FROM {table}"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_SQL["profile_documents"] = _profile_sql(
+    "documents", ["doc_id", "lang", "source", "n_chars"]
+)
 
 ORACLE_SQL["doclen_equidepth_hist"] = """
 WITH r AS (

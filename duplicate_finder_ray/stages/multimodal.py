@@ -227,3 +227,109 @@ def media_from_documents(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(derive, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup for media (real DCT kernel, stubbed pixels)
+# ---------------------------------------------------------------------------
+
+
+class PhashStage:
+    """Actor-pool stage: payload → 64-bit DCT perceptual hash
+    (media dedup's classic signature: robust to re-encode/resize under
+    a real codec).
+
+    The pixel ACQUISITION is the DecoderStub-style deterministic fake
+    (payload bytes tiled into a 32×32 grayscale buffer — codecs are
+    absent in this container); the pHash MATH is the real algorithm —
+    2-D DCT-II over 32×32, top-left 8×8 low-frequency block, DC
+    dropped, median threshold, 64-bit pack — and runs as ONE batched
+    einsum over the whole batch (the DCT basis is built once per
+    actor). Swap ``_pixels`` for a PIL-backed loader and nothing else
+    changes."""
+
+    _N = 32
+
+    def __init__(self) -> None:
+        n = np.arange(self._N)
+        basis = np.sqrt(2.0 / self._N) * np.cos(
+            np.pi * (2 * n[None, :] + 1) * n[:, None] / (2 * self._N)
+        )
+        basis[0] /= np.sqrt(2.0)
+        self.basis = basis  # (32, 32) DCT-II matrix, orthonormal
+
+    def _pixels(self, payload: bytes) -> np.ndarray:
+        """STUB pixel loader: payload bytes tiled/truncated to 32×32
+        grayscale. Deterministic; identical payloads → identical
+        pixels (so exact-dup media group under the stub exactly as
+        re-encodes group under a real loader)."""
+        need = self._N * self._N
+        if len(payload) == 0:
+            payload = b"\x00"
+        reps = need // len(payload) + 1
+        buf = (payload * reps)[:need]
+        return np.frombuffer(buf, dtype=np.uint8).reshape(self._N, self._N)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        if payloads:
+            px = np.stack([self._pixels(p) for p in payloads]).astype(
+                np.float64
+            )
+            # batched 2-D DCT-II: C @ X @ C.T for every image at once
+            d = np.einsum("ij,bjk,lk->bil", self.basis, px, self.basis)
+            # quantize to a 1e-6 lattice BEFORE thresholding: different
+            # BLAS summation orders disagree at ~1e-12, and a payload
+            # with tied coefficients would flip bits on that fuzz —
+            # the lattice makes the hash machine/BLAS-portable
+            block = np.round(
+                d[:, :8, :8].reshape(len(px), 64)[:, 1:], 6
+            )
+            med = np.median(block, axis=1, keepdims=True)
+            bits = block > med  # (B, 63)
+            weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+            phash = (bits.astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+        else:
+            phash = np.empty(0, dtype=np.uint64)
+        out = batch.drop_columns(["payload"])  # bytes stop here
+        return out.append_column("phash", pa.array(phash, pa.uint64()))
+
+
+def media_phash(
+    ds: ray.data.Dataset, concurrency: tuple[int, int] = (1, 8)
+) -> ray.data.Dataset:
+    """payload → (…, phash uint64); payload dropped in-stage."""
+    return ds.map_batches(
+        PhashStage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def phash_groups(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact-pHash duplicate groups → (phash, n_items), n_items > 1 —
+    the media twin of the sha256 exact-dup group (G3). Count partials
+    per block before the slim groupby (the hash column is 8 bytes/row;
+    the payload never reaches the shuffle)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("phash").combine_chunks())
+        return pa.table(
+            {
+                "phash": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        media_phash(ds)
+        .select_columns(["phash"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("phash")
+        .aggregate(Sum("n", alias_name="n_items"))
+        .filter(expr="n_items > 1")
+    )

@@ -7,7 +7,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
+
+import ray.data
 
 from duplicate_finder_ray.stages import multimodal as mm
 
@@ -72,3 +75,61 @@ def test_frame_sample_stride_and_slices(ray_session, media_df):
 def test_unknown_media_type_raises():
     with pytest.raises(NotImplementedError):
         mm.DecoderStub().decode_meta("hologram", b"x")
+
+
+class TestPhash:
+    def test_kernel_matches_naive_dct_reference(self):
+        from duplicate_finder_ray.stages.multimodal import PhashStage
+
+        stage = PhashStage()
+        payload = bytes(range(256)) * 3
+        px = stage._pixels(payload).astype(np.float64)
+        # independent O(N^3) DCT-II reference, straight from the formula
+        N = 32
+        ref = np.zeros((N, N))
+        for u in range(N):
+            for v in range(N):
+                cu = np.sqrt(1 / N) if u == 0 else np.sqrt(2 / N)
+                cv = np.sqrt(1 / N) if v == 0 else np.sqrt(2 / N)
+                ref[u, v] = cu * cv * np.sum(
+                    px
+                    * np.cos(np.pi * (2 * np.arange(N)[:, None] + 1) * u / (2 * N))
+                    * np.cos(np.pi * (2 * np.arange(N)[None, :] + 1) * v / (2 * N))
+                )
+        block = np.round(ref[:8, :8].reshape(64)[1:], 6)
+        want_bits = block > np.median(block)
+        want = int(
+            (want_bits.astype(np.uint64)
+             * (np.uint64(1) << np.arange(63, dtype=np.uint64))).sum()
+        )
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "media_type": pa.array(["image"]),
+                "payload": pa.array([payload], pa.large_binary()),
+            }
+        )
+        got = stage(tbl).column("phash").to_pylist()[0]
+        assert got == want
+
+    def test_deterministic_and_groups(self, ray_session):
+        from duplicate_finder_ray.stages.multimodal import phash_groups
+
+        rng = np.random.default_rng(9)
+        uniq = [rng.bytes(200 + i) for i in range(30)]
+        payloads = uniq + uniq[:5] + uniq[:5]  # 5 payloads appear 3×
+        tbl = pa.table(
+            {
+                "media_id": pa.array(range(len(payloads)), pa.int64()),
+                "media_type": pa.array(["image"] * len(payloads)),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        groups = phash_groups(ds).take_all()
+        assert sorted(g["n_items"] for g in groups) == [3, 3, 3, 3, 3]
+        # run twice: identical hashes (actor re-init must not drift)
+        again = phash_groups(ds).take_all()
+        assert sorted(g["phash"] for g in groups) == sorted(
+            g["phash"] for g in again
+        )
