@@ -2342,6 +2342,53 @@ def q_doclen_equidepth_hist(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_watermark(sf_dir: str) -> ray.data.Dataset:
+    """Watermark accounting per event-time hour: on-time vs late rows
+    under a 300 s allowed-lateness budget against a deterministic
+    delivery delay (event_id % 600 s) — the streaming audit that sizes
+    a pipeline's lateness budget."""
+    from duplicate_finder_ray.stages.events import watermark_audit
+
+    return watermark_audit(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+        )
+    )
+
+
+def q_curriculum_phases(sf_dir: str) -> ray.data.Dataset:
+    """Curriculum ordering: every document ranked by (quality_score,
+    doc_id) ascending — both engines produce bit-identical doubles, so
+    the order is engine-portable — and split into 4 equal-frequency
+    training phases (low-quality first → prune, high-quality last).
+    global_rank + one scan-side bucket map; no full-corpus task."""
+    from duplicate_finder_ray.stages import textstats
+    from duplicate_finder_ray.stages.rank import global_rank
+
+    q = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(textstats.quality_scores, batch_format="pyarrow")
+        .select_columns(["doc_id", "quality_score"])
+    )
+    ranked = global_rank(
+        q, ["quality_score", "doc_id"], num_partitions=16
+    )
+    n = ranked.count()
+
+    def phase(t: pa.Table) -> pa.Table:
+        rnk = t.column("rnk").to_numpy()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "phase": pa.array(rnk * 4 // n, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(phase, batch_format="pyarrow")
+
+
 def q_media_phash(sf_dir: str) -> ray.data.Dataset:
     """64-bit DCT perceptual hash per media item — the signature media
     dedup groups on (``phash_groups`` is the grouping op; this corpus
@@ -4600,6 +4647,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doclen_equidepth_hist": q_doclen_equidepth_hist,
     "profile_documents": q_profile_documents,
     "media_phash": q_media_phash,
+    "events_watermark": q_events_watermark,
+    "curriculum_phases": q_curriculum_phases,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -4708,6 +4757,34 @@ SELECT i.file_id, i.size, i.sha256, i.sha256 AS group_id,
        b.sha256 IS NOT NULL AS matched_baseline,
        coalesce(b.baseline_keeper, '') AS baseline_keeper
 FROM i LEFT JOIN bk b ON b.size = i.size AND b.sha256 = i.sha256
+"""
+
+#: shared quality-metric CTEs (integer counts → IEEE-754 ratio tree,
+#: bit-identical to stages/textstats.py:quality_scores) — reused by the
+#: quality_scores twin and the curriculum ordering twin
+_QUALITY_SQL_PREFIX = f"""
+    WITH c AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                   ELSE array_length(regexp_split_to_array(
+                          regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+              END)::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))::BIGINT AS n_punct,
+             len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+             len(regexp_extract_all(text,
+                 '(?i)\\b({"|".join(__import__("duplicate_finder_ray.stages.textstats", fromlist=["STOPWORDS"]).STOPWORDS)})\\b'
+             ))::BIGINT AS n_stopwords
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+        CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+        CAST(n_digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+        CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
+        CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len
+      FROM c
+    )
 """
 
 ORACLE_SQL: dict[str, str] = {
@@ -4966,29 +5043,7 @@ ORACLE_SQL: dict[str, str] = {
     # quality_scores: the SQL evaluates the SAME IEEE-754 expression
     # tree over the same integer counts as stages/textstats.py, so the
     # unrounded doubles match bit-for-bit (both engines run RE2).
-    "quality_scores": f"""
-    WITH c AS (
-      SELECT doc_id,
-             length(text)::BIGINT AS n_chars,
-             (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
-                   ELSE array_length(regexp_split_to_array(
-                          regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
-              END)::BIGINT AS n_words,
-             len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))::BIGINT AS n_punct,
-             len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
-             len(regexp_extract_all(text,
-                 '(?i)\\b({"|".join(__import__("duplicate_finder_ray.stages.textstats", fromlist=["STOPWORDS"]).STOPWORDS)})\\b'
-             ))::BIGINT AS n_stopwords
-      FROM documents
-    ),
-    r AS (
-      SELECT *,
-        CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
-        CAST(n_digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
-        CAST(n_stopwords AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
-        CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len
-      FROM c
-    )
+    "quality_scores": _QUALITY_SQL_PREFIX + """
     SELECT doc_id, n_chars, n_words, n_punct, n_digits, n_stopwords,
            punct_ratio, digit_ratio, stopword_ratio, mean_word_len,
            least(stopword_ratio * 2.5, 1.0) *
@@ -5981,6 +6036,50 @@ def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
 
 
 ORACLE_SQL["near_dup_kcore"] = _kcore_sql(k=3, rounds=3)
+
+# watermark audit: same row-local synthetic delay (event_id % 600) and
+# the same 300 s lateness budget as stages/events.py:watermark_audit
+ORACLE_SQL["events_watermark"] = """
+WITH a AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         event_id % 600 AS delay_s
+  FROM events
+),
+w AS (
+  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+         delay_s,
+         ts_us + delay_s * 1000000
+           > (ts_us // 3600000000) * 3600000000 + 3600000000 + 300000000
+           AS late
+  FROM a
+)
+SELECT window_start_us,
+       CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(delay_s) AS BIGINT) AS max_delay_s_seen
+FROM w GROUP BY 1
+"""
+
+
+# curriculum ordering: ORDER BY the bit-identical quality doubles then
+# doc_id; phase = rnk*4//n on the integer lattice
+ORACLE_SQL["curriculum_phases"] = _QUALITY_SQL_PREFIX + """
+    , q AS (
+      SELECT doc_id,
+             least(stopword_ratio * 2.5, 1.0) *
+               (greatest(1.0 - punct_ratio * 2.0, 0.0) *
+                greatest(1.0 - digit_ratio * 2.0, 0.0)) AS quality_score
+      FROM r
+    ),
+    rk AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY quality_score, doc_id) - 1 AS rnk,
+             count(*) OVER () AS n
+      FROM q
+    )
+    SELECT doc_id, CAST((rnk * 4) // n AS BIGINT) AS phase FROM rk
+"""
+
 
 def _profile_sql(table: str, cols: list[str]) -> str:
     """UNION-ALL-per-column twin of stages/profile.py:profile_table —

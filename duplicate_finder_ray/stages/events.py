@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 _HOUR_US = 3_600_000_000
 
@@ -1341,4 +1341,56 @@ def session_cooccurrence(
     )
     return partials.groupby(["type_a", "type_b"]).aggregate(
         Sum("n", alias_name="n_sessions")
+    )
+
+def watermark_audit(
+    events: ray.data.Dataset,
+    max_delay_s: int = 600,
+    allowed_lateness_s: int = 300,
+) -> ray.data.Dataset:
+    """Watermark accounting for a streaming ingest: per tumbling hour
+    of EVENT time, how many rows arrived in time versus after the
+    window's watermark closed, and the worst arrival delay — the audit
+    that decides whether a pipeline's allowed-lateness budget actually
+    covers its delivery tail.
+
+    Arrival time is synthesized deterministically (no arrival column
+    in the table): ``arrival = ts + (event_id % max_delay_s)`` —
+    row-local, so the DuckDB twin reproduces it exactly. A row is LATE
+    when ``arrival > window_end + allowed_lateness_s``. Output:
+    (window_start_us, n_on_time, n_late, max_delay_s_seen). One slim
+    hours-cardinality groupby; everything upstream is a scan-side map."""
+    if max_delay_s <= 0 or allowed_lateness_s < 0:
+        raise ValueError("max_delay_s must be > 0, allowed_lateness_s >= 0")
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        eid = batch["event_id"].to_numpy()
+        delay_s = eid % np.int64(max_delay_s)
+        window = ts_us // _HOUR_US * _HOUR_US
+        arrival_us = ts_us + delay_s * np.int64(1_000_000)
+        close_us = window + _HOUR_US + np.int64(allowed_lateness_s) * np.int64(
+            1_000_000
+        )
+        late = arrival_us > close_us
+        return pa.table(
+            {
+                "window_start_us": pa.array(window, pa.int64()),
+                "on_time": pa.array((~late).astype(np.int64)),
+                "late": pa.array(late.astype(np.int64)),
+                "delay_s": pa.array(delay_s.astype(np.int64)),
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts"])
+        .map_batches(audit, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(
+            Sum("on_time", alias_name="n_on_time"),
+            Sum("late", alias_name="n_late"),
+            Max("delay_s", alias_name="max_delay_s_seen"),
+        )
     )

@@ -492,3 +492,62 @@ class TestSessionCooccurrence:
             session_cooccurrence(ds, gap_us=0)
         with pytest.raises(ValueError):
             session_cooccurrence(ds, num_partitions=0)
+
+
+class TestWatermarkAudit:
+    def test_matches_python_oracle(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from duplicate_finder_ray.stages.events import watermark_audit
+
+        rng = np.random.default_rng(13)
+        n = 500
+        base = 1_700_000_000_000_000  # µs epoch
+        ts_us = base + rng.integers(0, 5 * 3600, n) * 1_000_000
+        eid = rng.permutation(n).astype(np.int64)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(eid),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+            }
+        )
+        got = {
+            r["window_start_us"]: (
+                r["n_on_time"], r["n_late"], r["max_delay_s_seen"]
+            )
+            for r in watermark_audit(
+                ray_session.data.from_arrow(tbl).repartition(4),
+                max_delay_s=600,
+                allowed_lateness_s=300,
+            ).take_all()
+        }
+        want: dict = {}
+        H = 3_600_000_000
+        for t, e in zip(ts_us.tolist(), eid.tolist()):
+            w = t // H * H
+            d = e % 600
+            late = t + d * 1_000_000 > w + H + 300_000_000
+            on, lt, mx = want.get(w, (0, 0, 0))
+            want[w] = (on + (not late), lt + late, max(mx, d))
+        assert got == want
+
+    def test_rejects_bad_params(self, ray_session):
+        import pyarrow as pa
+
+        from duplicate_finder_ray.stages.events import watermark_audit
+
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([1], pa.int64()),
+                    "ts": pa.array([0], pa.timestamp("us")),
+                }
+            )
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            watermark_audit(ds, max_delay_s=0)
+        with _pytest.raises(ValueError):
+            watermark_audit(ds, allowed_lateness_s=-1)
