@@ -2356,6 +2356,81 @@ def q_events_watermark(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_purchase_error_overlaps(sf_dir: str) -> ray.data.Dataset:
+    """Interval-overlap join: purchase activity windows × error
+    windows (each event extended 1 + event_id%10 minutes, half-open)
+    — per purchase, how many error windows it overlapped. The
+    inequality-join shape (downtime × activity) via grid-cell
+    co-location with single-cell pair ownership."""
+    from ray.data.aggregate import Count
+
+    from duplicate_finder_ray.stages.join import interval_overlap_join
+
+    def intervals(etype: str):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column("event_type"), etype)
+            sub = t.filter(mask)
+            s = pc.cast(
+                pc.cast(sub["ts"], pa.timestamp("us")), pa.int64()
+            ).to_numpy()
+            eid = sub["event_id"].to_numpy()
+            dur = (1 + eid % 10) * np.int64(60_000_000)
+            return pa.table(
+                {
+                    "event_id": pa.array(eid, pa.int64()),
+                    "s": pa.array(s, pa.int64()),
+                    "e": pa.array(s + dur, pa.int64()),
+                }
+            )
+
+        return fn
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    purchases = ev.map_batches(intervals("purchase"), batch_format="pyarrow")
+    errors = ev.map_batches(intervals("error"), batch_format="pyarrow")
+    pairs = interval_overlap_join(
+        purchases, errors, "event_id", "event_id",
+        cell=600_000_000, n_parts=16,
+    )
+    return (
+        pairs.groupby("l_id")
+        .aggregate(Count(alias_name="n_overlaps"))
+        .map_batches(
+            lambda t: t.rename_columns(["purchase_id", "n_overlaps"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_repo_pareto(sf_dir: str) -> ray.data.Dataset:
+    """Pareto-frontier repos in (n_files, total_bytes) maximization —
+    the 'biggest AND bulkiest' tradeoff picks no single ORDER BY can
+    answer. Slim per-repo rollup → per-block local skyline → one small
+    merge."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.relational import pareto_frontier
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__one", pa.array(np.ones(len(t), dtype=np.int64))
+        )
+
+    rb = (
+        _derived(sf_dir)
+        .select_columns(["repo", "size"])
+        .map_batches(add_one, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(
+            Sum("__one", alias_name="n_files"),
+            Sum("size", alias_name="total_bytes"),
+        )
+    )
+    return pareto_frontier(rb, "n_files", "total_bytes")
+
+
 def q_curriculum_phases(sf_dir: str) -> ray.data.Dataset:
     """Curriculum ordering: every document ranked by (quality_score,
     doc_id) ascending — both engines produce bit-identical doubles, so
@@ -4649,6 +4724,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_phash": q_media_phash,
     "events_watermark": q_events_watermark,
     "curriculum_phases": q_curriculum_phases,
+    "repo_pareto": q_repo_pareto,
+    "purchase_error_overlaps": q_purchase_error_overlaps,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6060,6 +6137,38 @@ SELECT window_start_us,
 FROM w GROUP BY 1
 """
 
+
+# interval-overlap twin: DuckDB's IEJoin handles the inequality join
+ORACLE_SQL["purchase_error_overlaps"] = """
+WITH L AS (
+  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT)
+           + (1 + event_id % 10) * 60000000 AS e
+  FROM events WHERE event_type = 'purchase'
+),
+R AS (
+  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT)
+           + (1 + event_id % 10) * 60000000 AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT L.event_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_overlaps
+FROM L JOIN R ON L.s < R.e AND R.s < L.e
+GROUP BY 1
+"""
+
+# skyline twin: textbook NOT EXISTS dominance over the repo rollup
+ORACLE_SQL["repo_pareto"] = f"""
+{_D_SQL},
+rb AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(size) AS BIGINT) AS total_bytes
+       FROM d GROUP BY repo)
+SELECT repo, n_files, total_bytes FROM rb a
+WHERE NOT EXISTS (
+  SELECT 1 FROM rb b
+  WHERE b.n_files >= a.n_files AND b.total_bytes >= a.total_bytes
+    AND (b.n_files > a.n_files OR b.total_bytes > a.total_bytes))
+"""
 
 # curriculum ordering: ORDER BY the bit-identical quality doubles then
 # doc_id; phase = rnk*4//n on the integer lattice

@@ -444,3 +444,110 @@ def skew_join(
         hot_keys=hot,
         n_salts=n_salts,
     )
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    l_id: str,
+    r_id: str,
+    start_col: str = "s",
+    end_col: str = "e",
+    cell: int = 600_000_000,
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """Interval-overlap equi-free join: emit (l_id, r_id) for every
+    pair of HALF-OPEN intervals [s, e) that overlap (l.s < r.e AND
+    r.s < l.e) — the inequality-join shape (downtime × activity,
+    promotion × session) no hash join can express.
+
+    Scale shape: each interval explodes to the ``cell``-sized grid
+    cells it touches (pick cell ≈ typical interval length; explosion
+    factor = len/cell + 1), ONE hash exchange co-locates same-cell
+    rows, and a pandas C merge on the cell id builds candidates.
+    Each overlapping pair is OWNED by exactly one cell — the one
+    containing max(l.s, r.s) — so no dedupe pass is needed. Reducer
+    memory is bounded by cell occupancy, never by corpus size; both
+    endpoints must be int64 (µs timestamps on the exact lattice)."""
+    if cell <= 0:
+        raise ValueError("cell must be positive")
+
+    combined = pa.schema(
+        [
+            ("__cell", pa.int64()),
+            ("__side", pa.int8()),
+            ("id", pa.int64()),
+            ("s", pa.int64()),
+            ("e", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema([("l_id", pa.int64()), ("r_id", pa.int64())])
+
+    def explode(side: int, id_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch.column(start_col).to_numpy()
+            e = batch.column(end_col).to_numpy()
+            ids = batch.column(id_col).to_numpy()
+            if (e <= s).any():
+                raise ValueError("intervals must satisfy s < e")
+            c0 = s // cell
+            c1 = (e - 1) // cell  # last cell touched (half-open end)
+            n_cells = (c1 - c0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s)), n_cells)
+            offs = np.arange(int(n_cells.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(n_cells) - n_cells, n_cells
+            )
+            return pa.table(
+                {
+                    "__cell": pa.array(c0[idx] + offs, pa.int64()),
+                    "__side": pa.array(
+                        np.full(len(idx), side, dtype=np.int8)
+                    ),
+                    "id": pa.array(ids[idx], pa.int64()),
+                    "s": pa.array(s[idx], pa.int64()),
+                    "e": pa.array(e[idx], pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = left.map_batches(
+        explode(0, l_id), batch_format="pyarrow"
+    ).union(right.map_batches(explode(1, r_id), batch_format="pyarrow"))
+
+    def part_of(tbl: pa.Table, n: int) -> np.ndarray:
+        c = tbl.column("__cell").to_numpy()
+        return (
+            pd.util.hash_array(np.ascontiguousarray(c)) % np.uint64(n)
+        ).astype(np.int64)
+
+    def pair_cells(_p: int, part: pa.Table) -> pa.Table:
+        side = part.column("__side").to_numpy()
+        df = pd.DataFrame(
+            {
+                "cell": part.column("__cell").to_numpy(),
+                "id": part.column("id").to_numpy(),
+                "s": part.column("s").to_numpy(),
+                "e": part.column("e").to_numpy(),
+            }
+        )
+        lt, rt = df[side == 0], df[side == 1]
+        if len(lt) == 0 or len(rt) == 0:
+            return out_schema.empty_table()
+        m = lt.merge(rt, on="cell", suffixes=("_l", "_r"))
+        if len(m) == 0:
+            return out_schema.empty_table()
+        sl, el = m["s_l"].to_numpy(), m["e_l"].to_numpy()
+        sr, er = m["s_r"].to_numpy(), m["e_r"].to_numpy()
+        overlap = (sl < er) & (sr < el)
+        owner = np.maximum(sl, sr) // cell == m["cell"].to_numpy()
+        keep = overlap & owner
+        return pa.table(
+            {
+                "l_id": pa.array(m["id_l"].to_numpy()[keep], pa.int64()),
+                "r_id": pa.array(m["id_r"].to_numpy()[keep], pa.int64()),
+            }
+        )
+
+    return hash_exchange(
+        tagged, part_of, n_parts, pair_cells, out_schema.empty_table()
+    )

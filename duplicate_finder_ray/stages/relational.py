@@ -1211,3 +1211,83 @@ def rank_dense_per_group(
     from duplicate_finder_ray.stages.exchange import hash_exchange
 
     return hash_exchange(ds, group_part, num_partitions, rank_partition, empty)
+
+# --------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline)
+# --------------------------------------------------------------------------
+
+
+def _frontier_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D maximization skyline: row i survives iff
+    no row has x>=x_i AND y>=y_i with one strict. Vectorized: sort
+    (x desc, y desc), keep only each x-group's max-y rows, then require
+    y STRICTLY above the running max of larger-x groups (equal y at
+    larger x dominates). Ties on the full (x, y) pair all survive
+    (mutual non-domination) — matching the NOT EXISTS SQL semantics."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_x = np.r_[True, xs[1:] != xs[:-1]]
+    head_pos = np.maximum.accumulate(np.where(new_x, np.arange(n), 0))
+    gmax = ys[head_pos]  # each x-group's max y (first row, y desc)
+    gid = np.cumsum(new_x) - 1
+    head_y = ys[new_x]
+    prev_max = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(head_y)[:-1]]
+    survive = (ys == gmax) & (ys > prev_max[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[order[survive]] = True
+    return mask
+
+
+def pareto_frontier(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Skyline query — rows not dominated in (x, y) maximization (a
+    dominates b iff a.x>=b.x, a.y>=b.y, one strict). The curation
+    shape for 'best tradeoff' picks (largest AND densest repos, longest
+    AND highest-quality docs) that no single ORDER BY can answer.
+
+    Scale shape: each block reduces to its LOCAL frontier (vectorized
+    lexsort + running-max kernel, no pairwise compare), and the global
+    frontier — a subset of the union of local frontiers — is one small
+    final task. Frontier sizes are data-dependent but tiny in practice
+    (bounded by distinct x values); integer columns only (exact
+    comparisons, exact SQL twin)."""
+    schema = ds.schema()
+    from duplicate_finder_ray.stages.join import _pa_type
+
+    types = {c: _pa_type(t) for c, t in zip(schema.names, schema.types)}
+    for c in (x_col, y_col):
+        if c not in types:
+            raise ValueError(f"missing column: {c}")
+        if not pa.types.is_integer(types[c]):
+            raise ValueError(f"pareto_frontier needs integer columns: {c}")
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        m = _frontier_mask(
+            t.column(x_col).to_numpy(), t.column(y_col).to_numpy()
+        )
+        return t.filter(pa.array(m))
+
+    names = list(schema.names)
+
+    @ray.remote
+    def merge(*parts: pa.Table) -> pa.Table:
+        tables = [p.select(names) for p in parts if p.num_columns]
+        t = pa.concat_tables(tables).combine_chunks()
+        if len(t) == 0:
+            return t
+        m = _frontier_mask(
+            t.column(x_col).to_numpy(), t.column(y_col).to_numpy()
+        )
+        return t.filter(pa.array(m))
+
+    locals_ = ds.map_batches(local, batch_format="pyarrow")
+    refs = locals_.materialize().to_arrow_refs()
+    return ray.data.from_arrow_refs([merge.remote(*refs)])

@@ -252,3 +252,49 @@ class TestSkewSalting:
             shuffle_hash_join(
                 left, right, "k", "rk", 4, how="full", hot_keys={0}
             )
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_brute_force(self, ray_session):
+        from duplicate_finder_ray.stages.join import interval_overlap_join
+
+        rng = np.random.default_rng(17)
+        ls = rng.integers(0, 10_000, 80).astype(np.int64)
+        le = ls + rng.integers(1, 800, 80)
+        rs = rng.integers(0, 10_000, 60).astype(np.int64)
+        re_ = rs + rng.integers(1, 800, 60)
+        left = _ds({"lid": pa.array(np.arange(80), pa.int64()),
+                    "s": pa.array(ls), "e": pa.array(le)}).repartition(4)
+        right = _ds({"rid": pa.array(np.arange(60), pa.int64()),
+                     "s": pa.array(rs), "e": pa.array(re_)}).repartition(3)
+        got = sorted(
+            (r["l_id"], r["r_id"])
+            for r in interval_overlap_join(
+                left, right, "lid", "rid", cell=256, n_parts=8
+            ).take_all()
+        )
+        want = sorted(
+            (i, j)
+            for i in range(80)
+            for j in range(60)
+            if ls[i] < re_[j] and rs[j] < le[i]
+        )
+        assert got == want  # exactly once per pair (single-cell ownership)
+
+    def test_rejects_bad_intervals(self, ray_session):
+        from duplicate_finder_ray.stages.join import interval_overlap_join
+
+        bad = _ds({"lid": pa.array([1], pa.int64()),
+                   "s": pa.array([5], pa.int64()),
+                   "e": pa.array([5], pa.int64())})
+        ok = _ds({"rid": pa.array([1], pa.int64()),
+                  "s": pa.array([0], pa.int64()),
+                  "e": pa.array([1], pa.int64())})
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            interval_overlap_join(bad, ok, "lid", "rid", cell=0)
+        with _pytest.raises(Exception):
+            interval_overlap_join(
+                bad, ok, "lid", "rid", cell=16
+            ).take_all()

@@ -380,3 +380,44 @@ class TestSaltedDistinctCount:
             rel.salted_distinct_count(ds, "k", "v", n_salts=0)
         with pytest.raises(ValueError):
             rel.salted_distinct_count(ds, "k", "v", parts_per_salt=0)
+
+
+class TestParetoFrontier:
+    def _brute(self, pts):
+        out = []
+        for i, (x, y) in enumerate(pts):
+            dom = any(
+                (bx >= x and by >= y and (bx > x or by > y))
+                for j, (bx, by) in enumerate(pts)
+                if j != i
+            )
+            if not dom:
+                out.append((x, y))
+        return sorted(out)
+
+    def test_matches_not_exists_semantics(self):
+        rng = np.random.default_rng(21)
+        x = rng.integers(0, 40, 300).astype(np.int64)
+        y = rng.integers(0, 40, 300).astype(np.int64)
+        ds = _ds({"x": pa.array(x), "y": pa.array(y),
+                  "tag": pa.array([f"t{i}" for i in range(300)])}
+                 ).repartition(6)
+        got = sorted(
+            (r["x"], r["y"])
+            for r in rel.pareto_frontier(ds, "x", "y").take_all()
+        )
+        assert got == self._brute(list(zip(x.tolist(), y.tolist())))
+
+    def test_exact_ties_all_survive(self):
+        ds = _ds({"x": pa.array([5, 5, 3], pa.int64()),
+                  "y": pa.array([7, 7, 9], pa.int64())})
+        got = sorted(
+            (r["x"], r["y"])
+            for r in rel.pareto_frontier(ds, "x", "y").take_all()
+        )
+        assert got == [(3, 9), (5, 7), (5, 7)]
+
+    def test_rejects_non_integer(self):
+        ds = _ds({"x": pa.array([1.0]), "y": pa.array([2], pa.int64())})
+        with pytest.raises(ValueError):
+            rel.pareto_frontier(ds, "x", "y")
