@@ -225,6 +225,24 @@ def run_bench() -> dict:
             + QUERIES["user_peak_rate"](SF_DIR).count()
         )
 
+    def order_skew_sf():
+        # the round-3 (session 9) order/skew suite: exact distributed
+        # row_number + SNM window pairs (range exchange + chunk
+        # exchange), skew-salted join, salted distinct counts, column
+        # profiler, equi-depth histogram, curriculum phases, watermark
+        # audit, Pareto frontier, interval-overlap join
+        return (
+            QUERIES["snm_candidate_pairs"](SF_DIR).count()
+            + QUERIES["skew_join_repo_bytes"](SF_DIR).count()
+            + QUERIES["repo_distinct_contents"](SF_DIR).count()
+            + QUERIES["profile_documents"](SF_DIR).count()
+            + QUERIES["doclen_equidepth_hist"](SF_DIR).count()
+            + QUERIES["curriculum_phases"](SF_DIR).count()
+            + QUERIES["events_watermark"](SF_DIR).count()
+            + QUERIES["repo_pareto"](SF_DIR).count()
+            + QUERIES["purchase_error_overlaps"](SF_DIR).count()
+        )
+
     timed("exact_dedup", exact_dedup)
     timed("near_dup", near_dup)
     if not os.environ.get("GRAFT_SCALING_ONLY"):
@@ -240,6 +258,7 @@ def run_bench() -> dict:
         timed("semantic_sfdocs", semantic_sf)
         timed("repostats_sfdocs", repostats_sf)
         timed("events_sfdocs", events_sf)
+        timed("order_skew_sfdocs", order_skew_sf)
 
     total = round(sum(queries.values()), 3)
     dedup_files_per_sec = round(BENCH_ROWS / queries["exact_dedup"], 1)
