@@ -2356,6 +2356,23 @@ def q_events_watermark(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_reassemble_docs(sf_dir: str) -> ray.data.Dataset:
+    """Chunk-store round-trip: chunk every document into 64-token /
+    48-stride windows, then rebuild the documents from the chunks —
+    the oracle asserts reassemble(chunk(docs)) equals the
+    whitespace-normalized originals token for token."""
+    from duplicate_finder_ray.stages.chunking import (
+        chunk_documents,
+        reassemble_chunks,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunks = chunk_documents(docs, "doc_id", "text", 64, 48)
+    return reassemble_chunks(chunks, "doc_id", 64, 48, n_parts=16)
+
+
 def q_purchase_error_overlaps(sf_dir: str) -> ray.data.Dataset:
     """Interval-overlap join: purchase activity windows × error
     windows (each event extended 1 + event_id%10 minutes, half-open)
@@ -4726,6 +4743,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "curriculum_phases": q_curriculum_phases,
     "repo_pareto": q_repo_pareto,
     "purchase_error_overlaps": q_purchase_error_overlaps,
+    "reassemble_docs": q_reassemble_docs,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6137,6 +6155,18 @@ SELECT window_start_us,
 FROM w GROUP BY 1
 """
 
+
+# round-trip twin: the reassembled text must equal the whitespace-
+# normalized original (same tokenization as the chunk_documents twin)
+ORACLE_SQL["reassemble_docs"] = r"""
+SELECT doc_id,
+       array_to_string(
+         regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+         ' ') AS text
+FROM documents
+WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+"""
 
 # interval-overlap twin: DuckDB's IEJoin handles the inequality join
 ORACLE_SQL["purchase_error_overlaps"] = """

@@ -417,3 +417,72 @@ def greedy_pack(
     return hash_exchange(
         slim, part_of, num_partitions, pack_partition, out_schema.empty_table()
     )
+
+def reassemble_chunks(
+    chunks: ray.data.Dataset,
+    id_col: str,
+    chunk_tokens: int,
+    stride: int,
+    out_col: str = "text",
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """Inverse of :func:`chunk_documents` — rebuild each document from
+    its overlapping windows (the round-trip that validates a
+    chunk-store: ``reassemble(chunk(docs))`` must equal the
+    whitespace-normalized originals token for token).
+
+    ONE hash exchange co-locates a document's chunk rows; inside each
+    partition the overlap cut is vectorized — a maxsplit-(C-S) string
+    split keeps everything after the first ``chunk_tokens - stride``
+    overlap tokens of each non-first chunk WITHOUT exploding tokens —
+    and chunks concatenate in chunk_idx order (a per-document join of
+    pre-cut strings, O(output chars)). Reducer memory is bounded by
+    the partition's documents, never the corpus."""
+    import pandas as pd
+
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    overlap = chunk_tokens - stride
+
+    out_schema = pa.schema([(id_col, pa.int64()), (out_col, pa.string())])
+
+    def part_of(tbl: pa.Table, n: int) -> np.ndarray:
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        v = tbl.column(id_col).to_numpy()
+        return (
+            pd.util.hash_array(np.ascontiguousarray(v)) % np.uint64(n)
+        ).astype(np.int64)
+
+    def rebuild(_p: int, part: pa.Table) -> pa.Table:
+        df = (
+            part.select([id_col, "chunk_idx", "chunk_text"])
+            .to_pandas()
+            .sort_values([id_col, "chunk_idx"], kind="mergesort")
+        )
+        texts = df["chunk_text"]
+        if overlap > 0:
+            # remainder after the first `overlap` tokens; chunks that
+            # are entirely overlap (impossible under the emission rule,
+            # handled defensively) contribute nothing
+            tail = texts.str.split(" ", n=overlap).str[overlap].fillna("")
+        else:
+            tail = texts
+        piece = np.where(df["chunk_idx"].to_numpy() == 0, texts, tail)
+        joined = (
+            pd.DataFrame({id_col: df[id_col].to_numpy(), "p": piece})
+            .groupby(id_col, sort=False)["p"]
+            .agg(" ".join)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(joined.index.to_numpy(), pa.int64()),
+                out_col: pa.array(joined.to_numpy(), pa.string()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(
+        chunks, part_of, n_parts, rebuild, out_schema.empty_table()
+    )

@@ -288,3 +288,66 @@ class TestGreedyPack:
             self._counts([(1, 0), (2, 3)]), "doc_id", "n_tokens", 8, 2
         ).take_all()
         assert [r["doc_id"] for r in out] == [2]
+
+
+class TestReassembleChunks:
+    def test_roundtrip_identity_modulo_whitespace(self, ray_session):
+        import pyarrow as pa
+
+        from duplicate_finder_ray.stages.chunking import (
+            chunk_documents,
+            reassemble_chunks,
+        )
+
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        texts = []
+        for i in range(40):
+            n = int(rng.integers(1, 200))
+            words = [f"w{rng.integers(0, 50)}" for _ in range(n)]
+            texts.append("  " + "  ".join(words) + " ")  # messy whitespace
+        texts.append("")          # empty doc: emits no chunks
+        texts.append("   \t\n ")  # whitespace-only doc: emits no chunks
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(4)
+        chunks = chunk_documents(ds, "doc_id", "text", 16, 12)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in reassemble_chunks(
+                chunks, "doc_id", 16, 12, n_parts=8
+            ).take_all()
+        }
+        want = {
+            i: " ".join(t.split())
+            for i, t in enumerate(texts)
+            if t.strip() != ""
+        }
+        assert got == want
+
+    def test_rejects_bad_params(self, ray_session):
+        import pyarrow as pa
+
+        from duplicate_finder_ray.stages.chunking import reassemble_chunks
+
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "chunk_idx": pa.array([0], pa.int64()),
+                    "chunk_text": pa.array(["x"]),
+                }
+            )
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            reassemble_chunks(ds, "doc_id", 16, 0)
+        with _pytest.raises(ValueError):
+            reassemble_chunks(ds, "doc_id", 16, 17)
