@@ -2356,6 +2356,18 @@ def q_events_watermark(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_compression_ratios(sf_dir: str) -> ray.data.Dataset:
+    """Per-document deflate compressibility (compressed ppm of raw
+    bytes) — the Gopher-style repetition signal ratio heuristics miss.
+    No deflate in DuckDB ⇒ rows-only; kernel gated against direct zlib
+    in tests."""
+    from duplicate_finder_ray.stages import textstats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(textstats.compression_ratios, batch_format="pyarrow")
+
+
 def q_reassemble_docs(sf_dir: str) -> ray.data.Dataset:
     """Chunk-store round-trip: chunk every document into 64-token /
     48-stride windows, then rebuild the documents from the chunks —
@@ -4744,6 +4756,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "repo_pareto": q_repo_pareto,
     "purchase_error_overlaps": q_purchase_error_overlaps,
     "reassemble_docs": q_reassemble_docs,
+    "compression_ratios": q_compression_ratios,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →

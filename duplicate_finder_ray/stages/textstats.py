@@ -989,3 +989,34 @@ def common_lines(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Datase
         totals.map_batches(tag, batch_format="pyarrow"), "__g", "n", "line", k
     )
     return top.select_columns(["line", "n", "rank"])
+
+def compression_ratios(
+    batch: pa.Table, text_col: str = "text", level: int = 6
+) -> pa.Table:
+    """Compressibility quality signal (the Gopher-rules companion
+    metric): repetitive/boilerplate text deflates far below prose, so
+    ``compress_ppm`` (compressed bytes per million raw bytes) separates
+    keyboard-mash and template walls from real writing where the
+    ratio-based heuristics can't. One C deflate call per document —
+    the irreducible per-row cost — with zero per-row Python arithmetic;
+    not SQL-expressible (no deflate in DuckDB), so the driver check is
+    rows-only and the kernel is gated against direct zlib calls in
+    tests/test_textstats.py."""
+    import zlib
+
+    texts = batch.column(text_col).to_pylist()
+    raw = [t.encode() for t in texts]
+    n = np.fromiter((len(b) for b in raw), np.int64, len(raw))
+    comp = np.fromiter(
+        (len(zlib.compress(b, level)) for b in raw), np.int64, len(raw)
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": pa.array(n),
+            "n_compressed": pa.array(comp),
+            "compress_ppm": pa.array(
+                comp * np.int64(1_000_000) // np.maximum(n, 1)
+            ),
+        }
+    )

@@ -391,3 +391,39 @@ class TestCommonLines:
         ds = ray_session.data.from_pandas(pd.DataFrame({"text": ["a"]}))
         with _pytest.raises(ValueError):
             common_lines(ds, "text", k=0)
+
+
+class TestCompressionRatios:
+    def test_matches_direct_zlib_and_separates_repetition(self):
+        import zlib
+
+        import pyarrow as pa
+
+        from duplicate_finder_ray.stages.textstats import compression_ratios
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 40,
+            "ab" * 2000,
+            "x",
+            "",
+        ]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        out = compression_ratios(batch)
+        for i, t in enumerate(texts):
+            raw = t.encode()
+            assert out.column("n_bytes")[i].as_py() == len(raw)
+            assert out.column("n_compressed")[i].as_py() == len(
+                zlib.compress(raw, 6)
+            )
+            want_ppm = len(zlib.compress(raw, 6)) * 1_000_000 // max(
+                len(raw), 1
+            )
+            assert out.column("compress_ppm")[i].as_py() == want_ppm
+        ppm = out.column("compress_ppm").to_pylist()
+        # pure repetition deflates far below prose-with-repeats
+        assert ppm[1] < ppm[0]
