@@ -2368,6 +2368,59 @@ def q_compression_ratios(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(textstats.compression_ratios, batch_format="pyarrow")
 
 
+def q_encoding_audit(sf_dir: str) -> ray.data.Dataset:
+    """Per-document encoding health (codepoints vs bytes, non-ASCII /
+    control / whitespace counts, ascii_ppm) — the mojibake and
+    whitespace-wall detector. Single-char RE2 classes in both engines;
+    integer ppm lattice ⇒ hash-match."""
+    from duplicate_finder_ray.stages import textstats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(textstats.encoding_audit, batch_format="pyarrow")
+
+
+def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
+    """Collocation mining: top-30 bigrams by exact integer-lattice PMI
+    (n_ab·N·10⁶ // (n_a·n_b), min count 3) — frequency-independent
+    phrase detection; HUGEINT cross-multiply twin hash-matches."""
+    from duplicate_finder_ray.stages.textstats import pmi_bigrams
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return pmi_bigrams(docs, "text", 30, min_n=3)
+
+
+def q_dedup_retry_events(sf_dir: str) -> ray.data.Dataset:
+    """Telemetry retry dedup: drop events whose previous same-(user,
+    type) event is ≤4 h older (LAG semantics — exactly the SQL window
+    twin); survivors carry gap_same_us. The synthetic events table's
+    same-key gaps are minutes-to-days, so 4 h exercises BOTH the kept
+    and dropped branches at every sf. One user-keyed exchange +
+    vectorized lexsort kernel."""
+    from duplicate_finder_ray.stages.events import dedup_retry_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return dedup_retry_events(ev, window_us=14_400_000_000)
+
+
+def q_near_dup_cluster_density(sf_dir: str) -> ray.data.Dataset:
+    """Per-cluster edge density of the exact-Jaccard near-dup graph
+    (2·edges·10⁶ // n(n−1)): clique-like clusters are safe to collapse,
+    low-density chains flag transitive-merge false positives. One slim
+    edge→label join + component-keyed count folds."""
+    from duplicate_finder_ray.stages.cc import connected_components
+    from duplicate_finder_ray.stages.graph import cluster_density
+
+    pairs = q_ngram_jaccard_pairs(sf_dir).materialize()  # slim; reused 2×
+    labels = connected_components(pairs, PipelineConfig())
+    return cluster_density(pairs, labels)
+
+
 def q_reassemble_docs(sf_dir: str) -> ray.data.Dataset:
     """Chunk-store round-trip: chunk every document into 64-token /
     48-stride windows, then rebuild the documents from the chunks —
@@ -4757,6 +4810,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "purchase_error_overlaps": q_purchase_error_overlaps,
     "reassemble_docs": q_reassemble_docs,
     "compression_ratios": q_compression_ratios,
+    "encoding_audit": q_encoding_audit,
+    "pmi_bigrams": q_pmi_bigrams,
+    "dedup_retry_events": q_dedup_retry_events,
+    "near_dup_cluster_density": q_near_dup_cluster_density,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6033,6 +6090,59 @@ SELECT tok_a, tok_b, n,
 FROM c QUALIFY "rank" <= 30
 """
 
+ORACLE_SQL["encoding_audit"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+           AS BIGINT) AS n_non_ascii,
+         CAST(length(text)
+              - length(regexp_replace(
+                  text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+           AS BIGINT) AS n_control,
+         CAST(length(text)
+              - length(regexp_replace(text, '[\t\n\f\r ]', '', 'g'))
+           AS BIGINT) AS n_ws
+  FROM documents
+)
+SELECT doc_id, n_chars, n_bytes, n_non_ascii, n_control, n_ws,
+       CAST((n_chars - n_non_ascii) * 1000000 // GREATEST(n_chars, 1)
+         AS BIGINT) AS ascii_ppm,
+       CAST(n_ws * 1000000 // GREATEST(n_chars, 1) AS BIGINT) AS ws_ppm
+FROM b
+"""
+
+ORACLE_SQL["pmi_bigrams"] = """
+WITH t AS (
+  SELECT regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts FROM documents
+),
+p AS (
+  SELECT unnest(ts[1:len(ts) - 1]) AS tok_a, unnest(ts[2:len(ts)]) AS tok_b
+  FROM t
+),
+big AS (
+  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2 HAVING count(*) >= 3
+),
+u AS (SELECT unnest(ts) AS tok FROM t),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+f AS (
+  SELECT big.tok_a, big.tok_b, big.n,
+         CAST(CAST(big.n AS HUGEINT) * (SELECT n FROM tot) * 1000000
+              // (CAST(ua.n AS HUGEINT) * ub.n) AS BIGINT) AS pmi_ppm
+  FROM big
+  JOIN uni ua ON ua.tok = big.tok_a
+  JOIN uni ub ON ub.tok = big.tok_b
+)
+SELECT tok_a, tok_b, n, pmi_ppm,
+       CAST(row_number() OVER (ORDER BY pmi_ppm DESC, tok_a, tok_b)
+         AS BIGINT) AS "rank"
+FROM f QUALIFY "rank" <= 30
+"""
+
 ORACLE_SQL["funnel_signup_purchase"] = """
 WITH m AS (
   SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -6056,6 +6166,55 @@ _EDGE_CTE = """
       JOIN n nb ON nb.doc_key = inter.b
       WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     )"""
+
+ORACLE_SQL["dedup_retry_events"] = """
+WITH x AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us,
+       CAST(COALESCE(ts_us - prev_us, -1) AS BIGINT) AS gap_same_us
+FROM x
+WHERE prev_us IS NULL OR ts_us - prev_us > 14400000000
+"""
+
+ORACLE_SQL["near_dup_cluster_density"] = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + ","
+    + _EDGE_CTE
+    + """,
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    ),
+    comp AS (
+      SELECT src AS file_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    nn AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM comp GROUP BY 1
+    ),
+    ne AS (
+      SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+      FROM e JOIN comp c ON c.file_id = e.a GROUP BY 1
+    )
+    SELECT nn.component, nn.n_nodes, ne.n_edges,
+           CAST(ne.n_edges * 2000000
+                // GREATEST(nn.n_nodes * (nn.n_nodes - 1), 1)
+             AS BIGINT) AS density_ppm
+    FROM nn JOIN ne ON ne.component = nn.component
+    """
+)
 
 ORACLE_SQL["near_dup_degrees"] = (
     "WITH "

@@ -379,6 +379,99 @@ def lag_deltas(
     )
 
 
+def dedup_retry_events(
+    events: ray.data.Dataset,
+    window_us: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Telemetry retry/double-fire dedup: drop an event when the
+    PREVIOUS event of the same (user, event_type) — kept or not — is
+    within ``window_us`` (LAG semantics, exactly DuckDB's
+    ``lag() OVER (PARTITION BY user_id, event_type ORDER BY ts,
+    event_id)``; the alternative debounce-from-last-KEPT semantics is a
+    sequential per-key scan and deliberately NOT what this computes).
+    Survivors carry ``gap_same_us`` (-1 on each key's first event) for
+    the downstream rate audit.
+
+    Same two-level shape as ``lag_deltas``: ONE barrier-free hash
+    exchange by ``hash(user_id) % P``, then a vectorized lexsort +
+    shift-by-one kernel per partition; event_type grouping rides a
+    per-partition factorize (codes only group, never order across
+    partitions). No per-key Python."""
+    if window_us < 0:
+        raise ValueError("window_us must be non-negative")
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_partitions = 16
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts_us", pa.int64()),
+            ("gap_same_us", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "event_type": batch["event_type"],
+                "ts_us": ts_us,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+            }
+        )
+
+    def user_part(tbl: pa.Table, n: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy()
+        return (pd.util.hash_array(u.copy()) % np.uint64(n)).astype(np.int64)
+
+    def kernel(p: int, tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        u = tbl.column("user_id").to_numpy()
+        ty = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        t = tbl.column("ts_us").to_numpy()
+        e = tbl.column("event_id").to_numpy()
+        codes, uniq = pd.factorize(ty, sort=False)
+        order = np.lexsort((e, t, codes, u))  # by (user, type), then ts, id
+        u, c, t, e = u[order], codes[order], t[order], e[order]
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        gap[first] = -1
+        keep = first | (gap > window_us)
+        ty_sorted = uniq.take(c[keep]) if keep.any() else uniq[:0]
+        return pa.table(
+            {
+                "event_id": pa.array(e[keep], pa.int64()),
+                "user_id": pa.array(u[keep], pa.int64()),
+                "event_type": pa.array(
+                    np.asarray(ty_sorted, dtype=object), pa.string()
+                ),
+                "ts_us": pa.array(t[keep], pa.int64()),
+                "gap_same_us": pa.array(gap[keep], pa.int64()),
+            }
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = events.select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(
+        slim, user_part, num_partitions, kernel, out_schema.empty_table()
+    )
+
+
 def rolling_sum_rows(
     events: ray.data.Dataset,
     window: int = 5,

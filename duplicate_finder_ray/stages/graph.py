@@ -105,6 +105,89 @@ def degree_histogram(
     )
 
 
+def cluster_density(
+    pairs: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    a_col: str = "a",
+    node_col: str = "file_id",
+    comp_col: str = "component",
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-cluster edge density audit → (component, n_nodes, n_edges,
+    density_ppm) where density_ppm = 2·n_edges·10⁶ // (n·(n−1)) on the
+    exact integer lattice. Density 10⁶ = clique (every member verifies
+    against every other — safe to keep one representative); low density
+    = chain/hub-shaped cluster where transitive merging may have pulled
+    in non-duplicates (the classic CC-over-LSH failure mode), worth a
+    verify pass before deletion.
+
+    Scale shape: every edge lands in exactly one component (endpoints
+    share it by construction), so ONE slim shuffle hash join on the a
+    endpoint attaches component ids to edges; node and edge counts are
+    value-counts partials → component-keyed groupby-sums; the final
+    count-join is component-cardinality-sized. No driver
+    materialization; no whole-graph task."""
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    def count_partial(col: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if col not in t.column_names:  # empty-filter 0-column block
+                return pa.table(
+                    {
+                        comp_col: pa.array([], pa.string()),
+                        out: pa.array([], pa.int64()),
+                    }
+                )
+            vc = pc.value_counts(t.column(col).combine_chunks())
+            return pa.table(
+                {
+                    comp_col: vc.field("values"),
+                    out: vc.field("counts").cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    nodes = (
+        labels.select_columns([comp_col])
+        .map_batches(count_partial(comp_col, "n"), batch_format="pyarrow")
+        .groupby(comp_col)
+        .aggregate(Sum("n", alias_name="n_nodes"))
+    )
+    tagged = shuffle_hash_join(
+        pairs.select_columns([a_col]),
+        labels.select_columns([node_col, comp_col]),
+        a_col,
+        node_col,
+        n_parts,
+        right_cols=[comp_col],
+        how="inner",
+    )
+    edges = (
+        tagged.map_batches(count_partial(comp_col, "n"), batch_format="pyarrow")
+        .groupby(comp_col)
+        .aggregate(Sum("n", alias_name="n_edges"))
+    )
+    joined = shuffle_hash_join(
+        nodes, edges, comp_col, comp_col, n_parts, how="inner"
+    )
+
+    def density(t: pa.Table) -> pa.Table:
+        n = t.column("n_nodes").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column("n_edges").to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = e * np.int64(2_000_000) // np.maximum(n * (n - 1), 1)
+        return pa.table(
+            {
+                comp_col: t.column(comp_col),
+                "n_nodes": pa.array(n),
+                "n_edges": pa.array(e),
+                "density_ppm": pa.array(ppm),
+            }
+        )
+
+    return joined.map_batches(density, batch_format="pyarrow")
+
+
 def _hash_nodes(col: pa.ChunkedArray) -> np.ndarray:
     """blake2b-64 of each id string → uint64 (vectorized via pandas
     apply-free path: encode once, digest in a tight C-call loop)."""

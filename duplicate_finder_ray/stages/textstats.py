@@ -873,10 +873,8 @@ def distinctive_terms(
     return top.select_columns([id_col, "token", "tf", "df", "rank"])
 
 
-def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
-    """Exact global top-k adjacent token pairs (corpus bigram counts —
-    the language-model / boilerplate-detection statistic), ties by
-    (tok_a, tok_b) asc, 1-based rank.
+def _bigram_totals(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
+    """Global adjacent-token-pair counts (tok_a, tok_b, n).
 
     Per-batch combiner: tokenize the whole block with one Arrow RE2
     split, factorize the flat token array ONCE (pandas C pass), pair
@@ -884,11 +882,8 @@ def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset
     boundary, and count pairs with an integer groupby — one
     (tok_a, tok_b, n) partial row per distinct pair per block. The
     shuffle then carries bigram-vocabulary × blocks partials, never
-    corpus positions; only k rows reach the final task (same local
-    top-k + tiny final selection as :func:`top_tokens`)."""
+    corpus positions."""
     from ray.data.aggregate import Sum
-
-    from duplicate_finder_ray.stages.relational import topk_per_group_by
 
     empty = pa.table(
         {
@@ -927,12 +922,23 @@ def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset
             }
         )
 
-    totals = (
+    return (
         ds.select_columns([text_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["tok_a", "tok_b"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
+    """Exact global top-k adjacent token pairs (corpus bigram counts —
+    the language-model / boilerplate-detection statistic), ties by
+    (tok_a, tok_b) asc, 1-based rank. Counting rides
+    :func:`_bigram_totals`; only k rows reach the final task (same
+    local top-k + tiny final selection as :func:`top_tokens`)."""
+    from duplicate_finder_ray.stages.relational import topk_per_group_by
+
+    totals = _bigram_totals(ds, text_col)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -947,6 +953,115 @@ def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset
         k,
     )
     return top.select_columns(["tok_a", "tok_b", "n", "rank"])
+
+
+def pmi_bigrams(
+    ds: ray.data.Dataset,
+    text_col: str,
+    k: int,
+    min_n: int = 3,
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """Collocation mining: top-k adjacent token pairs by pointwise
+    mutual information — the "New York" / "machine learning" detector
+    frequency counts miss (frequent-but-independent pairs rank low,
+    rare-but-bound pairs rank high). PMI's monotone core is the ratio
+    P(a,b)/(P(a)P(b)) = n_ab·N/(n_a·n_b); ranking on the exact integer
+    lattice ``pmi_ppm = n_ab·N·10⁶ // (n_a·n_b)`` avoids float/log
+    entirely, so the DuckDB twin (HUGEINT cross-multiply) hash-matches
+    bit for bit. ``min_n`` prunes hapax pairs (classic PMI
+    degeneracy: a 1-count pair of 1-count tokens maxes the score).
+
+    Scale shape: bigram counts ride :func:`_bigram_totals` (combiner
+    partials, one slim shuffle); unigram totals are vocabulary-sized and
+    materialized once; N is a scalar fold; the two count-attach joins
+    are barrier-free shuffle hash joins keyed on each token — no
+    whole-vocab broadcast. The int64 fast path covers
+    n_ab·N·10⁶ < 2⁶³ (N < ~9·10¹² tokens per max-count bigram);
+    beyond it the per-batch kernel falls back to exact Python-int math
+    on the (slim, vocabulary-sized) survivor rows only."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if min_n < 1:
+        raise ValueError("min_n must be >= 1")
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+    from duplicate_finder_ray.stages.relational import topk_per_group_by
+
+    uni = (
+        _token_partials(ds, text_col, None)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocabulary-sized; reused by N + two joins
+    )
+    total = uni.sum("n") or 0
+
+    def keep_min(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["n"], pa.scalar(min_n, pa.int64()))
+        )
+
+    big = _bigram_totals(ds, text_col).map_batches(
+        keep_min, batch_format="pyarrow"
+    )
+
+    def rename(col: str, out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"tok": batch["token"], out: batch[col]})
+
+        return fn
+
+    uni_a = uni.map_batches(rename("n", "n_a"), batch_format="pyarrow")
+    uni_b = uni.map_batches(rename("n", "n_b"), batch_format="pyarrow")
+    j = shuffle_hash_join(big, uni_a, "tok_a", "tok", n_parts, how="inner")
+    j = shuffle_hash_join(j, uni_b, "tok_b", "tok", n_parts, how="inner")
+
+    mega = 1_000_000
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_ab = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_a = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_b = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (
+            len(n_ab)
+            and int(n_ab.max()) * total * mega < 2**63
+            and int(n_a.max()) * int(n_b.max()) < 2**63
+        ):
+            ppm = n_ab * total * mega // (n_a * n_b)
+        else:  # exact big-int fallback (survivor rows are slim)
+            ppm = np.fromiter(
+                (
+                    int(ab) * total * mega // (int(a) * int(b))
+                    for ab, a, b in zip(n_ab, n_a, n_b)
+                ),
+                np.int64,
+                len(n_ab),
+            )
+        return pa.table(
+            {
+                "tok_a": batch["tok_a"],
+                "tok_b": batch["tok_b"],
+                "n": batch["n"],
+                "pmi_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(len(batch), dtype=np.int64))
+        )
+
+    top = topk_per_group_by(
+        scored.map_batches(tag, batch_format="pyarrow"),
+        "__g",
+        ["pmi_ppm", "tok_a", "tok_b"],
+        [False, True, True],
+        k,
+    )
+    return top.select_columns(["tok_a", "tok_b", "n", "pmi_ppm", "rank"])
 
 
 def common_lines(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
@@ -989,6 +1104,45 @@ def common_lines(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Datase
         totals.map_batches(tag, batch_format="pyarrow"), "__g", "n", "line", k
     )
     return top.select_columns(["line", "n", "rank"])
+
+def encoding_audit(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document encoding health: codepoint vs byte length,
+    non-ASCII / control-character / whitespace counts, and an
+    ``ascii_ppm`` share — the mojibake / binary-spill / whitespace-wall
+    detector a web-scale ingest runs before any tokenizer sees the
+    text. All counts are single-char RE2 classes evaluated by Arrow's
+    kernels; DuckDB runs RE2 too, so the SQL twin counts via
+    ``length(x) - length(regexp_replace(x, class, '', 'g'))`` with
+    bit-identical semantics. Integer ppm on the ×1e6 lattice (floor ==
+    trunc: counts are non-negative)."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_bytes = pc.cast(pc.binary_length(text), pa.int64())
+
+    def count_re(pattern: str) -> pa.Array:
+        return pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+
+    n_non_ascii = count_re(r"[^\x00-\x7f]")
+    # control chars excluding \t \n \r (those are legitimate layout)
+    n_control = count_re(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    n_ws = count_re(r"[\t\n\f\r ]")
+    safe = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    mega = pa.scalar(1_000_000, pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": n_chars,
+            "n_bytes": n_bytes,
+            "n_non_ascii": n_non_ascii,
+            "n_control": n_control,
+            "n_ws": n_ws,
+            "ascii_ppm": pc.divide(
+                pc.multiply(pc.subtract(n_chars, n_non_ascii), mega), safe
+            ),
+            "ws_ppm": pc.divide(pc.multiply(n_ws, mega), safe),
+        }
+    )
+
 
 def compression_ratios(
     batch: pa.Table, text_col: str = "text", level: int = 6

@@ -209,3 +209,40 @@ def test_kcore_rejects_bad_params():
         kcore_peel(ds, k=0, rounds=1)
     with _pytest.raises(ValueError):
         kcore_peel(ds, k=1, rounds=0)
+
+
+def test_cluster_density_clique_vs_chain():
+    from duplicate_finder_ray.stages.graph import cluster_density
+
+    # triangle {x,y,z}: 3 edges over 3 nodes -> density 1.0 (clique);
+    # chain p-q-r-s: 3 edges over 4 nodes -> 2*3e6 // 12 = 500000
+    pairs = _edges_ds(
+        [("x", "y"), ("x", "z"), ("y", "z"), ("p", "q"), ("q", "r"), ("r", "s")]
+    )
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "file_id": pa.array(["x", "y", "z", "p", "q", "r", "s"]),
+                "component": pa.array(["x", "x", "x", "p", "p", "p", "p"]),
+            }
+        )
+    ).repartition(2)
+    out = {r["component"]: r for r in cluster_density(pairs, labels, n_parts=4).take_all()}
+    assert out["x"]["n_nodes"] == 3 and out["x"]["n_edges"] == 3
+    assert out["x"]["density_ppm"] == 1_000_000
+    assert out["p"]["n_nodes"] == 4 and out["p"]["n_edges"] == 3
+    assert out["p"]["density_ppm"] == 500_000
+
+
+def test_cluster_density_end_to_end_with_cc():
+    from duplicate_finder_ray.config import PipelineConfig
+    from duplicate_finder_ray.stages.cc import connected_components
+    from duplicate_finder_ray.stages.graph import cluster_density
+
+    pairs = _edges_ds([("a", "b"), ("b", "c"), ("d", "e")])
+    labels = connected_components(pairs, PipelineConfig())
+    out = {r["component"]: r for r in cluster_density(pairs, labels).take_all()}
+    assert out["a"]["n_nodes"] == 3 and out["a"]["n_edges"] == 2
+    assert out["a"]["density_ppm"] == 2 * 2_000_000 // 6
+    assert out["d"]["n_nodes"] == 2 and out["d"]["n_edges"] == 1
+    assert out["d"]["density_ppm"] == 1_000_000

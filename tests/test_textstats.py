@@ -427,3 +427,96 @@ class TestCompressionRatios:
         ppm = out.column("compress_ppm").to_pylist()
         # pure repetition deflates far below prose-with-repeats
         assert ppm[1] < ppm[0]
+
+
+class TestEncodingAudit:
+    def test_matches_python_char_oracle(self):
+        texts = [
+            "plain ascii text, nothing odd",
+            "café naïve 中文 mixed",
+            "ctrl\x01\x02 and del\x7f inside",
+            "tabs\tand\nnewlines\r plus\fform",
+            "",
+            "� replacement and emoji \U0001f600",
+        ]
+        out = textstats.encoding_audit(batch_of(texts)).to_pandas()
+        ctrl = set(range(0, 9)) | {0x0B, 0x0C} | set(range(0x0E, 0x20)) | {0x7F}
+        for i, t in enumerate(texts):
+            row = out.iloc[i]
+            n_chars = len(t)
+            n_non_ascii = sum(1 for c in t if ord(c) > 0x7F)
+            n_control = sum(1 for c in t if ord(c) in ctrl)
+            n_ws = sum(1 for c in t if c in "\t\n\f\r ")
+            assert row["n_chars"] == n_chars
+            assert row["n_bytes"] == len(t.encode())
+            assert row["n_non_ascii"] == n_non_ascii
+            assert row["n_control"] == n_control
+            assert row["n_ws"] == n_ws
+            safe = max(n_chars, 1)
+            assert row["ascii_ppm"] == (n_chars - n_non_ascii) * 1_000_000 // safe
+            assert row["ws_ppm"] == n_ws * 1_000_000 // safe
+
+
+class TestPmiBigrams:
+    def _oracle(self, texts, k=30, min_n=3):
+        from collections import Counter
+
+        toks = [re.findall(r"[A-Za-z0-9_]+", t) for t in texts]
+        uni = Counter(t for ts in toks for t in ts)
+        total = sum(uni.values())
+        big = Counter(
+            (ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)
+        )
+        rows = [
+            (a, b, n, n * total * 1_000_000 // (uni[a] * uni[b]))
+            for (a, b), n in big.items()
+            if n >= min_n
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        return [(a, b, n, p, i + 1) for i, (a, b, n, p) in enumerate(rows[:k])]
+
+    def test_matches_python_oracle_and_ranks_collocations(self, ray_session):
+        # "new york" is rare but bound; "the" is frequent and independent
+        texts = [
+            "the trip to new york was long and the food in new york good",
+            "she moved to new york while the rest of the team stayed",
+            "the the the filler words repeat here and the story goes on",
+            "machine learning and machine learning and machine learning",
+        ]
+        df = pd.DataFrame({"text": texts})
+        got = (
+            textstats.pmi_bigrams(
+                ray_session.data.from_pandas(df), "text", 30, min_n=3
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        want = self._oracle(texts)
+        assert len(got) == len(want)
+        for i, (a, b, n, p, r) in enumerate(want):
+            row = got.iloc[i]
+            assert (row["tok_a"], row["tok_b"]) == (a, b)
+            assert row["n"] == n
+            assert row["pmi_ppm"] == p
+            assert row["rank"] == r
+        # the bound phrases outrank the frequent-independent pair
+        pairs = list(zip(got["tok_a"], got["tok_b"]))
+        assert ("the", "the") not in pairs or pairs.index(
+            ("new", "york")
+        ) < pairs.index(("the", "the"))
+        assert ("machine", "learning") in pairs
+
+    def test_min_n_prunes_and_bad_args_raise(self, ray_session):
+        import pytest as _pytest
+
+        ds = ray_session.data.from_pandas(
+            pd.DataFrame({"text": ["one two three", "four five six"]})
+        )
+        with _pytest.raises(ValueError):
+            textstats.pmi_bigrams(ds, "text", 0)
+        with _pytest.raises(ValueError):
+            textstats.pmi_bigrams(ds, "text", 5, min_n=0)
+        # every bigram is a hapax -> min_n=3 leaves nothing
+        out = textstats.pmi_bigrams(ds, "text", 5, min_n=3)
+        assert out.count() == 0

@@ -285,3 +285,95 @@ class TestGroupedRollup:
         ds = ray.data.from_arrow(pa.table({"v": pa.array([1], pa.int64())}))
         with pytest.raises(ValueError):
             grouped_rollup(ds, [], "v")
+
+
+def _typed_events(rows):
+    """rows: (event_id, ts_us, user_id, event_type)"""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+class TestDedupRetryEvents:
+    @staticmethod
+    def _oracle(rows, w):
+        """LAG semantics: gap vs the previous same-(user,type) event,
+        kept or not."""
+        out = []
+        prev_ts = {}
+        for eid, ts, uid, ty in sorted(rows, key=lambda r: (r[2], r[3], r[1], r[0])):
+            prev = prev_ts.get((uid, ty))
+            gap = -1 if prev is None else ts - prev
+            if prev is None or ts - prev > w:
+                out.append((eid, uid, ty, ts, gap))
+            prev_ts[(uid, ty)] = ts
+        return sorted(out)
+
+    def test_retries_dropped_types_isolated(self, ray_session):
+        from duplicate_finder_ray.stages.events import dedup_retry_events
+
+        w = 5_000_000
+        rows = [
+            (1, 0, 7, "click"),
+            (2, 1_000_000, 7, "click"),      # retry: 1s after e1 -> drop
+            (3, 2_000_000, 7, "purchase"),   # other type: kept
+            (4, 7_500_000, 7, "click"),      # 6.5s after e2 (LAG!) -> kept
+            (5, 0, 8, "click"),              # other user: kept
+            (6, 5_000_000, 8, "click"),      # exactly w after e5 -> drop (> strict)
+        ]
+        got = sorted(
+            (r["event_id"], r["user_id"], r["event_type"], r["ts_us"], r["gap_same_us"])
+            for r in dedup_retry_events(_typed_events(rows), w, 4).take_all()
+        )
+        assert got == self._oracle(rows, w)
+        kept_ids = [g[0] for g in got]
+        assert kept_ids == [1, 3, 4, 5]
+
+    def test_lag_not_debounce_semantics(self, ray_session):
+        from duplicate_finder_ray.stages.events import dedup_retry_events
+
+        # e2 dropped (1s after e1); e3 is 4s after e2 (dropped row) ->
+        # LAG semantics also drops e3 even though it's 5s+ after e1
+        rows = [(1, 0, 1, "x"), (2, 1_000_000, 1, "x"), (3, 5_000_000, 1, "x")]
+        got = [
+            r["event_id"]
+            for r in dedup_retry_events(_typed_events(rows), 4_999_999, 2).take_all()
+        ]
+        assert sorted(got) == [1]
+
+    def test_partition_count_invariant_matches_oracle(self, ray_session):
+        from duplicate_finder_ray.stages.events import dedup_retry_events
+
+        rng = np.random.default_rng(11)
+        types = ["a", "b", "c"]
+        rows = [
+            (
+                i,
+                int(rng.integers(0, 30_000_000)),
+                int(rng.integers(0, 6)),
+                types[int(rng.integers(0, 3))],
+            )
+            for i in range(500)
+        ]
+        want = self._oracle(rows, 5_000_000)
+        for parts in (2, 16):
+            got = sorted(
+                (r["event_id"], r["user_id"], r["event_type"], r["ts_us"], r["gap_same_us"])
+                for r in dedup_retry_events(_typed_events(rows), 5_000_000, parts).take_all()
+            )
+            assert got == want
+
+    def test_rejects_negative_window(self, ray_session):
+        import pytest as _pytest
+
+        from duplicate_finder_ray.stages.events import dedup_retry_events
+
+        with _pytest.raises(ValueError):
+            dedup_retry_events(_typed_events([(1, 0, 1, "x")]), -1)
