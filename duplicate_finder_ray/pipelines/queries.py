@@ -2421,6 +2421,78 @@ def q_near_dup_cluster_density(sf_dir: str) -> ray.data.Dataset:
     return cluster_density(pairs, labels)
 
 
+def q_line_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc line-level repetition (Gopher dup-line-fraction signal):
+    total/distinct lines, hottest line count, dup_line_ppm."""
+    from duplicate_finder_ray.stages import textstats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(textstats.line_stats, batch_format="pyarrow")
+
+
+def q_dedup_keepers_by_depth(sf_dir: str) -> ray.data.Dataset:
+    """Keeper POLICY variant: per duplicate group keep the shallowest
+    path (ties → lex tuple) — the 'canonical copy vs vendored copies'
+    rule; one group-keyed exchange over the slim members view."""
+    res = DedupPipeline(PipelineConfig()).run_on(code_files_from_documents(sf_dir))
+    return exact.keepers_by_depth(res.members)
+
+
+def q_events_hourly_dense(sf_dir: str) -> ray.data.Dataset:
+    """Gap-filled hourly counts: every hour between corpus min and max
+    appears (zero-count hours included) — hour dimension synthesized
+    from two scalar folds, left-joined; raw events never shuffle."""
+    from duplicate_finder_ray.stages.events import hourly_dense
+
+    return hourly_dense(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    )
+
+
+def q_jaccard_threshold_sweep(sf_dir: str) -> ray.data.Dataset:
+    """Dedup what-if: near-dup pair count at each Jaccard threshold
+    τ ∈ {0.5..0.9} over the ≥0.5 exact pair set — the knob-tuning
+    report before an expensive full rerun. Thresholding happens on the
+    pair set's round-6 jaccard doubles, which are bit-identical across
+    engines (ngram_jaccard_pairs hash-matches), against the same
+    tau10/10.0 IEEE literals — so the comparison is deterministic on
+    both sides. Per-batch partial counts; the shuffle carries 5 rows
+    per block."""
+    from ray.data.aggregate import Sum
+
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    taus = np.arange(5, 10, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "jaccard" not in batch.column_names:  # empty-filter 0-col block
+            return pa.table(
+                {
+                    "tau10": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        j = batch["jaccard"].to_numpy(zero_copy_only=False)
+        n = np.array([(j >= t / 10.0).sum() for t in taus], dtype=np.int64)
+        return pa.table({"tau10": pa.array(taus), "n_pairs": pa.array(n)})
+
+    zeros = ray.data.from_arrow(
+        pa.table(
+            {
+                "tau10": pa.array(taus),
+                "n_pairs": pa.array(np.zeros(5, dtype=np.int64)),
+            }
+        )
+    )
+    return (
+        pairs.select_columns(["jaccard"])
+        .map_batches(partial, batch_format="pyarrow")
+        .union(zeros)  # keeps a 0 row per τ even on an empty pair set
+        .groupby("tau10")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
 def q_reassemble_docs(sf_dir: str) -> ray.data.Dataset:
     """Chunk-store round-trip: chunk every document into 64-token /
     48-stride windows, then rebuild the documents from the chunks —
@@ -4814,6 +4886,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pmi_bigrams": q_pmi_bigrams,
     "dedup_retry_events": q_dedup_retry_events,
     "near_dup_cluster_density": q_near_dup_cluster_density,
+    "line_stats": q_line_stats,
+    "dedup_keepers_by_depth": q_dedup_keepers_by_depth,
+    "events_hourly_dense": q_events_hourly_dense,
+    "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6167,6 +6243,53 @@ _EDGE_CTE = """
       WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     )"""
 
+ORACLE_SQL["line_stats"] = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+c AS (SELECT doc_id, line, count(*) AS n FROM l GROUP BY 1, 2),
+s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines,
+             CAST(count(*) AS BIGINT) AS n_distinct_lines,
+             CAST(max(n) AS BIGINT) AS top_line_n
+      FROM c GROUP BY 1)
+SELECT doc_id, n_lines, n_distinct_lines, top_line_n,
+       CAST((n_lines - n_distinct_lines) * 1000000 // GREATEST(n_lines, 1)
+         AS BIGINT) AS dup_line_ppm
+FROM s
+"""
+
+ORACLE_SQL["dedup_keepers_by_depth"] = _MEMBER_SQL + """
+, dup AS (SELECT * FROM members WHERE n_files > 1),
+r AS (
+  SELECT file_id, repo, path, group_id,
+         CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+           AS depth,
+         row_number() OVER (
+           PARTITION BY group_id
+           ORDER BY length(path) - length(replace(path, '/', '')),
+                    repo, path, "commit") AS rn
+  FROM dup
+)
+SELECT file_id, repo, path, depth, group_id FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["events_hourly_dense"] = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM c),
+h AS (
+  SELECT CAST(b.lo + 3600000000 * t.x AS BIGINT) AS hour_us
+  FROM b,
+       unnest(generate_series(0, CAST((b.hi - b.lo) // 3600000000 AS BIGINT)))
+         AS t(x)
+)
+SELECT h.hour_us, CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+FROM h LEFT JOIN c USING (hour_us)
+"""
+
 ORACLE_SQL["dedup_retry_events"] = """
 WITH x AS (
   SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -6182,6 +6305,14 @@ SELECT event_id, user_id, event_type, ts_us,
        CAST(COALESCE(ts_us - prev_us, -1) AS BIGINT) AS gap_same_us
 FROM x
 WHERE prev_us IS NULL OR ts_us - prev_us > 14400000000
+"""
+
+ORACLE_SQL["jaccard_threshold_sweep"] = f"""
+WITH pr AS ({ORACLE_SQL["ngram_jaccard_pairs"]}),
+taus AS (SELECT CAST(unnest([5, 6, 7, 8, 9]) AS BIGINT) AS tau10)
+SELECT t.tau10, CAST(count(p.a) AS BIGINT) AS n_pairs
+FROM taus t LEFT JOIN pr p ON p.jaccard >= t.tau10 / 10.0
+GROUP BY 1
 """
 
 ORACLE_SQL["near_dup_cluster_density"] = (

@@ -70,6 +70,73 @@ def hourly_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def hourly_dense(events: ray.data.Dataset, n_parts: int = 16) -> ray.data.Dataset:
+    """Gap-filled hourly event counts: every hour between the corpus
+    min and max hour appears, zero-count hours included — the dense
+    time series downstream anomaly detection / rate charts need (a
+    sparse groupby silently hides outage hours). Output:
+    (hour_us, n_events).
+
+    Scale shape: per-batch hour-count partials → one hours-cardinality
+    groupby-sum (tiny: 8 760 rows/year), materialized once; the hour
+    DIMENSION is synthesized with ``ray.data.range`` off two scalar
+    folds and left-joined back on the barrier-free shuffle hash join —
+    the raw event rows never shuffle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.multiply(pc.divide(ts_us, _HOUR_US), _HOUR_US)
+        vc = pc.value_counts(hour.combine_chunks())
+        return pa.table(
+            {
+                "hour_us": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        events.select_columns(["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_us")
+        .aggregate(_Sum("n", alias_name="n_events"))
+        .materialize()  # hours-cardinality (tiny); reused by folds + join
+    )
+    out_schema = pa.schema([("hour_us", pa.int64()), ("n_events", pa.int64())])
+    lo = counts.min("hour_us")
+    if lo is None:  # empty events table: empty dense series
+        return ray.data.from_arrow(out_schema.empty_table())
+    hi = counts.max("hour_us")
+    n_hours = (int(hi) - int(lo)) // _HOUR_US + 1
+    lo = int(lo)
+
+    def to_hours(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        return pa.table(
+            {"hour_us": pa.array(lo + i * _HOUR_US, pa.int64())}
+        )
+
+    hours = ray.data.range(n_hours).map_batches(to_hours, batch_format="pyarrow")
+
+    from duplicate_finder_ray.stages.join import shuffle_hash_join
+
+    joined = shuffle_hash_join(
+        hours, counts, "hour_us", "hour_us", n_parts, how="left"
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_us": batch["hour_us"],
+                "n_events": pc.coalesce(
+                    batch["n_events"], pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def sliding_rollup(
     events: ray.data.Dataset,
     window_minutes: int = 60,

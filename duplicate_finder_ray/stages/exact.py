@@ -262,3 +262,66 @@ def deletion_tally(members: ray.data.Dataset) -> dict:
         "n_deleted": int(res.get("n_deleted") or 0),
         "bytes_freed": int(res.get("bytes_freed") or 0),
     }
+
+
+def keepers_by_depth(
+    members: ray.data.Dataset, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Alternative keeper POLICY: per duplicate group keep the
+    SHALLOWEST path (fewest '/' separators), ties by (repo, path,
+    commit) — the "keep the canonical copy, delete the vendored ones"
+    rule real dedup runs want when duplicates differ only in nesting
+    (src/lib.c vs third_party/foo/src/lib.c). The default pipeline
+    keeper (lex-min tuple, reference rule) stays untouched; this is a
+    re-selection over the members view.
+
+    Scale shape: members rows are slim; ONE barrier-free hash exchange
+    by hash(group_id) co-locates each group, then a vectorized
+    mergesort + duplicated() first-per-group kernel — no per-group
+    Python."""
+    out_schema = pa.schema(
+        [
+            ("file_id", pa.string()),
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("depth", pa.int64()),
+            ("group_id", pa.string()),
+        ]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "file_id": b["file_id"],
+                "repo": b["repo"],
+                "path": b["path"],
+                "commit": b["commit"],
+                "depth": pc.cast(pc.count_substring(b["path"], "/"), pa.int64()),
+                "group_id": b["group_id"],
+            }
+        )
+
+    def part_of(tbl: pa.Table, n: int) -> np.ndarray:
+        g = tbl.column("group_id").to_numpy(zero_copy_only=False)
+        return (pd.util.hash_array(g) % np.uint64(n)).astype(np.int64)
+
+    def kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        df = df.sort_values(
+            ["group_id", "depth", "repo", "path", "commit"], kind="mergesort"
+        )
+        k = df[~df["group_id"].duplicated()]
+        return pa.Table.from_pandas(
+            k[[f.name for f in out_schema]], schema=out_schema, preserve_index=False
+        )
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    slim = members.select_columns(
+        ["file_id", "repo", "path", "commit", "group_id"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(
+        slim, part_of, num_partitions, kernel, out_schema.empty_table()
+    )

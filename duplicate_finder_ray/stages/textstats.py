@@ -1105,6 +1105,50 @@ def common_lines(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Datase
     )
     return top.select_columns(["line", "n", "rank"])
 
+def line_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document LINE-level repetition (the doc-local companion to
+    the corpus-wide :func:`common_lines` miner and the token-level
+    :func:`repetition_stats`): total lines, distinct lines, the
+    hottest line's count, and ``dup_line_ppm`` = duplicated-line share
+    on the ×10⁶ lattice — the Gopher dup-line-fraction signal that
+    catches generated-code walls and chat-log spam. Split semantics
+    exactly mirror the SQL twin (``string_split(text, chr(10))``:
+    empty docs yield ONE empty line; empty lines count).
+
+    Vectorized: one Arrow split per batch, factorize + two C groupbys
+    over the flattened (doc, line-id) pairs — no per-row Python."""
+    lines = pc.split_pattern(batch[text_col], "\n")
+    n_lines = pc.list_value_length(lines).to_numpy().astype(np.int64)
+    flat = lines.combine_chunks() if isinstance(lines, pa.ChunkedArray) else lines
+    values = flat.flatten().to_numpy(zero_copy_only=False)
+    doc = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines)
+    codes, _ = pd.factorize(values, sort=False)
+    per = (
+        pd.DataFrame({"d": doc, "c": codes})
+        .groupby(["d", "c"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    agg = per.groupby("d", sort=False)["n"].agg(["size", "max"])
+    n_distinct = np.zeros(len(batch), dtype=np.int64)
+    top = np.zeros(len(batch), dtype=np.int64)
+    idx = agg.index.to_numpy()
+    n_distinct[idx] = agg["size"].to_numpy()
+    top[idx] = agg["max"].to_numpy()
+    safe = np.maximum(n_lines, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines),
+            "n_distinct_lines": pa.array(n_distinct),
+            "top_line_n": pa.array(top),
+            "dup_line_ppm": pa.array(
+                (n_lines - n_distinct) * np.int64(1_000_000) // safe
+            ),
+        }
+    )
+
+
 def encoding_audit(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-document encoding health: codepoint vs byte length,
     non-ASCII / control-character / whitespace counts, and an

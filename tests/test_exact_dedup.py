@@ -277,3 +277,72 @@ class TestPoisonRows:
         )
         got = sorted((r["path"], r["is_keeper"]) for r in res.members.take_all())
         assert got == [("a.py", True), ("b.py", False)]
+
+
+class TestKeepersByDepth:
+    def _members(self, rows):
+        """rows: (file_id, repo, path, commit, group_id)"""
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "file_id": pa.array([r[0] for r in rows]),
+                    "repo": pa.array([r[1] for r in rows]),
+                    "path": pa.array([r[2] for r in rows]),
+                    "commit": pa.array([r[3] for r in rows]),
+                    "group_id": pa.array([r[4] for r in rows]),
+                }
+            )
+        ).repartition(2)
+
+    def test_shallowest_wins_ties_lex(self, ray_session):
+        from duplicate_finder_ray.stages.exact import keepers_by_depth
+
+        rows = [
+            # group g1: vendored copy is deeper -> canonical src wins
+            ("f1", "r1", "third_party/foo/src/lib.c", "c1", "g1"),
+            ("f2", "r1", "src/lib.c", "c1", "g1"),
+            # group g2: equal depth -> (repo, path, commit) lex tie-break
+            ("f3", "rB", "a/x.py", "c1", "g2"),
+            ("f4", "rA", "z/x.py", "c1", "g2"),
+            ("f5", "rA", "z/x.py", "c0", "g2"),
+        ]
+        out = {
+            r["group_id"]: r
+            for r in keepers_by_depth(self._members(rows), 4).take_all()
+        }
+        assert out["g1"]["file_id"] == "f2" and out["g1"]["depth"] == 1
+        assert out["g2"]["file_id"] == "f5"  # rA < rB, then commit c0 < c1
+        assert len(out) == 2
+
+    def test_partition_invariant(self, ray_session):
+        import numpy as np
+
+        from duplicate_finder_ray.stages.exact import keepers_by_depth
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(300):
+            g = f"g{int(rng.integers(0, 40))}"
+            depth = int(rng.integers(0, 4))
+            path = "/".join(["d"] * depth + [f"f{i}.py"])
+            rows.append((f"f{i}", f"r{int(rng.integers(0, 5))}", path, "c", g))
+        a = sorted(
+            (r["group_id"], r["file_id"])
+            for r in keepers_by_depth(self._members(rows), 2).take_all()
+        )
+        b = sorted(
+            (r["group_id"], r["file_id"])
+            for r in keepers_by_depth(self._members(rows), 16).take_all()
+        )
+        assert a == b
+        # python oracle: min by (depth, repo, path, commit) per group
+        want = {}
+        for fid, repo, path, commit, g in rows:
+            key = (path.count("/"), repo, path, commit)
+            if g not in want or key < want[g][0]:
+                want[g] = (key, fid)
+        assert a == sorted((g, fid) for g, (_, fid) in want.items())

@@ -520,3 +520,27 @@ class TestPmiBigrams:
         # every bigram is a hapax -> min_n=3 leaves nothing
         out = textstats.pmi_bigrams(ds, "text", 5, min_n=3)
         assert out.count() == 0
+
+
+class TestLineStats:
+    def test_matches_python_oracle(self):
+        from collections import Counter
+
+        texts = [
+            "a\nb\na\na",            # 4 lines, 2 distinct, top=3
+            "x",                      # single line
+            "",                       # one empty line (split semantics)
+            "\n\n",                   # three empty lines
+            "l1\nl1\nl2\n",           # trailing newline -> empty 4th line
+        ]
+        out = textstats.line_stats(batch_of(texts)).to_pandas()
+        for i, t in enumerate(texts):
+            lines = t.split("\n")
+            c = Counter(lines)
+            row = out.iloc[i]
+            assert row["n_lines"] == len(lines)
+            assert row["n_distinct_lines"] == len(c)
+            assert row["top_line_n"] == max(c.values())
+            assert row["dup_line_ppm"] == (len(lines) - len(c)) * 1_000_000 // max(
+                len(lines), 1
+            )

@@ -377,3 +377,23 @@ class TestDedupRetryEvents:
 
         with _pytest.raises(ValueError):
             dedup_retry_events(_typed_events([(1, 0, 1, "x")]), -1)
+
+
+class TestHourlyDense:
+    def test_gap_fill_and_zero_hours(self, ray_session):
+        from duplicate_finder_ray.stages.events import hourly_dense
+
+        h = 3_600_000_000
+        # events in hours 0, 0, 3 (hours 1-2 missing)
+        rows = [(1, 100, 7, 0.0), (2, h - 1, 7, 0.0), (3, 3 * h + 5, 8, 0.0)]
+        out = sorted(
+            (r["hour_us"], r["n_events"])
+            for r in hourly_dense(_events(rows)).take_all()
+        )
+        assert out == [(0, 2), (h, 0), (2 * h, 0), (3 * h, 1)]
+
+    def test_empty_events(self, ray_session):
+        from duplicate_finder_ray.stages.events import hourly_dense
+
+        out = hourly_dense(_events([]))
+        assert out.count() == 0
