@@ -2493,6 +2493,41 @@ def q_jaccard_threshold_sweep(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_lang_mismatch(sf_dir: str) -> ray.data.Dataset:
+    """Metadata-vs-content audit: docs whose DECLARED lang disagrees
+    with the confident marker-word prediction — the mislabeled-slice
+    detector quota sampling and per-lang pruning silently depend on.
+    Scan-side only (one RE2 pass per language, no shuffle)."""
+    from duplicate_finder_ray.stages import textstats
+
+    def audit(batch: pa.Table) -> pa.Table:
+        pred = textstats.language_id(batch)
+        out = pred.append_column("lang", batch.column("lang"))
+        keep = pc.and_(
+            pc.not_equal(out["lang_pred"], out["lang"]),
+            pc.not_equal(out["lang_pred"], "unknown"),
+        )
+        return out.filter(keep).select(
+            ["doc_id", "lang", "lang_pred", "lang_score"]
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(audit, batch_format="pyarrow")
+
+
+def q_token_freq_spectrum(sf_dir: str) -> ray.data.Dataset:
+    """Good-Turing frequency-of-frequencies over the corpus vocabulary
+    (hapax mass, boilerplate-flood shape); O(√N) distinct-frequency
+    final shuffle."""
+    from duplicate_finder_ray.stages.textstats import token_freq_spectrum
+
+    return token_freq_spectrum(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        "text",
+    )
+
+
 def q_reassemble_docs(sf_dir: str) -> ray.data.Dataset:
     """Chunk-store round-trip: chunk every document into 64-token /
     48-stride windows, then rebuild the documents from the chunks —
@@ -4890,6 +4925,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_keepers_by_depth": q_dedup_keepers_by_depth,
     "events_hourly_dense": q_events_hourly_dense,
     "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
+    "lang_mismatch": q_lang_mismatch,
+    "token_freq_spectrum": q_token_freq_spectrum,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6242,6 +6279,23 @@ _EDGE_CTE = """
       JOIN n nb ON nb.doc_key = inter.b
       WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     )"""
+
+ORACLE_SQL["lang_mismatch"] = f"""
+WITH li AS ({ORACLE_SQL["language_id"]})
+SELECT d.doc_id, d.lang, li.lang_pred, li.lang_score
+FROM documents d JOIN li ON li.doc_id = d.doc_id
+WHERE li.lang_pred <> d.lang AND li.lang_pred <> 'unknown'
+"""
+
+ORACLE_SQL["token_freq_spectrum"] = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+  FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+SELECT n AS freq, CAST(count(*) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1
+"""
 
 ORACLE_SQL["line_stats"] = """
 WITH l AS (

@@ -955,6 +955,50 @@ def top_bigrams(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset
     return top.select_columns(["tok_a", "tok_b", "n", "rank"])
 
 
+def token_freq_spectrum(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
+    """Frequency-of-frequencies (the Good-Turing / Heaps-law corpus
+    report): for each occurrence count f, how many distinct tokens
+    occur exactly f times → (freq, n_tokens). The f=1 row is the
+    hapax count every smoothing estimator needs; the spectrum's shape
+    diagnoses boilerplate floods (missing hapax mass) and tokenizer
+    damage (inflated singleton mass).
+
+    Scale shape: token-count partials → one vocabulary-sized
+    groupby-sum → per-block value-counts over the counts → one tiny
+    groupby keyed by freq. The distinct-frequency key space is
+    O(√total_tokens) (Σf over distinct frequencies ≤ N), so the final
+    shuffle stays small at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    totals = (
+        _token_partials(ds, text_col, None)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "n" not in batch.column_names:  # empty 0-col block
+            return pa.table(
+                {
+                    "freq": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        vc = pc.value_counts(batch["n"].combine_chunks())
+        return pa.table(
+            {
+                "freq": vc.field("values").cast(pa.int64()),
+                "n_tokens": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        totals.map_batches(partial, batch_format="pyarrow")
+        .groupby("freq")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+
 def pmi_bigrams(
     ds: ray.data.Dataset,
     text_col: str,

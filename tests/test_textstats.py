@@ -544,3 +544,29 @@ class TestLineStats:
             assert row["dup_line_ppm"] == (len(lines) - len(c)) * 1_000_000 // max(
                 len(lines), 1
             )
+
+
+class TestTokenFreqSpectrum:
+    def test_matches_counter_of_counters(self, ray_session):
+        from collections import Counter
+
+        from duplicate_finder_ray.stages.textstats import token_freq_spectrum
+
+        texts = [
+            "a a a b b c",
+            "b c! d_1 d_1",
+            "",
+            "c a",
+        ]
+        uni = Counter(
+            t for s in texts for t in re.findall(r"[A-Za-z0-9_]+", s)
+        )
+        want = sorted(Counter(uni.values()).items())
+        ds = ray_session.data.from_pandas(pd.DataFrame({"text": texts}))
+        got = sorted(
+            (r["freq"], r["n_tokens"])
+            for r in token_freq_spectrum(ds, "text").take_all()
+        )
+        assert got == want
+        # sanity: hapax row exists (d_1 occurs twice, c thrice... a=4)
+        assert dict(got)[2] == Counter(uni.values())[2]
