@@ -2528,6 +2528,17 @@ def q_token_freq_spectrum(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_seasonality(sf_dir: str) -> ray.data.Dataset:
+    """7×24 calendar heatmap: count + exact cent sum per (ISO dow,
+    hour-of-day), decoded with pure epoch integer arithmetic (no tz
+    lib); scan-side combiner, one ≤168-row groupby."""
+    from duplicate_finder_ray.stages.events import seasonality_profile
+
+    return seasonality_profile(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    )
+
+
 def q_reassemble_docs(sf_dir: str) -> ray.data.Dataset:
     """Chunk-store round-trip: chunk every document into 64-token /
     48-stride windows, then rebuild the documents from the chunks —
@@ -4927,6 +4938,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
     "lang_mismatch": q_lang_mismatch,
     "token_freq_spectrum": q_token_freq_spectrum,
+    "events_seasonality": q_events_seasonality,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6279,6 +6291,16 @@ _EDGE_CTE = """
       JOIN n nb ON nb.doc_key = inter.b
       WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     )"""
+
+ORACLE_SQL["events_seasonality"] = """
+SELECT ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
 
 ORACLE_SQL["lang_mismatch"] = f"""
 WITH li AS ({ORACLE_SQL["language_id"]})

@@ -70,6 +70,47 @@ def hourly_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def seasonality_profile(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Calendar seasonality: event count + exact cent sum per
+    (day-of-week, hour-of-day) cell — the 7×24 heatmap behind traffic
+    shaping and anomaly baselines. Pure integer calendar decode on the
+    epoch lattice: hour = (epoch_us // 3600e6) % 24, dow =
+    ((epoch_days + 3) % 7) + 1 with Monday=1..Sunday=7 ISO numbering
+    matched to DuckDB's isodow() (1970-01-01 was a Thursday: day 0 →
+    (3 % 7) + 1 = 4) — no timezone lib, identical arithmetic in the
+    SQL twin. Scan-side combiner → ONE ≤168-row
+    groupby."""
+    _DAY_US = 86_400_000_000
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        t = ts_us.to_numpy()
+        hour = (t // _HOUR_US) % 24
+        # epoch day 0 = Thursday; ISO dow: Mon=1..Sun=7
+        dow = ((t // _DAY_US) + 3) % 7 + 1
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "dow": pa.array(dow, pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
+                "value_cents": cents,
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "value"])
+        .map_batches(decode, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
 def hourly_dense(events: ray.data.Dataset, n_parts: int = 16) -> ray.data.Dataset:
     """Gap-filled hourly event counts: every hour between the corpus
     min and max hour appears, zero-count hours included — the dense

@@ -397,3 +397,29 @@ class TestHourlyDense:
 
         out = hourly_dense(_events([]))
         assert out.count() == 0
+
+
+class TestSeasonalityProfile:
+    def test_matches_datetime_oracle(self, ray_session):
+        import datetime as dt
+        from collections import defaultdict
+
+        from duplicate_finder_ray.stages.events import seasonality_profile
+
+        rng = np.random.default_rng(13)
+        rows = []
+        for i in range(300):
+            ts = int(rng.integers(0, 40 * 86_400_000_000))
+            rows.append((i, ts, 1, float(rng.integers(0, 10_000)) / 100.0))
+        want_n = defaultdict(int)
+        want_c = defaultdict(int)
+        for _, ts, _, v in rows:
+            d = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=ts)
+            key = (d.isoweekday(), d.hour)
+            want_n[key] += 1
+            want_c[key] += int(np.floor(v * 100 + 0.5))
+        got = {
+            (r["dow"], r["hour"]): (r["n_events"], r["sum_value_cents"])
+            for r in seasonality_profile(_events(rows)).take_all()
+        }
+        assert got == {k: (want_n[k], want_c[k]) for k in want_n}
