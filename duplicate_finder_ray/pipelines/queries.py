@@ -2539,6 +2539,45 @@ def q_events_seasonality(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic training-epoch ordering: shuffle_rank = exact
+    global row_number over md5(doc_id ':' epoch) — a reproducible,
+    resumable permutation (new epoch suffix ⇒ fresh order; a crashed
+    run re-derives the same order without storing it). The seeded key
+    string is built in Arrow C, hashed via the memoryview md5 kernel
+    (no per-row Python objects), ranked by the u64 digest prefix with
+    doc_id tiebreak — the SQL twin orders by substring(md5, 1, 16)
+    then doc_id, which is the same total order (fixed-width lowercase
+    hex sorts like its nibbles; the engine carries the prefix as
+    ``u64 XOR 2⁶³`` reinterpreted int64 — offset-binary is
+    order-preserving, and int64 is what the range exchange ships).
+    One range exchange."""
+    from duplicate_finder_ray.stages.rank import global_rank
+    from duplicate_finder_ray.stages.relational import _md5_prefix_u64
+
+    epoch = 1
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(batch["doc_id"], pa.string()), str(epoch), ":"
+        )
+        u = _md5_prefix_u64(s) ^ np.uint64(1 << 63)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "k": pa.array(u.view(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+    return global_rank(
+        keyed, ["k", "doc_id"], out_col="shuffle_rank", num_partitions=16
+    ).select_columns(["doc_id", "shuffle_rank"])
+
+
 def q_reassemble_docs(sf_dir: str) -> ray.data.Dataset:
     """Chunk-store round-trip: chunk every document into 64-token /
     48-stride windows, then rebuild the documents from the chunks —
@@ -4939,6 +4978,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_mismatch": q_lang_mismatch,
     "token_freq_spectrum": q_token_freq_spectrum,
     "events_seasonality": q_events_seasonality,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 #: shared CTE chain for the n-gram-Jaccard twins: ASCII tokens →
@@ -6291,6 +6331,14 @@ _EDGE_CTE = """
       JOIN n nb ON nb.doc_key = inter.b
       WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
     )"""
+
+ORACLE_SQL["epoch_shuffle"] = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 16),
+                  doc_id) - 1 AS BIGINT) AS shuffle_rank
+FROM documents
+"""
 
 ORACLE_SQL["events_seasonality"] = """
 SELECT ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS dow,
