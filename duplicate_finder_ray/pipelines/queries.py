@@ -266,6 +266,24 @@ def q_ngram_jaccard_clusters(sf_dir: str) -> ray.data.Dataset:
     return connected_components(q_ngram_jaccard_pairs(sf_dir), PipelineConfig())
 
 
+def q_ppjoin_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Prefix-filtered EXACT set-similarity self-join (PPJoin-style,
+    stages/ppjoin.py): all pairs with exact 5-gram Jaccard >= 0.5, zero
+    false negatives by the prefix-filter lemma — so the brute-force
+    n-gram-Jaccard SQL is a full hash-match oracle (same row set as
+    near_dup_pairs, reached without LSH's probabilistic banding and
+    without the single-task postings of ngram_jaccard_pairs). The
+    comparison rides on the integer n_inter/n_union twins."""
+    from duplicate_finder_ray.stages.derive import add_identity
+    from duplicate_finder_ray.stages.ppjoin import ppjoin_pairs
+
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    code = code_files_from_documents(sf_dir).map_batches(
+        add_identity, batch_format="pyarrow"
+    )
+    return ppjoin_pairs(code, cfg).select_columns(["a", "b", "n_inter", "n_union"])
+
+
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup: Hamming ≤ 3 pairs via bit-block pigeonhole
     banding (rows-only driver check; hamming oracle in
@@ -4818,6 +4836,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "near_dup_spans": q_near_dup_spans,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_jaccard_clusters": q_ngram_jaccard_clusters,
+    "ppjoin_pairs": q_ppjoin_pairs,
     "simhash_pairs": q_simhash_pairs,
     # similarity search over embeddings
     "ann_topk": q_ann_topk,
@@ -7899,3 +7918,7 @@ FROM q
 JOIN af ON af.s_suppkey = q.l_suppkey, st
 WHERE CAST(shipped_qty AS HUGEINT) * n > tot
 """
+
+# PPJoin reaches the same exact >= tau pair set as the LSH+verify
+# flagship, so it shares the brute-force truth SQL verbatim
+ORACLE_SQL["ppjoin_pairs"] = ORACLE_SQL["near_dup_pairs"]
