@@ -2546,6 +2546,32 @@ def q_token_freq_spectrum(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_anomalous_hours(sf_dir: str) -> ray.data.Dataset:
+    """Hours with event count > mean + 3·stddev over the DENSE hourly
+    series (stages/events.py:anomalous_hours) — the burst detector.
+    The test is the exact integer inequality (H·x − S)² > 9·(H·Q − S²)
+    with H·x > S, so distributed partials and the HUGEINT SQL twin are
+    bit-identical (float variance would drift under reordering)."""
+    from duplicate_finder_ray.stages.events import anomalous_hours
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return anomalous_hours(events, k_sigma=3)
+
+
+def q_daily_new_users(sf_dir: str) -> ray.data.Dataset:
+    """Adoption curve: per-day first-time users + running total
+    (stages/events.py:daily_new_users) — the streaming answer to
+    cumulative count(DISTINCT). Per-batch user-min partials, one slim
+    user-keyed exchange, tiny day groupby + one-task cumsum; window-SUM
+    SQL twin."""
+    from duplicate_finder_ray.stages.events import daily_new_users
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return daily_new_users(events)
+
+
 def q_events_seasonality(sf_dir: str) -> ray.data.Dataset:
     """7×24 calendar heatmap: count + exact cent sum per (ISO dow,
     hour-of-day), decoded with pure epoch integer arithmetic (no tz
@@ -4997,6 +5023,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_mismatch": q_lang_mismatch,
     "token_freq_spectrum": q_token_freq_spectrum,
     "events_seasonality": q_events_seasonality,
+    "events_anomalous_hours": q_events_anomalous_hours,
+    "daily_new_users": q_daily_new_users,
     "epoch_shuffle": q_epoch_shuffle,
 }
 
@@ -7922,3 +7950,45 @@ WHERE CAST(shipped_qty AS HUGEINT) * n > tot
 # PPJoin reaches the same exact >= tau pair set as the LSH+verify
 # flagship, so it shares the brute-force truth SQL verbatim
 ORACLE_SQL["ppjoin_pairs"] = ORACLE_SQL["near_dup_pairs"]
+
+ORACLE_SQL["events_anomalous_hours"] = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM c),
+h AS (
+  SELECT CAST(b.lo + 3600000000 * t.x AS BIGINT) AS hour_us
+  FROM b,
+       unnest(generate_series(0, CAST((b.hi - b.lo) // 3600000000 AS BIGINT)))
+         AS t(x)
+),
+dense AS (
+  SELECT h.hour_us, CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+  FROM h LEFT JOIN c USING (hour_us)
+),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS nh,
+         CAST(sum(n_events) AS HUGEINT) AS s,
+         sum(CAST(n_events AS HUGEINT) * n_events) AS q
+  FROM dense
+)
+SELECT d.hour_us, d.n_events
+FROM dense d, st
+WHERE st.nh * d.n_events - st.s > 0
+  AND (st.nh * d.n_events - st.s) * (st.nh * d.n_events - st.s)
+      > 9 * (st.nh * st.q - st.s * st.s)
+"""
+
+ORACLE_SQL["daily_new_users"] = """
+WITH f AS (
+  SELECT user_id,
+         min((epoch_us(ts) // 86400000000) * 86400000000) AS day_us
+  FROM events GROUP BY user_id
+),
+d AS (SELECT day_us, CAST(count(*) AS BIGINT) AS n_new_users FROM f GROUP BY 1)
+SELECT CAST(day_us AS BIGINT) AS day_us, n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY day_us) AS BIGINT) AS cum_users
+FROM d
+"""

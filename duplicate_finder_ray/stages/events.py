@@ -1595,3 +1595,155 @@ def watermark_audit(
             Max("delay_s", alias_name="max_delay_s_seen"),
         )
     )
+
+
+def anomalous_hours(events: ray.data.Dataset, k_sigma: int = 3) -> ray.data.Dataset:
+    """Hours whose event count exceeds mean + k_sigma·stddev over the
+    DENSE hourly series (zero-count outage hours included — a sparse
+    groupby would bias the mean upward and hide burst anomalies next
+    to outages). The monitoring primitive behind "page when traffic
+    spikes": output (hour_us, n_events) of anomalous hours only.
+
+    EXACT INTEGER TEST — no float mean/stddev anywhere: with
+    S = Σx, Q = Σx², H = number of hours, the population test
+    x > S/H + k·sqrt(Q/H − (S/H)²) is equivalent (both sides
+    non-negative, multiply through by H²) to
+
+        H·x − S > 0  AND  (H·x − S)² > k²·(H·Q − S²)
+
+    which distributed partial sums reproduce bit-for-bit on any
+    partitioning, and a HUGEINT SQL twin states verbatim — float
+    variance would hash-drift under reduction reordering.
+
+    Scale shape: rides hourly_dense (per-batch count partials, one
+    hours-cardinality groupby — the event stream never shuffles); the
+    dense series is hours-cardinality-tiny (8 760 rows/year), so the
+    moment fold and the final filter run in ONE remote task over
+    arbitrary-precision Python ints (squares exceed int64 once
+    S ~ 3e9; big ints cost nothing at this cardinality)."""
+    if k_sigma <= 0:
+        raise ValueError("k_sigma must be positive")
+    dense = hourly_dense(events).materialize()
+    out_schema = pa.schema([("hour_us", pa.int64()), ("n_events", pa.int64())])
+
+    @ray.remote
+    def fold_and_filter(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and "hour_us" in b.column_names)
+        if not blocks:
+            return out_schema.empty_table()
+        tbl = pa.concat_tables(blocks)
+        x = tbl.column("n_events").to_numpy().astype(np.int64)
+        h = int(len(x))
+        s = int(x.sum())
+        q = int((x.astype(object) * x.astype(object)).sum())  # exact Σx²
+        k2 = k_sigma * k_sigma
+        rhs = k2 * (h * q - s * s)
+        lhs = [h * int(v) - s for v in x]
+        keep = np.array([d > 0 and d * d > rhs for d in lhs], dtype=bool)
+        return pa.table(
+            {
+                "hour_us": tbl.column("hour_us").filter(pa.array(keep)),
+                "n_events": tbl.column("n_events").filter(pa.array(keep)),
+            }
+        )
+
+    refs = dense.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow_refs([fold_and_filter.remote(*refs)])
+
+
+def daily_new_users(events: ray.data.Dataset, n_parts: int = 16) -> ray.data.Dataset:
+    """Adoption curve: per UTC day, the number of users whose FIRST
+    event ever falls on that day, plus the running total of users seen
+    so far (the "cumulative distinct users" series a naive
+    count(DISTINCT) OVER cannot stream). Output
+    (day_us, n_new_users, cum_users), days with zero first-timers
+    omitted (join hourly_dense-style gap filling downstream if a dense
+    axis is needed).
+
+    Scale shape: per-batch (user → min day) partials collapse each
+    block to its distinct users BEFORE the shuffle; ONE user-keyed
+    hash exchange (slim 16-byte rows) makes the global per-user min
+    partition-local; per-partition day-count partials then fold into a
+    days-cardinality groupby-sum, and the cumulative sum runs in one
+    task over the tiny day table. The event stream itself never
+    shuffles; no task ever holds more than its partition's distinct
+    users."""
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    if n_parts <= 0:
+        raise ValueError("n_parts must be positive")
+    _DAY_US = 86_400_000_000
+    slim_schema = pa.schema([("user_id", pa.int64()), ("day_us", pa.int64())])
+    part_schema = pa.schema([("day_us", pa.int64()), ("n", pa.int64())])
+    out_schema = pa.schema(
+        [("day_us", pa.int64()), ("n_new_users", pa.int64()), ("cum_users", pa.int64())]
+    )
+
+    def user_min_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        day = (ts_us // _DAY_US) * _DAY_US
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        firsts = np.r_[True, uid[1:] != uid[:-1]]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[firsts], pa.int64()),
+                "day_us": pa.array(day[firsts], pa.int64()),
+            }
+        )
+
+    slim = events.select_columns(["user_id", "ts"]).map_batches(
+        user_min_partial, batch_format="pyarrow"
+    )
+
+    def by_user(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy().astype(np.uint64)
+        return (u % np.uint64(p)).astype(np.int64)
+
+    def day_counts(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        uid = tbl.column("user_id").to_numpy().astype(np.int64)
+        day = tbl.column("day_us").to_numpy().astype(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        firsts = np.r_[True, uid[1:] != uid[:-1]]
+        days, counts = np.unique(day[firsts], return_counts=True)
+        return pa.table(
+            {
+                "day_us": pa.array(days, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_day = (
+        hash_exchange(slim, by_user, n_parts, day_counts, part_schema.empty_table())
+        .groupby("day_us")
+        .aggregate(Sum("n", alias_name="n_new_users"))
+        .materialize()  # days-cardinality tiny
+    )
+
+    @ray.remote
+    def cumulate(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and "day_us" in b.column_names)
+        if not blocks:
+            return out_schema.empty_table()
+        tbl = pa.concat_tables(blocks).sort_by("day_us")
+        n = tbl.column("n_new_users").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "day_us": tbl.column("day_us"),
+                "n_new_users": pa.array(n, pa.int64()),
+                "cum_users": pa.array(np.cumsum(n), pa.int64()),
+            }
+        )
+
+    refs = per_day.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow_refs([cumulate.remote(*refs)])

@@ -551,3 +551,112 @@ class TestWatermarkAudit:
             watermark_audit(ds, max_delay_s=0)
         with _pytest.raises(ValueError):
             watermark_audit(ds, allowed_lateness_s=-1)
+
+
+class TestAnomalousHours:
+    """Planted-truth tests for the exact-integer burst detector."""
+
+    @staticmethod
+    def _events_at(hour_counts: dict[int, int]) -> pd.DataFrame:
+        import ray.data  # noqa: F401
+
+        rows = []
+        eid = 0
+        for hour, n in hour_counts.items():
+            for j in range(n):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": pd.Timestamp("2024-01-01")
+                        + pd.Timedelta(hours=hour, seconds=j % 3000),
+                        "user_id": eid % 7,
+                        "event_type": "view",
+                        "value": 1.0,
+                    }
+                )
+                eid += 1
+        return pd.DataFrame(rows)
+
+    def test_planted_burst_flagged(self, ray_session):
+        import ray.data
+
+        # 23 calm hours at ~10 events, one 500-event burst hour
+        counts = {h: 10 + (h % 3) for h in range(24)}
+        counts[7] = 500
+        df = self._events_at(counts)
+        got = ev.anomalous_hours(ray.data.from_pandas(df), k_sigma=3).to_pandas()
+        burst_us = int(
+            (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=7)).value // 1000
+        )
+        assert got["hour_us"].tolist() == [burst_us]
+        assert got["n_events"].tolist() == [500]
+
+    def test_uniform_series_has_no_anomalies(self, ray_session):
+        import ray.data
+
+        df = self._events_at({h: 20 for h in range(12)})
+        got = ev.anomalous_hours(ray.data.from_pandas(df), k_sigma=3).to_pandas()
+        assert len(got) == 0
+
+    def test_gap_hours_enter_the_mean(self, ray_session):
+        import ray.data
+
+        # hours 0 and 10 only: the 9-hour outage gap drags the mean
+        # down, so both live hours clear mean+3sigma only if the math
+        # uses the DENSE series; with counts equal they do not (sigma
+        # is driven by the gap, threshold sits between)
+        df = self._events_at({0: 30, 10: 300})
+        got = ev.anomalous_hours(ray.data.from_pandas(df), k_sigma=3).to_pandas()
+        # exact check vs the integer inequality over the dense series
+        x = np.array([30] + [0] * 9 + [300], dtype=object)
+        h, s, q = len(x), int(x.sum()), int((x * x).sum())
+        expect = [
+            int(v)
+            for v in x
+            if h * int(v) - s > 0 and (h * int(v) - s) ** 2 > 9 * (h * q - s * s)
+        ]
+        assert sorted(got["n_events"].tolist()) == sorted(expect)
+
+    def test_rejects_bad_k(self, ray_session):
+        import ray.data
+
+        with pytest.raises(ValueError):
+            ev.anomalous_hours(ray.data.from_pandas(self._events_at({0: 1})), 0)
+
+
+class TestDailyNewUsers:
+    def test_first_seen_semantics(self, ray_session):
+        import ray.data
+
+        day = lambda d: pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+        df = pd.DataFrame(
+            [
+                # u1 first on day 0 (appears again day 2: not re-counted)
+                {"event_id": 0, "user_id": 1, "ts": day(0)},
+                {"event_id": 1, "user_id": 1, "ts": day(2)},
+                # u2, u3 first on day 1
+                {"event_id": 2, "user_id": 2, "ts": day(1)},
+                {"event_id": 3, "user_id": 3, "ts": day(1) + pd.Timedelta(hours=5)},
+                # u4 first on day 3
+                {"event_id": 4, "user_id": 4, "ts": day(3)},
+            ]
+        )
+        got = (
+            ev.daily_new_users(ray.data.from_pandas(df), n_parts=3)
+            .to_pandas()
+            .sort_values("day_us")
+        )
+        assert got["n_new_users"].tolist() == [1, 2, 1]
+        assert got["cum_users"].tolist() == [1, 3, 4]
+        day_us = [int(day(d).value // 1000) for d in (0, 1, 3)]
+        assert got["day_us"].tolist() == day_us
+
+    def test_empty_events(self, ray_session):
+        import ray.data
+        import pyarrow as pa
+
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()), "ts": pa.array([], pa.timestamp("us"))}
+        )
+        got = ev.daily_new_users(ray.data.from_arrow(empty)).to_pandas()
+        assert len(got) == 0
