@@ -818,6 +818,22 @@ def q_top_tokens(sf_dir: str) -> ray.data.Dataset:
     return textstats.top_tokens(docs, "text", k=20)
 
 
+def q_cms_point_counts(sf_dir: str) -> ray.data.Dataset:
+    """Count-Min Sketch point-frequency estimates (stages/cms.py) for
+    the exact top-20 tokens: fixed-size per-block partials merge by
+    elementwise add through a tree reduce — the corpus vocabulary
+    never crosses a shuffle. Hash-matches exact counts because the
+    4×4096 sketch is non-binding on the gate corpus's vocabulary (the
+    collision regime is bound-gated in tests/test_cms.py, the same
+    split as top_tokens_approx / repo_overlap's cap note)."""
+    from duplicate_finder_ray.stages import textstats
+    from duplicate_finder_ray.stages.cms import cms_point_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    top = textstats.top_tokens(docs, "text", k=20).to_pandas()  # 20 rows
+    return cms_point_counts(docs, "text", top["token"].tolist())
+
+
 def q_top_tokens_approx(sf_dir: str) -> ray.data.Dataset:
     """Capacity-bounded (SpaceSaving-style) top-20 tokens — the scale
     path whose shuffle carries ≤ capacity+1 rows per block instead of
@@ -1829,6 +1845,37 @@ def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return kmeans_lattice(emb, "vec_id", "embedding", k=8, iterations=2)
+
+
+def q_pq_adc_topk(sf_dir: str) -> ray.data.Dataset:
+    """PQ asymmetric-distance search (stages/pq.py:pq_adc_topk): top-10
+    neighbors for query vectors 0..3 scanning ONLY the m int64 code
+    columns — distance is m LUT lookups against the lattice codebooks,
+    so the whole search (codebooks, codes, LUTs, ranks) hash-matches
+    its chained-CTE twin."""
+    from duplicate_finder_ray.stages.pq import pq_adc_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_adc_topk(
+        emb, "vec_id", "embedding", dim=64, m=2, k=8,
+        query_ids=[0, 1, 2, 3], topk=10, iterations=2,
+    )
+
+
+def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization encoding (stages/pq.py): 64-dim embeddings
+    → 2 subspaces × 8-entry lattice codebooks + summed quantization
+    error. Each subspace is an independent integer-exact kmeans_lattice
+    over a column slice, so the whole code table hash-matches a
+    chained-CTE twin (float PQ could not be cross-engine-gated)."""
+    from duplicate_finder_ray.stages.pq import pq_encode
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_encode(emb, "vec_id", "embedding", dim=64, m=2, k=8, iterations=2)
 
 
 def q_q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
@@ -4896,6 +4943,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doclen_quantiles_sketch": q_doclen_quantiles_sketch,
     "top_tokens": q_top_tokens,
     "top_tokens_approx": q_top_tokens_approx,
+    "cms_point_counts": q_cms_point_counts,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -4951,6 +4999,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "semdedup": q_semdedup,
     "kmeans_clusters": q_kmeans_clusters,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "q3_shipping_priority": q_q3_shipping_priority,
     "trending_tokens": q_trending_tokens,
     "retention_cohorts": q_retention_cohorts,
@@ -7992,3 +8042,140 @@ SELECT CAST(day_us AS BIGINT) AS day_us, n_new_users,
        CAST(SUM(n_new_users) OVER (ORDER BY day_us) AS BIGINT) AS cum_users
 FROM d
 """
+
+# CMS estimates for the exact top-20 tokens equal their exact counts
+# when the sketch width is non-binding (documented assumption; the
+# collision regime is separately bound-gated in tests/test_cms.py)
+ORACLE_SQL["cms_point_counts"] = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+  FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+r AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rk
+  FROM c
+)
+SELECT token, n AS est_n FROM r WHERE rk <= 20
+"""
+
+
+def _pq_ctes(dim: int, m: int, k: int, iterations: int) -> list[str]:
+    """Shared CTE chain for the PQ twins: the `_kmeans_sql` chain
+    instantiated once per subspace over a dim-sliced (re-based) view of
+    the quantized vectors; per subspace j the final assignment CTE is
+    ``f{j}`` (vec_id, cl, d2) and the final centroids are
+    ``c{j}_{iterations}``."""
+    sub = dim // m
+    cte = [
+        "u AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)"
+        " AS BIGINT) AS qv FROM embeddings)",
+        "seed AS (SELECT vec_id,"
+        " CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl"
+        f" FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+    ]
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        cte.append(
+            f"u{j} AS (SELECT vec_id, dim - {lo} AS dim, qv FROM u"
+            f" WHERE dim >= {lo} AND dim < {hi})"
+        )
+        cte.append(
+            f"c{j}_0 AS (SELECT s.cl, u.dim, u.qv AS m"
+            f" FROM seed s JOIN u{j} u ON u.vec_id = s.vec_id)"
+        )
+        for t in range(1, iterations + 1):
+            cte.append(
+                f"d{j}_{t} AS (SELECT u.vec_id, c.cl,"
+                " CAST(sum((u.qv - c.m) * (u.qv - c.m)) AS BIGINT) AS d2"
+                f" FROM u{j} u JOIN c{j}_{t - 1} c ON c.dim = u.dim"
+                " GROUP BY u.vec_id, c.cl)"
+            )
+            cte.append(
+                f"a{j}_{t} AS (SELECT vec_id, cl, d2 FROM"
+                " (SELECT vec_id, cl, d2,"
+                " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl)"
+                f" AS rn FROM d{j}_{t}) WHERE rn = 1)"
+            )
+            cte.append(
+                f"c{j}_{t} AS (SELECT a.cl, u.dim,"
+                " CAST(sum(u.qv) AS BIGINT) // count(*) AS m"
+                f" FROM a{j}_{t} a JOIN u{j} u ON u.vec_id = a.vec_id"
+                " GROUP BY a.cl, u.dim)"
+            )
+        cte.append(
+            f"df{j} AS (SELECT u.vec_id, c.cl,"
+            " CAST(sum((u.qv - c.m) * (u.qv - c.m)) AS BIGINT) AS d2"
+            f" FROM u{j} u JOIN c{j}_{iterations} c ON c.dim = u.dim"
+            " GROUP BY u.vec_id, c.cl)"
+        )
+        cte.append(
+            f"f{j} AS (SELECT vec_id, cl, d2 FROM (SELECT vec_id, cl, d2,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn"
+            f" FROM df{j}) WHERE rn = 1)"
+        )
+    return cte
+
+
+def _pq_sql(dim: int, m: int, k: int, iterations: int) -> str:
+    """Chained-CTE twin of `stages.pq.pq_encode`: per-subspace final
+    codes joined on vec_id with the summed lattice quantization
+    error."""
+    cte = _pq_ctes(dim, m, k, iterations)
+    codes = ", ".join(f"f{j}.cl AS code_{j}" for j in range(m))
+    qerr = " + ".join(f"f{j}.d2" for j in range(m))
+    joins = " ".join(f"JOIN f{j} ON f{j}.vec_id = f0.vec_id" for j in range(1, m))
+    return (
+        "WITH "
+        + ",\n     ".join(cte)
+        + f"\nSELECT f0.vec_id, {codes}, CAST({qerr} AS BIGINT) AS qerr"
+        + f" FROM f0 {joins}"
+    )
+
+
+def _pq_adc_sql(
+    dim: int, m: int, k: int, iterations: int, query_ids: list[int], topk: int
+) -> str:
+    """Chained-CTE twin of `stages.pq.pq_adc_topk`: per-subspace LUTs
+    = exact int64 squared distances from each query's dim slice to the
+    final centroids; adc distance = sum of one LUT lookup per code;
+    rank via ROW_NUMBER (adc_d2, vec_id)."""
+    sub = dim // m
+    cte = _pq_ctes(dim, m, k, iterations)
+    ids = ", ".join(str(int(q)) for q in sorted(set(query_ids)))
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        cte.append(
+            f"lut{j} AS (SELECT q.vec_id AS qid, c.cl,"
+            " CAST(sum((q.qv - c.m) * (q.qv - c.m)) AS BIGINT) AS d"
+            f" FROM (SELECT vec_id, dim - {lo} AS dim, qv FROM u"
+            f" WHERE vec_id IN ({ids}) AND dim >= {lo} AND dim < {hi}) q"
+            f" JOIN c{j}_{iterations} c ON c.dim = q.dim GROUP BY 1, 2)"
+        )
+    lut_joins = ["JOIN lut0 l0 ON l0.cl = f0.cl"]
+    for j in range(1, m):
+        lut_joins.append(f"JOIN lut{j} l{j} ON l{j}.cl = f{j}.cl AND l{j}.qid = l0.qid")
+    f_joins = " ".join(f"JOIN f{j} ON f{j}.vec_id = f0.vec_id" for j in range(1, m))
+    dsum = " + ".join(f"l{j}.d" for j in range(m))
+    cte.append(
+        "dist AS (SELECT l0.qid AS query_id, f0.vec_id,"
+        f" CAST({dsum} AS BIGINT) AS adc_d2"
+        f" FROM f0 {f_joins} {' '.join(lut_joins)})"
+    )
+    return (
+        "WITH "
+        + ",\n     ".join(cte)
+        + "\nSELECT query_id, vec_id, adc_d2, CAST(rn AS BIGINT) AS rank FROM"
+        " (SELECT query_id, vec_id, adc_d2,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id)"
+        f" AS rn FROM dist) WHERE rn <= {topk}"
+    )
+
+
+ORACLE_SQL["pq_codes"] = _pq_sql(dim=64, m=2, k=8, iterations=2)
+ORACLE_SQL["pq_adc_topk"] = _pq_adc_sql(
+    dim=64, m=2, k=8, iterations=2, query_ids=[0, 1, 2, 3], topk=10
+)

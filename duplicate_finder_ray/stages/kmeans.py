@@ -115,12 +115,16 @@ def kmeans_lattice(
     vec_col: str,
     k: int,
     iterations: int = 2,
-) -> ray.data.Dataset:
+    return_centroids: bool = False,
+):
     """Run ``iterations`` Lloyd updates from the deterministic seed set
     and return the assignment against the FINAL centroids:
     (vec_id, cluster, d2). Exact integers end-to-end (see module
     docstring); the matching chained-CTE SQL twin is
-    ``pipelines.queries._kmeans_sql``."""
+    ``pipelines.queries._kmeans_sql``. With ``return_centroids`` the
+    result is ``(assignments, (groups, cent))`` — the live cluster ids
+    and their final int64 lattice centroids (what PQ's asymmetric
+    distance tables are built from)."""
     if k <= 0:
         raise ValueError("k must be positive")
     if iterations < 0:
@@ -132,7 +136,8 @@ def kmeans_lattice(
     slim = emb.select_columns([id_col, vec_col])
     groups, cent = _seed_centroids(slim, id_col, vec_col, k)
     if len(groups) == 0:
-        return ray.data.from_arrow(out_schema.empty_table())
+        empty = ray.data.from_arrow(out_schema.empty_table())
+        return (empty, (groups, cent)) if return_centroids else empty
 
     for _ in range(iterations):
         ref = ray.put((groups, cent))
@@ -213,4 +218,5 @@ def kmeans_lattice(
             }
         )
 
-    return slim.map_batches(final_assign, batch_format="pyarrow")
+    assigned = slim.map_batches(final_assign, batch_format="pyarrow")
+    return (assigned, (groups, cent)) if return_centroids else assigned
