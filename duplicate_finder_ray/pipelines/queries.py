@@ -2619,6 +2619,31 @@ def q_daily_new_users(sf_dir: str) -> ray.data.Dataset:
     return daily_new_users(events)
 
 
+def q_inactive_users(sf_dir: str) -> ray.data.Dataset:
+    """Churned users: last event > 6 hours before the corpus max
+    (stages/events.py:inactive_users). Per-batch user-max partials,
+    one slim user-keyed exchange, map-side filter against a broadcast
+    corpus-max scalar — the per-user table never funnels into one
+    task."""
+    from duplicate_finder_ray.stages.events import inactive_users
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return inactive_users(events, cutoff_s=6 * 3_600)
+
+
+def q_events_hourly_autocorr(sf_dir: str) -> ray.data.Dataset:
+    """Lag-1 autocorrelation of the dense hourly count series
+    (stages/events.py:hourly_autocorr) — composes hourly_dense with
+    the exact-moment Pearson kernel; LEAD-window SQL twin reproduces
+    the micro-unit value bit-for-bit."""
+    from duplicate_finder_ray.stages.events import hourly_autocorr
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return hourly_autocorr(events, lag=1)
+
+
 def q_events_seasonality(sf_dir: str) -> ray.data.Dataset:
     """7×24 calendar heatmap: count + exact cent sum per (ISO dow,
     hour-of-day), decoded with pure epoch integer arithmetic (no tz
@@ -5075,6 +5100,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_seasonality": q_events_seasonality,
     "events_anomalous_hours": q_events_anomalous_hours,
     "daily_new_users": q_daily_new_users,
+    "inactive_users": q_inactive_users,
+    "events_hourly_autocorr": q_events_hourly_autocorr,
     "epoch_shuffle": q_epoch_shuffle,
 }
 
@@ -8179,3 +8206,61 @@ ORACLE_SQL["pq_codes"] = _pq_sql(dim=64, m=2, k=8, iterations=2)
 ORACLE_SQL["pq_adc_topk"] = _pq_adc_sql(
     dim=64, m=2, k=8, iterations=2, query_ids=[0, 1, 2, 3], topk=10
 )
+
+ORACLE_SQL["inactive_users"] = """
+WITH u AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us
+  FROM events GROUP BY 1
+),
+m AS (SELECT max(last_ts_us) AS mx FROM u)
+SELECT u.user_id, u.last_ts_us
+FROM u, m
+WHERE u.last_ts_us < m.mx - 21600000000
+"""
+
+ORACLE_SQL["events_hourly_autocorr"] = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM c),
+h AS (
+  SELECT CAST(b.lo + 3600000000 * t.x AS BIGINT) AS hour_us
+  FROM b,
+       unnest(generate_series(0, CAST((b.hi - b.lo) // 3600000000 AS BIGINT)))
+         AS t(x)
+),
+dense AS (
+  SELECT h.hour_us, CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+  FROM h LEFT JOIN c USING (hour_us)
+),
+lagged AS (
+  SELECT n_events AS x,
+         lead(n_events) OVER (ORDER BY hour_us) AS y
+  FROM dense
+),
+t AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+      FROM lagged WHERE y IS NOT NULL),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t
+),
+p AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+  FROM s
+)
+SELECT CAST(1 AS BIGINT) AS lag, n AS n_rows,
+       CAST(floor((CASE WHEN sqrt(vx * vy) > 0
+                        THEN cov / sqrt(vx * vy) ELSE 0.0 END)
+                  * 1000000 + 0.5) AS BIGINT) AS corr_micro
+FROM p
+"""

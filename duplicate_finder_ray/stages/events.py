@@ -1747,3 +1747,125 @@ def daily_new_users(events: ray.data.Dataset, n_parts: int = 16) -> ray.data.Dat
     if not refs:
         return ray.data.from_arrow(out_schema.empty_table())
     return ray.data.from_arrow_refs([cumulate.remote(*refs)])
+
+
+def inactive_users(
+    events: ray.data.Dataset, cutoff_s: int, n_parts: int = 16
+) -> ray.data.Dataset:
+    """Churned users: everyone whose LAST event is more than
+    ``cutoff_s`` seconds before the corpus's newest event — the
+    retention/hygiene complement of daily_new_users (stale accounts,
+    dead devices, abandoned sessions). Output (user_id, last_ts_us),
+    ordered nowhere (sort downstream if needed).
+
+    Scale shape: per-batch (user → max ts) partials collapse each
+    block to its distinct users BEFORE the shuffle; ONE slim user-keyed
+    exchange takes the global per-user max partition-local. The corpus
+    max rides a SEPARATE per-block scalar fold (one int64 per block) so
+    the per-user table — users-cardinality, potentially huge — is
+    filtered map-side against a broadcast scalar and never funnels into
+    one task."""
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    if cutoff_s < 0:
+        raise ValueError("cutoff_s must be non-negative")
+    if n_parts <= 0:
+        raise ValueError("n_parts must be positive")
+    slim_schema = pa.schema([("user_id", pa.int64()), ("last_ts_us", pa.int64())])
+
+    def user_max_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        order = np.lexsort((ts_us, uid))
+        uid, ts_us = uid[order], ts_us[order]
+        lasts = np.r_[uid[1:] != uid[:-1], True]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[lasts], pa.int64()),
+                "last_ts_us": pa.array(ts_us[lasts], pa.int64()),
+            }
+        )
+
+    slim = events.select_columns(["user_id", "ts"]).map_batches(
+        user_max_partial, batch_format="pyarrow"
+    ).materialize()
+
+    corpus_max = slim.max("last_ts_us")
+    if corpus_max is None:
+        return ray.data.from_arrow(slim_schema.empty_table())
+    threshold = int(corpus_max) - cutoff_s * 1_000_000
+
+    def by_user(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy().astype(np.uint64)
+        return (u % np.uint64(p)).astype(np.int64)
+
+    def user_max(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return slim_schema.empty_table()
+        uid = tbl.column("user_id").to_numpy().astype(np.int64)
+        ts = tbl.column("last_ts_us").to_numpy().astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        lasts = np.r_[uid[1:] != uid[:-1], True]
+        uid, ts = uid[lasts], ts[lasts]
+        keep = ts < threshold
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "last_ts_us": pa.array(ts[keep], pa.int64()),
+            }
+        )
+
+    return hash_exchange(slim, by_user, n_parts, user_max, slim_schema.empty_table())
+
+
+def hourly_autocorr(events: ray.data.Dataset, lag: int = 1) -> ray.data.Dataset:
+    """Lag-k autocorrelation of the DENSE hourly event-count series —
+    the seasonality/self-similarity scalar monitoring reads before
+    fitting anything (lag 1: smoothness; lag 24: daily cycle). Output
+    one row (lag, n_rows, corr_micro) in half-up micro-units, the same
+    representation (and zero-variance convention r = 0) as
+    stats.grouped_corr, whose moment kernel this composes.
+
+    Scale shape: all heavy lifting is hourly_dense's (per-batch count
+    partials; events never shuffle); the dense series is
+    hours-cardinality tiny, so consecutive-hour pairing runs in ONE
+    remote task and the Pearson moments ride the existing distributed
+    kernel over the tiny pair table."""
+    from duplicate_finder_ray.stages.stats import grouped_corr
+
+    if lag <= 0:
+        raise ValueError("lag must be positive")
+    dense = hourly_dense(events).materialize()
+    pair_schema = pa.schema(
+        [("lag", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]
+    )
+
+    @ray.remote
+    def make_pairs(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and "hour_us" in b.column_names)
+        if not blocks:
+            return pair_schema.empty_table()
+        tbl = pa.concat_tables(blocks).sort_by("hour_us")
+        x = tbl.column("n_events").to_numpy().astype(np.int64)
+        if len(x) <= lag:
+            return pair_schema.empty_table()
+        return pa.table(
+            {
+                "lag": pa.array(np.full(len(x) - lag, lag, dtype=np.int64)),
+                "x": pa.array(x[:-lag], pa.int64()),
+                "y": pa.array(x[lag:], pa.int64()),
+            }
+        )
+
+    refs = dense.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("lag", pa.int64()), ("n_rows", pa.int64()), ("corr_micro", pa.int64())]
+            ).empty_table()
+        )
+    pairs = ray.data.from_arrow_refs([make_pairs.remote(*refs)])
+    return grouped_corr(pairs, "lag", "x", "y")

@@ -660,3 +660,78 @@ class TestDailyNewUsers:
         )
         got = ev.daily_new_users(ray.data.from_arrow(empty)).to_pandas()
         assert len(got) == 0
+
+
+class TestInactiveUsers:
+    def test_churn_cutoff_semantics(self, ray_session):
+        import ray.data
+
+        t0 = pd.Timestamp("2024-05-01")
+        df = pd.DataFrame(
+            [
+                # u1 last seen day 0 (churned vs day-10 corpus max)
+                {"event_id": 0, "user_id": 1, "ts": t0},
+                # u2 seen day 0 AND day 9 (active: only the max counts)
+                {"event_id": 1, "user_id": 2, "ts": t0},
+                {"event_id": 2, "user_id": 2, "ts": t0 + pd.Timedelta(days=9)},
+                # u3 defines the corpus max, day 10
+                {"event_id": 3, "user_id": 3, "ts": t0 + pd.Timedelta(days=10)},
+                # u4 last seen day 7 (exactly at the 3-day edge: NOT churned,
+                # strict < comparison)
+                {"event_id": 4, "user_id": 4, "ts": t0 + pd.Timedelta(days=7)},
+            ]
+        )
+        got = (
+            ev.inactive_users(ray.data.from_pandas(df), cutoff_s=3 * 86_400, n_parts=3)
+            .to_pandas()
+            .sort_values("user_id")
+        )
+        assert got["user_id"].tolist() == [1]
+        assert got["last_ts_us"].tolist() == [int(t0.value // 1000)]
+
+    def test_rejects_negative_cutoff(self, ray_session):
+        import ray.data
+
+        with pytest.raises(ValueError):
+            ev.inactive_users(ray.data.from_items([]), cutoff_s=-1)
+
+
+class TestHourlyAutocorr:
+    def test_alternating_series_is_anticorrelated(self, ray_session):
+        import ray.data
+
+        # counts alternate 5, 50, 5, 50, ... over 12 hours: the lag-1
+        # pairs are (5,50) and (50,5) alternating -> r = -1 exactly
+        rows = []
+        eid = 0
+        for h in range(12):
+            for _ in range(5 if h % 2 == 0 else 50):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "user_id": eid % 3,
+                        "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, seconds=eid % 60),
+                    }
+                )
+                eid += 1
+        got = ev.hourly_autocorr(ray.data.from_pandas(pd.DataFrame(rows)), lag=1).to_pandas()
+        assert got["lag"].tolist() == [1]
+        assert got["n_rows"].tolist() == [11]
+        assert got["corr_micro"].tolist() == [-1_000_000]
+
+    def test_constant_series_r_zero_convention(self, ray_session):
+        import ray.data
+
+        rows = [
+            {"event_id": i, "user_id": 0,
+             "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i % 6)}
+            for i in range(6 * 4)
+        ]
+        got = ev.hourly_autocorr(ray.data.from_pandas(pd.DataFrame(rows)), lag=1).to_pandas()
+        assert got["corr_micro"].tolist() == [0]
+
+    def test_rejects_bad_lag(self, ray_session):
+        import ray.data
+
+        with pytest.raises(ValueError):
+            ev.hourly_autocorr(ray.data.from_items([]), lag=0)
