@@ -834,6 +834,21 @@ def q_cms_point_counts(sf_dir: str) -> ray.data.Dataset:
     return cms_point_counts(docs, "text", top["token"].tolist())
 
 
+def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
+    """Okapi BM25 top-20 retrieval (stages/ir.py) for the fixed query
+    [dup, hash, merge]: two streaming passes (T+2 integer partials,
+    then broadcast-constant scoring + local top-k) — documents never
+    shuffle. Both engines evaluate one fixed double expression tree
+    and rank the half-up micro-quantized score, so the twin matches
+    bit-for-bit including tie order."""
+    from duplicate_finder_ray.stages.ir import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, "doc_id", "text", ["dup", "hash", "merge"], topk=20)
+
+
 def q_top_tokens_approx(sf_dir: str) -> ray.data.Dataset:
     """Capacity-bounded (SpaceSaving-style) top-20 tokens — the scale
     path whose shuffle carries ≤ capacity+1 rows per block instead of
@@ -4969,6 +4984,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_tokens": q_top_tokens,
     "top_tokens_approx": q_top_tokens_approx,
     "cms_point_counts": q_cms_point_counts,
+    "bm25_topk": q_bm25_topk,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -8264,3 +8280,56 @@ SELECT CAST(1 AS BIGINT) AS lag, n AS n_rows,
                   * 1000000 + 0.5) AS BIGINT) AS corr_micro
 FROM p
 """
+
+
+def _bm25_sql(terms: list[str], topk: int) -> str:
+    """Twin of stages/ir.py:bm25_topk — the SAME double expression
+    tree, literal for literal ((1.2 + 1.0), not 2.2: they differ in
+    the last ulp), ranked on the half-up micro-quantized score."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        for j, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{j}"
+        for j in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"(ln(1.0 + (CAST(g.n AS DOUBLE) - g.df{j} + 0.5) / (g.df{j} + 0.5))"
+        f" * (tf{j} * (1.2 + 1.0)))"
+        f" / (tf{j} + 1.2 * ((1.0 - 0.75) + 0.75"
+        " * (CAST(dl AS DOUBLE) / g.avgdl)))"
+        for j in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+  FROM documents
+),
+t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(w) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM tok
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM t
+),
+s AS (
+  SELECT t.doc_id,
+         CAST(floor(({score_terms}) * 1000000 + 0.5) AS BIGINT)
+           AS score_micro
+  FROM t, g
+)
+SELECT doc_id, score_micro, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT doc_id, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+  FROM s WHERE score_micro > 0
+) WHERE rn <= {topk}
+"""
+
+
+ORACLE_SQL["bm25_topk"] = _bm25_sql(["dup", "hash", "merge"], topk=20)

@@ -1,0 +1,164 @@
+"""Okapi BM25 top-k retrieval over the documents table — the IR
+ranking primitive (Robertson & Zaragoza, FnTIR 2009 — public) a
+corpus-scale engine needs for "find training docs about X" triage,
+next to the embedding (ANN/LSH) and exact (token/shingle) retrieval
+families.
+
+score(d) = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl)),
+idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))   (the Lucene form —
+always positive, so adding a matched term never lowers a score).
+
+Cross-engine gating: BM25 is irreducibly floating-point (ln), so the
+engine fixes ONE evaluation-order for every double op — per-term
+scores summed in query-term order, literals written identically — and
+emits the half-up micro-quantized ``score_micro`` the SQL twin
+reproduces with the same expression tree; ranking compares the
+QUANTIZED value (ties → smaller doc id), so rank order cannot drift
+even where the raw doubles differ in the last ulp. (The repo-wide
+%.6g float canonicalization would tolerate far more, but quantize-
+then-rank removes the tie-flip hazard outright.)
+
+Scale shape: two streaming passes. Pass 1 folds one tiny partial row
+per block — (n_docs, Σdl, df per query term) — into driver scalars
+(T+2 ints; the vocabulary never materializes because df is only
+needed for the query's own terms). Pass 2 recomputes tf map-side
+(tokenize once per pass with the shared Arrow split + C-level
+cumsum-diff segment counts), scores every doc against the broadcast
+constants, keeps a local top-k per block (≤ topk rows leave each
+block) and one tiny task ranks the survivors. Documents never
+shuffle; nothing driver-side ever exceeds T+2 integers + topk rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from duplicate_finder_ray.stages.textstats import TOKEN_SPLIT_REGEX
+
+K1 = 1.2
+B = 0.75
+
+
+def _doc_term_stats(
+    batch: pa.Table, text_col: str, terms: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dl, tf) per doc: dl = non-empty token count, tf = (n, T) count
+    of tokens equal to each query term. One tokenize pass, C-level
+    segment sums (cumsum-diff — safe for empty docs, unlike reduceat)."""
+    toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+    lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    starts = np.r_[0, np.cumsum(lengths)]
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    cs = np.r_[0, np.cumsum(nonempty.astype(np.int64))]
+    dl = cs[starts[1:]] - cs[starts[:-1]]
+    tf = np.empty((len(batch), len(terms)), dtype=np.int64)
+    for j, term in enumerate(terms):
+        eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        ce = np.r_[0, np.cumsum(eq.astype(np.int64))]
+        tf[:, j] = ce[starts[1:]] - ce[starts[:-1]]
+    return dl, tf
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    topk: int,
+) -> ray.data.Dataset:
+    """Top-k docs by BM25 for the fixed query ``terms``:
+    (id, score_micro, rank) with rank 1..topk over score_micro DESC,
+    id ASC; zero-score docs never rank."""
+    if topk <= 0:
+        raise ValueError("topk must be positive")
+    terms = list(terms)
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be a non-empty list of distinct tokens")
+
+    slim = docs.select_columns([id_col, text_col])
+    stat_fields = [("n", pa.int64()), ("dls", pa.int64())]
+    stat_fields += [(f"df_{j}", pa.int64()) for j in range(len(terms))]
+    stat_schema = pa.schema(stat_fields)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return stat_schema.empty_table()
+        dl, tf = _doc_term_stats(batch, text_col, terms)
+        cols = {
+            "n": pa.array([len(batch)], pa.int64()),
+            "dls": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for j in range(len(terms)):
+            cols[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stats = slim.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("score_micro", pa.int64()), ("rank", pa.int64())]
+    )
+    n_total = int(stats["n"].sum()) if len(stats) else 0
+    if n_total == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    dls = int(stats["dls"].sum())
+    dfs = [int(stats[f"df_{j}"].sum()) for j in range(len(terms))]
+    # the ONE fixed evaluation order, mirrored token-for-token in SQL:
+    # avgdl = dls/n; idf = ln(1 + (n - df + 0.5)/(df + 0.5))
+    avgdl = float(dls) / float(n_total)
+    idfs = [
+        float(np.log(1.0 + (float(n_total) - df + 0.5) / (df + 0.5))) for df in dfs
+    ]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        dl, tf = _doc_term_stats(batch, text_col, terms)
+        ratio = dl.astype(np.float64) / avgdl
+        denom_tail = K1 * ((1.0 - B) + B * ratio)
+        score = np.zeros(len(batch), dtype=np.float64)
+        for j, idf in enumerate(idfs):  # fixed term order
+            tff = tf[:, j].astype(np.float64)
+            score = score + (idf * (tff * (K1 + 1.0))) / (tff + denom_tail)
+        micro = np.floor(score * 1_000_000.0 + 0.5).astype(np.int64)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        keep = micro > 0
+        ids, micro = ids[keep], micro[keep]
+        if len(ids) == 0:
+            return out_schema.empty_table()
+        order = np.lexsort((ids, -micro))[: min(topk, len(ids))]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "score_micro": pa.array(micro[order], pa.int64()),
+                "rank": pa.array(np.zeros(len(order), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    partials = slim.map_batches(score_block, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def final(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and id_col in b.column_names)
+        if not blocks:
+            return out_schema.empty_table()
+        t = pa.concat_tables(blocks)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        micro = t.column("score_micro").to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -micro))[: min(topk, len(ids))]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "score_micro": pa.array(micro[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    refs = partials.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow_refs([final.remote(*refs)])

@@ -1,0 +1,81 @@
+"""BM25 gates (stages/ir.py): scores must equal a direct-formula
+Python oracle on a planted corpus, ranks must follow the quantized
+score with id tie-break, and degenerate inputs must behave."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from duplicate_finder_ray.stages.ir import B, K1, bm25_topk
+
+
+def _oracle(df: pd.DataFrame, terms: list[str], topk: int):
+    toks = [t.split() for t in df["text"]]
+    dl = [len(t) for t in toks]
+    n = len(df)
+    avgdl = float(sum(dl)) / float(n)
+    out = []
+    for i, (doc_id, tok) in enumerate(zip(df["doc_id"], toks)):
+        score = 0.0
+        for term in terms:
+            tf = float(tok.count(term))
+            dfreq = sum(1 for t in toks if term in t)
+            idf = math.log(1.0 + (float(n) - dfreq + 0.5) / (dfreq + 0.5))
+            score = score + (idf * (tf * (K1 + 1.0))) / (
+                tf + K1 * ((1.0 - B) + B * (dl[i] / avgdl))
+            )
+        micro = int(np.floor(score * 1_000_000.0 + 0.5))
+        if micro > 0:
+            out.append((doc_id, micro))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:topk]
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pd.DataFrame:
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare"]
+    rows = []
+    for i in range(50):
+        words = list(rng.choice(vocab[:4], size=rng.integers(5, 30)))
+        if i % 7 == 0:
+            words += ["rare"] * (i % 3 + 1)
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    rows.append({"doc_id": 98, "text": ""})
+    rows.append({"doc_id": 99, "text": "unrelated words only"})
+    return pd.DataFrame(rows)
+
+
+def test_bm25_matches_python_oracle(ray_session, corpus):
+    terms = ["rare", "alpha"]
+    got = (
+        bm25_topk(ray.data.from_pandas(corpus), "doc_id", "text", terms, topk=15)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    expect = _oracle(corpus, terms, 15)
+    assert list(zip(got["doc_id"], got["score_micro"])) == expect
+    assert got["rank"].tolist() == list(range(1, len(expect) + 1))
+
+
+def test_bm25_no_match_is_empty(ray_session, corpus):
+    got = bm25_topk(
+        ray.data.from_pandas(corpus), "doc_id", "text", ["zzz"], topk=5
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_bm25_rejects_bad_params(ray_session, corpus):
+    ds = ray.data.from_pandas(corpus)
+    with pytest.raises(ValueError):
+        bm25_topk(ds, "doc_id", "text", [], topk=5)
+    with pytest.raises(ValueError):
+        bm25_topk(ds, "doc_id", "text", ["a", "a"], topk=5)
+    with pytest.raises(ValueError):
+        bm25_topk(ds, "doc_id", "text", ["a"], topk=0)
