@@ -849,6 +849,32 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     return bm25_topk(docs, "doc_id", "text", ["dup", "hash", "merge"], topk=20)
 
 
+def q_boolean_search(sf_dir: str) -> ray.data.Dataset:
+    """Boolean AND/NOT retrieval (stages/ir.py:docs_with_all_terms):
+    docs containing BOTH 'dup' and 'hash' and NOT 'spark', with the
+    must-term frequencies — scan-side tf test, zero shuffle."""
+    from duplicate_finder_ray.stages.ir import docs_with_all_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs_with_all_terms(docs, "doc_id", "text", ["dup", "hash"], ["spark"])
+
+
+def q_rolling_active_users(sf_dir: str) -> ray.data.Dataset:
+    """Trailing 3-day distinct active users per day (WAU shape,
+    stages/events.py:rolling_active_users): distinct (user, day)
+    partials through ONE user-keyed exchange; the ×window fan-out and
+    (user, window-day) dedupe stay partition-local, so only day-count
+    partials leave; days past the corpus max omitted."""
+    from duplicate_finder_ray.stages.events import rolling_active_users
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return rolling_active_users(events, window_days=3)
+
+
 def q_top_tokens_approx(sf_dir: str) -> ray.data.Dataset:
     """Capacity-bounded (SpaceSaving-style) top-20 tokens — the scale
     path whose shuffle carries ≤ capacity+1 rows per block instead of
@@ -4985,6 +5011,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_tokens_approx": q_top_tokens_approx,
     "cms_point_counts": q_cms_point_counts,
     "bm25_topk": q_bm25_topk,
+    "boolean_search": q_boolean_search,
+    "rolling_active_users": q_rolling_active_users,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -8333,3 +8361,35 @@ SELECT doc_id, score_micro, CAST(rn AS BIGINT) AS rank FROM (
 
 
 ORACLE_SQL["bm25_topk"] = _bm25_sql(["dup", "hash", "merge"], topk=20)
+
+ORACLE_SQL["boolean_search"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+  FROM documents
+),
+t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(w, x -> x = 'dup')) AS BIGINT) AS tf_0,
+         CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf_1,
+         CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tfn
+  FROM tok
+)
+SELECT doc_id, tf_0, tf_1 FROM t
+WHERE tf_0 > 0 AND tf_1 > 0 AND tfn = 0
+"""
+
+ORACLE_SQL["rolling_active_users"] = """
+WITH ud AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+         CAST((epoch_us(ts) // 86400000000) * 86400000000 AS BIGINT) AS d
+  FROM events
+),
+b AS (SELECT max(d) AS mx FROM ud),
+w AS (
+  SELECT DISTINCT u, d + 86400000000 * t.x AS wd
+  FROM ud, unnest(generate_series(0, 2)) AS t(x)
+)
+SELECT CAST(w.wd AS BIGINT) AS day_us, CAST(count(*) AS BIGINT) AS n_active
+FROM w, b WHERE w.wd <= b.mx
+GROUP BY 1
+"""

@@ -1869,3 +1869,97 @@ def hourly_autocorr(events: ray.data.Dataset, lag: int = 1) -> ray.data.Dataset:
         )
     pairs = ray.data.from_arrow_refs([make_pairs.remote(*refs)])
     return grouped_corr(pairs, "lag", "x", "y")
+
+
+def rolling_active_users(
+    events: ray.data.Dataset, window_days: int = 7, n_parts: int = 16
+) -> ray.data.Dataset:
+    """Trailing-window distinct active users per day — the WAU/MAU
+    product metric a naive count(DISTINCT) OVER RANGE cannot stream.
+    For each day d in the corpus span, n_active = distinct users with
+    >= 1 event in [d − window_days + 1, d]. Output (day_us, n_active),
+    days beyond the corpus max omitted.
+
+    Scale shape: per-batch DISTINCT (user, day) partials collapse each
+    block before the shuffle; ONE slim user-keyed exchange makes each
+    user's days partition-local, where the ×window_days fan-out and
+    the (user, window-day) dedupe both happen WITHOUT re-shuffling
+    (a user's expanded rows are co-located by construction); what
+    leaves each partition is (window-day, count) partials — days
+    cardinality — folded by a tiny groupby-sum. The raw event stream
+    never shuffles and the fan-out never crosses the wire."""
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    if window_days <= 0:
+        raise ValueError("window_days must be positive")
+    if n_parts <= 0:
+        raise ValueError("n_parts must be positive")
+    _DAY_US = 86_400_000_000
+    slim_schema = pa.schema([("user_id", pa.int64()), ("day_us", pa.int64())])
+    part_schema = pa.schema([("day_us", pa.int64()), ("n", pa.int64())])
+
+    def user_day_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return slim_schema.empty_table()
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        day = (ts_us // _DAY_US) * _DAY_US
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        firsts = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[firsts], pa.int64()),
+                "day_us": pa.array(day[firsts], pa.int64()),
+            }
+        )
+
+    slim = events.select_columns(["user_id", "ts"]).map_batches(
+        user_day_partial, batch_format="pyarrow"
+    ).materialize()
+
+    corpus_max = slim.max("day_us")
+    if corpus_max is None:
+        return ray.data.from_arrow(
+            pa.schema([("day_us", pa.int64()), ("n_active", pa.int64())]).empty_table()
+        )
+    max_day = int(corpus_max)
+
+    def by_user(tbl: pa.Table, p: int) -> np.ndarray:
+        u = tbl.column("user_id").to_numpy().astype(np.uint64)
+        return (u % np.uint64(p)).astype(np.int64)
+
+    def window_counts(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        uid = tbl.column("user_id").to_numpy().astype(np.int64)
+        day = tbl.column("day_us").to_numpy().astype(np.int64)
+        # global dedupe of (user, day): the exchange co-located users
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        firsts = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        uid, day = uid[firsts], day[firsts]
+        # fan out to the trailing windows this activity keeps alive
+        w = np.arange(window_days, dtype=np.int64) * _DAY_US
+        wday = (day[:, None] + w[None, :]).ravel()
+        wuid = np.repeat(uid, window_days)
+        keep = wday <= max_day
+        wday, wuid = wday[keep], wuid[keep]
+        # dedupe (user, window-day): one user active twice in a window
+        # counts once
+        order = np.lexsort((wday, wuid))
+        wuid, wday = wuid[order], wday[order]
+        firsts = np.r_[True, (wuid[1:] != wuid[:-1]) | (wday[1:] != wday[:-1])]
+        days, counts = np.unique(wday[firsts], return_counts=True)
+        return pa.table(
+            {
+                "day_us": pa.array(days, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        hash_exchange(slim, by_user, n_parts, window_counts, part_schema.empty_table())
+        .groupby("day_us")
+        .aggregate(Sum("n", alias_name="n_active"))
+    )

@@ -162,3 +162,46 @@ def bm25_topk(
     if not refs:
         return ray.data.from_arrow(out_schema.empty_table())
     return ray.data.from_arrow_refs([final.remote(*refs)])
+
+
+def docs_with_all_terms(
+    docs: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    must_terms: list[str],
+    must_not_terms: list[str] = (),
+) -> ray.data.Dataset:
+    """Boolean AND/NOT retrieval: docs containing EVERY ``must_terms``
+    token and NONE of ``must_not_terms`` — the pre-filter stage in
+    front of BM25 ranking (and the classic inverted-index demo, here
+    scan-side: with tf computable per batch the postings list never
+    needs to exist). Output (id, tf_0..tf_{M-1}) with the must-term
+    frequencies. Zero shuffle; documents stream once."""
+    must = list(must_terms)
+    nots = list(must_not_terms)
+    if not must or len(set(must)) != len(must):
+        raise ValueError("must_terms must be a non-empty list of distinct tokens")
+    if set(must) & set(nots):
+        raise ValueError("a term cannot be both required and excluded")
+    all_terms = must + nots
+
+    fields = [(id_col, pa.int64())]
+    fields += [(f"tf_{j}", pa.int64()) for j in range(len(must))]
+    out_schema = pa.schema(fields)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        _, tf = _doc_term_stats(batch, text_col, all_terms)
+        keep = (tf[:, : len(must)] > 0).all(axis=1)
+        if nots:
+            keep &= (tf[:, len(must) :] == 0).all(axis=1)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)[keep]
+        cols = {id_col: pa.array(ids, pa.int64())}
+        for j in range(len(must)):
+            cols[f"tf_{j}"] = pa.array(tf[keep, j], pa.int64())
+        return pa.table(cols)
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow"
+    )

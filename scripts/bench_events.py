@@ -103,8 +103,12 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     from duplicate_finder_ray.stages.events import (
+        anomalous_hours,
+        daily_new_users,
         dedup_retry_events,
         hourly_dense,
+        inactive_users,
+        rolling_active_users,
         seasonality_profile,
     )
 
@@ -134,6 +138,74 @@ def main() -> None:
     assert sum(r["n_events"] for r in dense) == n_events
     assert EMPTY_HOUR in zero_hours, zero_hours[:5]
 
+    # --- session-12 additions: adoption, churn, bursts, WAU ---
+    t0 = time.time()
+    dnu = daily_new_users(events, n_parts).take_all()
+    t_dnu = time.time() - t0
+    # every user appears exactly once as a first-timer; the running
+    # total must end at the full population and never decrease
+    assert sum(r["n_new_users"] for r in dnu) == N_USERS
+    dnu.sort(key=lambda r: r["day_us"])
+    cums = [r["cum_users"] for r in dnu]
+    assert cums[-1] == N_USERS and all(b >= a for a, b in zip(cums, cums[1:]))
+
+    t0 = time.time()
+    churned = inactive_users(events, 12 * 3600, n_parts).count()
+    t_churn = time.time() - t0
+    # cross-path truth: Ray Data's own sort-groupby max per user
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Max as _Max
+
+    def _us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": _pc.cast(_pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    per_user = (
+        events.map_batches(_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Max("ts_us", alias_name="last"))
+        .take_all()
+    )
+    mx = max(r["last"] for r in per_user)
+    expect_churn = sum(1 for r in per_user if r["last"] < mx - 12 * 3600 * 1_000_000)
+    assert churned == expect_churn, (churned, expect_churn)
+
+    t0 = time.time()
+    burst = anomalous_hours(events, k_sigma=3).take_all()
+    t_burst = time.time() - t0
+    # cross-path truth: the exact integer inequality over the dense
+    # series already in hand
+    xs = [r["n_events"] for r in dense]
+    h, s = len(xs), sum(xs)
+    q = sum(v * v for v in xs)
+    expect_burst = sorted(
+        r["hour_us"] for r in dense
+        if h * r["n_events"] - s > 0
+        and (h * r["n_events"] - s) ** 2 > 9 * (h * q - s * s)
+    )
+    assert sorted(r["hour_us"] for r in burst) == expect_burst
+
+    t0 = time.time()
+    wau = rolling_active_users(events, window_days=1, n_parts=n_parts).take_all()
+    t_wau = time.time() - t0
+    # window=1 must equal per-day distinct users — computed here from
+    # the same corpus via an independent single-pass set count
+    from collections import defaultdict
+
+    seen: dict = defaultdict(set)
+    for b in events.to_arrow_refs():
+        tbl = ray.get(b)
+        ts_us = _pc.cast(_pc.cast(tbl["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        day = (ts_us // 86_400_000_000) * 86_400_000_000
+        for d, u in zip(day, tbl["user_id"].to_numpy()):
+            seen[int(d)].add(int(u))
+    expect_wau = {d: len(us) for d, us in seen.items()}
+    assert {r["day_us"]: r["n_active"] for r in wau} == expect_wau
+
     print(
         json.dumps(
             {
@@ -146,6 +218,13 @@ def main() -> None:
                 "dense_hours": len(dense),
                 "planted_empty_hour_found": True,
                 "events_per_sec_retry": int(n_events / max(t_retry, 1e-9)),
+                "daily_new_users_sec": round(t_dnu, 2),
+                "inactive_users_sec": round(t_churn, 2),
+                "n_churned_12h": churned,
+                "anomalous_hours_sec": round(t_burst, 2),
+                "n_anomalous_hours": len(burst),
+                "rolling_active_sec": round(t_wau, 2),
+                "all_cross_path_asserts": True,
             }
         )
     )

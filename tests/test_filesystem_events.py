@@ -735,3 +735,60 @@ class TestHourlyAutocorr:
 
         with pytest.raises(ValueError):
             ev.hourly_autocorr(ray.data.from_items([]), lag=0)
+
+
+class TestRollingActiveUsers:
+    def test_trailing_window_semantics(self, ray_session):
+        import ray.data
+
+        day = lambda d: pd.Timestamp("2024-06-01") + pd.Timedelta(days=d)
+        df = pd.DataFrame(
+            [
+                # u1 active days 0 and 3; u2 active day 1 (twice); u3 day 3
+                {"event_id": 0, "user_id": 1, "ts": day(0)},
+                {"event_id": 1, "user_id": 2, "ts": day(1)},
+                {"event_id": 2, "user_id": 2, "ts": day(1) + pd.Timedelta(hours=2)},
+                {"event_id": 3, "user_id": 1, "ts": day(3)},
+                {"event_id": 4, "user_id": 3, "ts": day(3)},
+            ]
+        )
+        got = (
+            ev.rolling_active_users(ray.data.from_pandas(df), window_days=2, n_parts=3)
+            .to_pandas()
+            .sort_values("day_us")
+        )
+        # window 2 (trailing): d0 {u1}=1, d1 {u1,u2}=2, d2 {u2}=1,
+        # d3 {u1,u3}=2; d4 clipped (beyond corpus max)
+        day_us = [int(day(d).value // 1000) for d in (0, 1, 2, 3)]
+        assert got["day_us"].tolist() == day_us
+        assert got["n_active"].tolist() == [1, 2, 1, 2]
+
+    def test_window_one_equals_daily_distinct(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame(
+            {
+                "event_id": range(300),
+                "user_id": rng.integers(0, 20, 300),
+                "ts": [
+                    pd.Timestamp("2024-06-01")
+                    + pd.Timedelta(days=int(d), minutes=int(m))
+                    for d, m in zip(rng.integers(0, 6, 300), rng.integers(0, 1440, 300))
+                ],
+            }
+        )
+        got = (
+            ev.rolling_active_users(ray.data.from_pandas(df), window_days=1)
+            .to_pandas()
+            .sort_values("day_us")
+        )
+        df["day"] = df["ts"].dt.floor("D")
+        expect = df.groupby("day")["user_id"].nunique()
+        assert got["n_active"].tolist() == expect.tolist()
+
+    def test_rejects_bad_window(self, ray_session):
+        import ray.data
+
+        with pytest.raises(ValueError):
+            ev.rolling_active_users(ray.data.from_items([]), window_days=0)

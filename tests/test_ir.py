@@ -79,3 +79,37 @@ def test_bm25_rejects_bad_params(ray_session, corpus):
         bm25_topk(ds, "doc_id", "text", ["a", "a"], topk=5)
     with pytest.raises(ValueError):
         bm25_topk(ds, "doc_id", "text", ["a"], topk=0)
+
+
+class TestBooleanSearch:
+    def test_and_not_semantics(self, ray_session):
+        from duplicate_finder_ray.stages.ir import docs_with_all_terms
+
+        df = pd.DataFrame(
+            [
+                {"doc_id": 1, "text": "cat dog cat"},     # both, no bird -> in
+                {"doc_id": 2, "text": "cat dog bird"},    # excluded by bird
+                {"doc_id": 3, "text": "cat only here"},   # missing dog
+                {"doc_id": 4, "text": "dog dog cat dog"}, # in, tf (1, 3)
+                {"doc_id": 5, "text": ""},
+            ]
+        )
+        got = (
+            docs_with_all_terms(
+                ray.data.from_pandas(df), "doc_id", "text", ["cat", "dog"], ["bird"]
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert got["doc_id"].tolist() == [1, 4]
+        assert got["tf_0"].tolist() == [2, 1]  # cat counts
+        assert got["tf_1"].tolist() == [1, 3]  # dog counts
+
+    def test_rejects_bad_terms(self, ray_session):
+        from duplicate_finder_ray.stages.ir import docs_with_all_terms
+
+        ds = ray.data.from_pandas(pd.DataFrame([{"doc_id": 1, "text": "x"}]))
+        with pytest.raises(ValueError):
+            docs_with_all_terms(ds, "doc_id", "text", [])
+        with pytest.raises(ValueError):
+            docs_with_all_terms(ds, "doc_id", "text", ["a"], ["a"])
