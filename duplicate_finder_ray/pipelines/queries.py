@@ -849,6 +849,28 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     return bm25_topk(docs, "doc_id", "text", ["dup", "hash", "merge"], topk=20)
 
 
+def q_hybrid_search_rrf(sf_dir: str) -> ray.data.Dataset:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    top-20 and the PQ-ADC vector top-20 for query vector 0
+    (stages/ir.py:rrf_fuse) — the standard no-calibration hybrid move;
+    both input rankers and the fused ranking hash-match their twins."""
+    from duplicate_finder_ray.stages.ir import bm25_topk, rrf_fuse
+    from duplicate_finder_ray.stages.pq import pq_adc_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lex = bm25_topk(docs, "doc_id", "text", ["dup", "hash", "merge"], topk=20)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vec = pq_adc_topk(
+        emb, "vec_id", "embedding", dim=64, m=2, k=8,
+        query_ids=[0], topk=20, iterations=2,
+    )
+    return rrf_fuse([(lex, "doc_id"), (vec, "vec_id")], topk=20)
+
+
 def q_boolean_search(sf_dir: str) -> ray.data.Dataset:
     """Boolean AND/NOT retrieval (stages/ir.py:docs_with_all_terms):
     docs containing BOTH 'dup' and 'hash' and NOT 'spark', with the
@@ -1663,6 +1685,46 @@ def q_edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
     )
     pairs = ngram_jaccard_pairs(ds, "file_id", "content", k=5, threshold=0.5)
     return edit_distance_pairs(ds, pairs, "file_id", "content", max_dist=64)
+
+
+def q_fuzzy_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Entity-resolution composition: connected components over the
+    bit-exact Levenshtein pair graph (edit_distance_pairs, lev ≤ 64) —
+    blocking (n-gram Jaccard) → pairwise verify (Myers Levenshtein) →
+    transitive clustering (distributed CC), each link already
+    hash-green on its own; the recursive-closure twin gates the
+    composition."""
+    from duplicate_finder_ray.stages.cc import connected_components
+
+    return connected_components(q_edit_distance_pairs(sf_dir), PipelineConfig())
+
+
+def q_dedup_aware_sample(sf_dir: str) -> ray.data.Dataset:
+    """Sampling that can't leak duplicates: keep the lex-min member of
+    every near-dup cluster (= the CC component id) plus every
+    un-clustered doc, THEN md5-Bernoulli sample the survivors (~25%) —
+    the training-data sampler that guarantees no two sampled docs are
+    near-duplicates. Composition: CC labels → distributed EXCEPT /
+    distinct UNION (slim file_id rows) → the replayable md5 filter."""
+    from duplicate_finder_ray.stages import relational as rel
+
+    labels = q_ngram_jaccard_clusters(sf_dir).materialize()
+    files = _derived(sf_dir).select_columns(["file_id"])
+    non_members = rel.except_keys(
+        files, labels.select_columns(["file_id"]), "file_id"
+    )
+
+    def comp_as_fid(batch: pa.Table) -> pa.Table:
+        return pa.table({"file_id": batch.column("component")})
+
+    empty = ray.data.from_arrow(
+        pa.schema([("file_id", pa.string())]).empty_table()
+    )
+    keepers = rel.except_keys(
+        labels.map_batches(comp_as_fid, batch_format="pyarrow"), empty, "file_id"
+    )
+    survivors = non_members.union(keepers)
+    return rel.deterministic_sample(survivors, "file_id", hex_lt="40")
 
 
 def q_near_dup_keepers(sf_dir: str) -> ray.data.Dataset:
@@ -5013,6 +5075,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_topk": q_bm25_topk,
     "boolean_search": q_boolean_search,
     "rolling_active_users": q_rolling_active_users,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
+    "fuzzy_clusters": q_fuzzy_clusters,
+    "dedup_aware_sample": q_dedup_aware_sample,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -8393,3 +8458,100 @@ SELECT CAST(w.wd AS BIGINT) AS day_us, CAST(count(*) AS BIGINT) AS n_active
 FROM w, b WHERE w.wd <= b.mx
 GROUP BY 1
 """
+
+# hybrid RRF: the two input rankings' full twins nest as subqueries
+# (DuckDB allows WITH inside a derived table); contributions COALESCE
+# to 0.0 and sum lexical-first — the same fixed double order as
+# stages/ir.py:rrf_fuse — then quantize-then-rank
+ORACLE_SQL["hybrid_search_rrf"] = f"""
+WITH lex AS (SELECT doc_id AS id, rank FROM ({ORACLE_SQL["bm25_topk"]})),
+vec AS (SELECT vec_id AS id, rank
+        FROM ({_pq_adc_sql(dim=64, m=2, k=8, iterations=2,
+                           query_ids=[0], topk=20)})
+        WHERE query_id = 0),
+ids AS (SELECT id FROM lex UNION SELECT id FROM vec),
+s AS (
+  SELECT ids.id,
+         CAST(floor((COALESCE(1.0 / (60 + l.rank), 0.0)
+                     + COALESCE(1.0 / (60 + v.rank), 0.0))
+                    * 1000000 + 0.5) AS BIGINT) AS rrf_micro
+  FROM ids
+  LEFT JOIN lex l ON l.id = ids.id
+  LEFT JOIN vec v ON v.id = ids.id
+)
+SELECT id AS doc_id, rrf_micro, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT id, rrf_micro,
+         row_number() OVER (ORDER BY rrf_micro DESC, id) AS rn
+  FROM s
+) WHERE rn <= 20
+"""
+
+# fuzzy entity clusters: recursive closure over the Levenshtein pair
+# graph (same sz/p/d CTEs as edit_distance_pairs)
+ORACLE_SQL["fuzzy_clusters"] = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + """,
+    sz AS (
+      SELECT repo || ':' || path || '@' || "commit" AS fid, content
+      FROM code_files
+    ),
+    p AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    d AS (
+      SELECT p.a, p.b,
+             CAST(levenshtein(x.content, y.content) AS BIGINT) AS lev
+      FROM p JOIN sz x ON x.fid = p.a JOIN sz y ON y.fid = p.b
+    ),
+    e AS (SELECT a, b FROM d WHERE lev <= 64),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    )
+    SELECT src AS file_id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """
+)
+
+# duplicate-safe sampling: lex-min keeper per near-dup component (the
+# component id) + every unclustered doc, then the replayable md5 gate
+ORACLE_SQL["dedup_aware_sample"] = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + """,
+    e AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    ),
+    comp AS (
+      SELECT src AS file_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    cf AS (
+      SELECT repo || ':' || path || '@' || "commit" AS file_id
+      FROM code_files
+    ),
+    surv AS (
+      SELECT file_id FROM cf
+      WHERE file_id NOT IN (SELECT file_id FROM comp)
+      UNION
+      SELECT DISTINCT component AS file_id FROM comp
+    )
+    SELECT file_id FROM surv
+    WHERE substring(md5(file_id), 1, 2) < '40'
+    """
+)

@@ -205,3 +205,82 @@ def docs_with_all_terms(
     return docs.select_columns([id_col, text_col]).map_batches(
         scan, batch_format="pyarrow"
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[ray.data.Dataset, str]],
+    topk: int,
+    k0: int = 60,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09 —
+    public): combine R rank tables — e.g. lexical BM25 and a vector
+    ANN ranking, the standard hybrid-retrieval move — without score
+    calibration:
+
+        rrf(d) = Σ_r 1 / (k0 + rank_r(d)),   missing rank → 0.
+
+    Each input is (dataset, id_col) where the dataset carries an
+    integer id column and a 1-based ``rank``. Output
+    (doc_id, rrf_micro, rank): contributions are summed in the given
+    ranking order (one fixed double evaluation order), half-up
+    micro-quantized, then ranked (ties → smaller id) — same
+    quantize-then-rank discipline as bm25_topk, so a SQL twin with
+    COALESCEd terms reproduces it exactly.
+
+    Scale note: rank tables are topk-sized BY CONSTRUCTION (the
+    upstream operators each emit ≤ topk rows), so fusion runs in ONE
+    remote task over R tiny tables — the heavy lifting happened in
+    the rankers."""
+    if topk <= 0:
+        raise ValueError("topk must be positive")
+    if k0 <= 0:
+        raise ValueError("k0 must be positive")
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("rrf_micro", pa.int64()), ("rank", pa.int64())]
+    )
+
+    # collect the R tiny tables' refs; tag each ref with its ranking
+    # index so contribution order stays fixed
+    tagged_refs: list[tuple[int, object, str]] = []
+    for r, (ds, id_col) in enumerate(rankings):
+        for ref in ds.materialize().to_arrow_refs():
+            tagged_refs.append((r, ref, id_col))
+
+    @ray.remote
+    def fuse(tags: list[tuple[int, str]], *blocks: pa.Table) -> pa.Table:
+        contribs: dict[int, list[float]] = {}
+        n_rankers = max(t[0] for t in tags) + 1 if tags else 0
+        for (r, id_col), b in zip(tags, blocks):
+            if len(b) == 0 or id_col not in b.column_names:
+                continue
+            ids = b.column(id_col).to_numpy().astype(np.int64)
+            ranks = b.column("rank").to_numpy().astype(np.int64)
+            for i, rk in zip(ids, ranks):
+                contribs.setdefault(int(i), [0.0] * n_rankers)[r] = 1.0 / (
+                    k0 + int(rk)
+                )
+        if not contribs:
+            return out_schema.empty_table()
+        ids = np.array(sorted(contribs), dtype=np.int64)
+        score = np.zeros(len(ids), dtype=np.float64)
+        for r in range(n_rankers):  # fixed ranker order
+            score = score + np.array(
+                [contribs[int(i)][r] for i in ids], dtype=np.float64
+            )
+        micro = np.floor(score * 1_000_000.0 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -micro))[: min(topk, len(ids))]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "rrf_micro": pa.array(micro[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    if not tagged_refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    tags = [(r, id_col) for r, _, id_col in tagged_refs]
+    refs = [ref for _, ref, _ in tagged_refs]
+    return ray.data.from_arrow_refs([fuse.remote(tags, *refs)])

@@ -113,3 +113,47 @@ class TestBooleanSearch:
             docs_with_all_terms(ds, "doc_id", "text", [])
         with pytest.raises(ValueError):
             docs_with_all_terms(ds, "doc_id", "text", ["a"], ["a"])
+
+
+class TestRRF:
+    def test_fusion_math_and_missing_ranks(self, ray_session):
+        from duplicate_finder_ray.stages.ir import rrf_fuse
+
+        a = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2, 3], "rank": [1, 2, 3]})
+        )
+        b = ray.data.from_pandas(
+            pd.DataFrame({"vid": [2, 4], "rank": [1, 2]})
+        )
+        got = (
+            rrf_fuse([(a, "doc_id"), (b, "vid")], topk=10)
+            .to_pandas()
+            .sort_values("rank")
+        )
+
+        def micro(*ranks):
+            import numpy as np
+
+            s = 0.0
+            for r in ranks:
+                s = s + (1.0 / (60 + r) if r else 0.0)
+            return int(np.floor(s * 1_000_000.0 + 0.5))
+
+        expect = {
+            1: micro(1, 0),
+            2: micro(2, 1),
+            3: micro(3, 0),
+            4: micro(0, 2),
+        }
+        assert dict(zip(got["doc_id"], got["rrf_micro"])) == expect
+        # doc 2 appears in both rankings -> fused rank 1
+        assert got.iloc[0]["doc_id"] == 2
+        assert got["rank"].tolist() == [1, 2, 3, 4]
+
+    def test_rejects_bad_params(self, ray_session):
+        from duplicate_finder_ray.stages.ir import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([], topk=5)
+        with pytest.raises(ValueError):
+            rrf_fuse([(ray.data.from_items([]), "id")], topk=0)
