@@ -2747,6 +2747,46 @@ def q_events_hourly_autocorr(sf_dir: str) -> ray.data.Dataset:
     return hourly_autocorr(events, lag=1)
 
 
+def q_ab_welch_t(sf_dir: str) -> ray.data.Dataset:
+    """A/B significance readout (stages/stats.py:welch_t): Welch's
+    unequal-variance t between purchase and click event values on the
+    exact cent lattice — moment partials are exact ints, the final
+    12-op double expression is evaluated in one fixed order and
+    micro-quantized, so the SQL twin matches bit-for-bit."""
+    from duplicate_finder_ray.stages.stats import welch_t
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = events.map_batches(cents, batch_format="pyarrow")
+    return welch_t(ds, "event_type", "cents", "purchase", "click")
+
+
+def q_doclen_psi_drift(sf_dir: str) -> ray.data.Dataset:
+    """Distribution-drift gate (stages/stats.py:psi_drift): PSI of the
+    doc-length distribution, slice src0 vs src1, width-16 buckets.
+    Each bucket's term is nano-quantized BEFORE the sum, so the total
+    is an order-free integer sum in both engines."""
+    from duplicate_finder_ray.stages.stats import psi_drift
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return psi_drift(docs, "source", "n_chars", "src0", "src1", bucket_width=16)
+
+
 def q_events_seasonality(sf_dir: str) -> ray.data.Dataset:
     """7×24 calendar heatmap: count + exact cent sum per (ISO dow,
     hour-of-day), decoded with pure epoch integer arithmetic (no tz
@@ -5078,6 +5118,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "fuzzy_clusters": q_fuzzy_clusters,
     "dedup_aware_sample": q_dedup_aware_sample,
+    "ab_welch_t": q_ab_welch_t,
+    "doclen_psi_drift": q_doclen_psi_drift,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -8555,3 +8597,75 @@ ORACLE_SQL["dedup_aware_sample"] = (
     WHERE substring(md5(file_id), 1, 2) < '40'
     """
 )
+
+ORACLE_SQL["ab_welch_t"] = """
+WITH t AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM t GROUP BY g
+),
+m AS (
+  SELECT
+    CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS mx,
+    CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS my,
+    (CAST(a.sxx AS DOUBLE)
+       - (CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)) / CAST(a.n AS DOUBLE))
+      / (CAST(a.n AS DOUBLE) - 1.0) AS vx,
+    (CAST(b.sxx AS DOUBLE)
+       - (CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE)) / CAST(b.n AS DOUBLE))
+      / (CAST(b.n AS DOUBLE) - 1.0) AS vy,
+    CAST(a.n AS DOUBLE) AS naf, CAST(b.n AS DOUBLE) AS nbf,
+    a.n AS n_a, b.n AS n_b
+  FROM (SELECT * FROM s WHERE g = 'purchase') a,
+       (SELECT * FROM s WHERE g = 'click') b
+)
+SELECT 'purchase' AS group_a, 'click' AS group_b, n_a, n_b,
+       CAST(CASE WHEN n_a < 2 OR n_b < 2 THEN 0
+                 WHEN sqrt(vx / naf + vy / nbf) = 0 THEN 0
+                 ELSE floor((mx - my) / sqrt(vx / naf + vy / nbf)
+                            * 1000000 + 0.5)
+            END AS BIGINT) AS t_micro
+FROM m
+"""
+
+ORACLE_SQL["doclen_psi_drift"] = """
+WITH t AS (
+  SELECT source AS s, CAST(n_chars AS BIGINT) // 16 AS bucket
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+c AS (SELECT s, bucket, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+piv AS (
+  SELECT bucket,
+         CAST(COALESCE(sum(CASE WHEN s = 'src0' THEN n END), 0) AS BIGINT) AS ca,
+         CAST(COALESCE(sum(CASE WHEN s = 'src1' THEN n END), 0) AS BIGINT) AS cb
+  FROM c GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS nbk
+  FROM piv
+),
+pq AS (
+  SELECT CAST(piv.ca AS DOUBLE) / CAST(tot.na AS DOUBLE) AS p,
+         CAST(piv.cb AS DOUBLE) / CAST(tot.nb AS DOUBLE) AS q
+  FROM piv, tot
+),
+terms AS (
+  SELECT CAST(floor(
+           ((CASE WHEN p > 0 THEN p ELSE 0.000001 END)
+            - (CASE WHEN q > 0 THEN q ELSE 0.000001 END))
+           * ln((CASE WHEN p > 0 THEN p ELSE 0.000001 END)
+                / (CASE WHEN q > 0 THEN q ELSE 0.000001 END))
+           * 1000000000 + 0.5) AS BIGINT) AS nano
+  FROM pq
+)
+SELECT tot.na AS n_a, tot.nb AS n_b, tot.nbk AS n_buckets,
+       CAST((SELECT sum(nano) FROM terms) AS BIGINT) AS psi_nano
+FROM tot
+"""

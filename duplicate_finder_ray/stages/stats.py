@@ -481,3 +481,177 @@ def nearest_centroid_assign(
     return ds.select_columns(need).map_batches(
         assign, batch_format="pyarrow", batch_size=2048
     )
+
+
+def welch_t(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    group_a,
+    group_b,
+) -> ray.data.Dataset:
+    """Welch's unequal-variance t statistic between two groups — the
+    A/B-test readout (does treatment change the mean?):
+
+        t = (mx − my) / sqrt(vx/nx + vy/ny),
+        v = (Σx² − (Σx)²/n) / (n − 1)       (sample variance)
+
+    computed from the EXACT int64 moment partials (x must already be
+    an integer lattice — cents, chars, counts), so the only doubles
+    are the final 12-op expression evaluated in ONE fixed order and
+    half-up micro-quantized; the SQL twin states the same tree.
+    Output one row: (group_a, group_b, n_a, n_b, t_micro); a group
+    with n < 2 (variance undefined) emits t_micro = 0 by convention,
+    same CASE in SQL.
+
+    Scale shape: all heavy lifting is moment_partials' (≤ 2 partial
+    rows per block, one tiny 2-row groupby); the finisher is one
+    map over the 2-row stats table."""
+    stats = moment_partials(ds, group_col, x_col)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("group_a", pa.string()),
+                ("group_b", pa.string()),
+                ("n_a", pa.int64()),
+                ("n_b", pa.int64()),
+                ("t_micro", pa.int64()),
+            ]
+        )
+        df = batch.to_pandas().set_index(group_col)
+        if group_a not in df.index or group_b not in df.index:
+            return out_schema.empty_table()
+        ra, rb = df.loc[group_a], df.loc[group_b]
+        na, nb = int(ra["n"]), int(rb["n"])
+        if na < 2 or nb < 2:
+            t_micro = 0
+        else:
+            naf, nbf = float(na), float(nb)
+            mx = float(ra["sx"]) / naf
+            my = float(rb["sx"]) / nbf
+            vx = (float(ra["sxx"]) - (float(ra["sx"]) * float(ra["sx"])) / naf) / (
+                naf - 1.0
+            )
+            vy = (float(rb["sxx"]) - (float(rb["sx"]) * float(rb["sx"])) / nbf) / (
+                nbf - 1.0
+            )
+            denom = np.sqrt(vx / naf + vy / nbf)
+            t = 0.0 if denom == 0.0 else (mx - my) / denom
+            t_micro = int(np.floor(t * 1_000_000.0 + 0.5))
+        return pa.table(
+            {
+                "group_a": pa.array([str(group_a)], pa.string()),
+                "group_b": pa.array([str(group_b)], pa.string()),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "t_micro": pa.array([t_micro], pa.int64()),
+            }
+        )
+
+    # the stats table holds exactly one row per group — concat to one
+    # block so both rows land in the same finisher call
+    return ray.data.from_pandas(stats.to_pandas()).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def psi_drift(
+    ds: ray.data.Dataset,
+    slice_col: str,
+    value_col: str,
+    slice_a,
+    slice_b,
+    bucket_width: int,
+) -> ray.data.Dataset:
+    """Population Stability Index between two slices' value
+    distributions — the ML-ops drift gate (PSI < 0.1 stable, > 0.25
+    action):
+
+        PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i)
+
+    over fixed-width integer buckets (bucket = value // width), with
+    the standard 1e-6 clamp for empty buckets. Each bucket's term is
+    evaluated in ONE fixed double order and quantized to NANO units
+    (×1e9) BEFORE the sum, so the total is an order-free integer sum —
+    distributed reduction and the SQL SUM cannot drift. Output one
+    row: (n_a, n_b, n_buckets, psi_nano).
+
+    Scale shape: per-batch (slice, bucket) count partials (buckets
+    compress by construction), one tiny groupby-sum, one finisher task
+    over the buckets-cardinality table."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    part_schema = pa.schema(
+        [("slice", pa.string()), ("bucket", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(slice_col).to_numpy(zero_copy_only=False).astype(object)
+        keep = (s == slice_a) | (s == slice_b)
+        if not keep.any():
+            return part_schema.empty_table()
+        v = batch.column(value_col).to_numpy().astype(np.int64)[keep]
+        s = s[keep]
+        bucket = v // np.int64(bucket_width)
+        df = pd.DataFrame({"slice": s.astype(str), "bucket": bucket, "n": np.int64(1)})
+        out = df.groupby(["slice", "bucket"], sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                "slice": pa.array(out["slice"], pa.string()),
+                "bucket": pa.array(out["bucket"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([slice_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["slice", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # buckets-cardinality tiny
+    )
+    out_schema = pa.schema(
+        [
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("n_buckets", pa.int64()),
+            ("psi_nano", pa.int64()),
+        ]
+    )
+
+    @ray.remote
+    def finish(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and "bucket" in b.column_names)
+        if not blocks:
+            return out_schema.empty_table()
+        df = pa.concat_tables(blocks).to_pandas()
+        piv = df.pivot_table(
+            index="bucket", columns="slice", values="n", aggfunc="sum", fill_value=0
+        )
+        ca = piv[str(slice_a)].to_numpy(np.int64) if str(slice_a) in piv else None
+        cb = piv[str(slice_b)].to_numpy(np.int64) if str(slice_b) in piv else None
+        if ca is None or cb is None:
+            return out_schema.empty_table()
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        # fixed double order per bucket, nano-quantized BEFORE the sum
+        p = ca.astype(np.float64) / float(n_a)
+        q = cb.astype(np.float64) / float(n_b)
+        p2 = np.where(p > 0.0, p, 1e-6)
+        q2 = np.where(q > 0.0, q, 1e-6)
+        term = (p2 - q2) * np.log(p2 / q2)
+        nano = np.floor(term * 1_000_000_000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "n_buckets": pa.array([len(piv)], pa.int64()),
+                "psi_nano": pa.array([int(nano.sum())], pa.int64()),
+            }
+        )
+
+    refs = counts.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow_refs([finish.remote(*refs)])
