@@ -2787,6 +2787,20 @@ def q_doclen_psi_drift(sf_dir: str) -> ray.data.Dataset:
     return psi_drift(docs, "source", "n_chars", "src0", "src1", bucket_width=16)
 
 
+def q_lang_source_chi2(sf_dir: str) -> ray.data.Dataset:
+    """Categorical independence audit (stages/stats.py:
+    chi2_contingency): Pearson chi² of the lang × source contingency
+    table — per-cell fixed-order double terms nano-quantized before an
+    order-free integer sum (the PSI discipline); zero-observed cells
+    of the full cross product contribute e."""
+    from duplicate_finder_ray.stages.stats import chi2_contingency
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return chi2_contingency(docs, "lang", "source")
+
+
 def q_events_seasonality(sf_dir: str) -> ray.data.Dataset:
     """7×24 calendar heatmap: count + exact cent sum per (ISO dow,
     hour-of-day), decoded with pure epoch integer arithmetic (no tz
@@ -5120,6 +5134,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_aware_sample": q_dedup_aware_sample,
     "ab_welch_t": q_ab_welch_t,
     "doclen_psi_drift": q_doclen_psi_drift,
+    "lang_source_chi2": q_lang_source_chi2,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -8667,5 +8682,36 @@ terms AS (
 )
 SELECT tot.na AS n_a, tot.nb AS n_b, tot.nbk AS n_buckets,
        CAST((SELECT sum(nano) FROM terms) AS BIGINT) AS psi_nano
+FROM tot
+"""
+
+ORACLE_SQL["lang_source_chi2"] = """
+WITH c AS (
+  SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT r, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY r),
+ct AS (SELECT c.c, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY c.c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM c),
+cells AS (
+  SELECT rt.r, ct.c,
+         CAST(COALESCE(o.n, 0) AS BIGINT) AS o,
+         (CAST(rt.rn AS DOUBLE) * CAST(ct.cn AS DOUBLE))
+           / CAST(tot.n AS DOUBLE) AS e
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN c o ON o.r = rt.r AND o.c = ct.c
+),
+terms AS (
+  SELECT CAST(floor(
+           ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+           * 1000000000 + 0.5) AS BIGINT) AS nano
+  FROM cells
+)
+SELECT tot.n,
+       CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_cols,
+       CAST(((SELECT count(*) FROM rt) - 1)
+            * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+       CAST((SELECT sum(nano) FROM terms) AS BIGINT) AS chi2_nano
 FROM tot
 """

@@ -655,3 +655,102 @@ def psi_drift(
     if not refs:
         return ray.data.from_arrow(out_schema.empty_table())
     return ray.data.from_arrow_refs([finish.remote(*refs)])
+
+
+def chi2_contingency(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+) -> ray.data.Dataset:
+    """Pearson chi-squared independence test over the row_col × col_col
+    contingency table — "does the label distribution depend on the
+    slice?" (lang × source balance audits, split-leakage checks):
+
+        chi2 = Σ_cells (o − e)² / e,   e = row_total · col_total / N,
+
+    summed over the FULL cross product (zero-observed cells contribute
+    e). Counts are exact integers; each cell's term is one fixed-order
+    double expression nano-quantized BEFORE the sum, so the total is
+    an order-free integer sum in both engines (the PSI discipline).
+    Output one row: (n, n_rows, n_cols, dof, chi2_nano).
+
+    Scale shape: per-batch (row, col) count partials (category pairs
+    compress by construction), one tiny groupby-sum, one finisher task
+    over the categories-cardinality table."""
+    part_schema = pa.schema(
+        [("r", pa.string()), ("c", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "r": batch.column(row_col).to_numpy(zero_copy_only=False).astype(str),
+                "c": batch.column(col_col).to_numpy(zero_copy_only=False).astype(str),
+                "n": np.int64(1),
+            }
+        )
+        out = df.groupby(["r", "c"], sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                "r": pa.array(out["r"], pa.string()),
+                "c": pa.array(out["c"], pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([row_col, col_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # categories-cardinality tiny
+    )
+    out_schema = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("n_cols", pa.int64()),
+            ("dof", pa.int64()),
+            ("chi2_nano", pa.int64()),
+        ]
+    )
+
+    @ray.remote
+    def finish(*blocks: pa.Table) -> pa.Table:
+        blocks = tuple(b for b in blocks if len(b) and "r" in b.column_names)
+        if not blocks:
+            return out_schema.empty_table()
+        df = pa.concat_tables(blocks).to_pandas()
+        piv = df.pivot_table(
+            index="r", columns="c", values="n", aggfunc="sum", fill_value=0
+        )
+        obs = piv.to_numpy(np.int64)
+        n = int(obs.sum())
+        if n == 0:
+            return out_schema.empty_table()
+        rows = obs.sum(axis=1)  # int64
+        cols = obs.sum(axis=0)
+        # fixed order per cell: e = (rowf * colf) / nf;
+        # term = ((of - e) * (of - e)) / e, nano-quantized
+        e = (rows.astype(np.float64)[:, None] * cols.astype(np.float64)[None, :]) / float(n)
+        of = obs.astype(np.float64)
+        term = ((of - e) * (of - e)) / e
+        nano = np.floor(term * 1_000_000_000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "n_rows": pa.array([obs.shape[0]], pa.int64()),
+                "n_cols": pa.array([obs.shape[1]], pa.int64()),
+                "dof": pa.array(
+                    [(obs.shape[0] - 1) * (obs.shape[1] - 1)], pa.int64()
+                ),
+                "chi2_nano": pa.array([int(nano.sum())], pa.int64()),
+            }
+        )
+
+    refs = counts.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow_refs([finish.remote(*refs)])

@@ -63,3 +63,47 @@ def test_psi_shifted_distribution_is_large(ray_session):
 def test_psi_rejects_bad_width(ray_session):
     with pytest.raises(ValueError):
         psi_drift(ray.data.from_items([]), "s", "v", "x", "y", 0)
+
+
+class TestChi2:
+    def test_matches_direct_formula(self, ray_session):
+        from duplicate_finder_ray.stages.stats import chi2_contingency
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "r": rng.choice(["a", "b", "c"], 600),
+                "c": rng.choice(["x", "y"], 600),
+            }
+        )
+        got = chi2_contingency(ray.data.from_pandas(df), "r", "c").to_pandas()
+        piv = df.groupby(["r", "c"]).size().unstack(fill_value=0)
+        obs = piv.to_numpy(float)
+        e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+        chi2 = (((obs - e) ** 2) / e).sum()
+        assert got["n"].tolist() == [600]
+        assert got["dof"].tolist() == [2]
+        # per-cell nano quantization vs one global sum: within
+        # n_cells/2 nano of the direct float total
+        assert abs(int(got["chi2_nano"].iloc[0]) - chi2 * 1e9) <= obs.size
+
+    def test_independent_uniform_is_small(self, ray_session):
+        from duplicate_finder_ray.stages.stats import chi2_contingency
+
+        # perfectly independent: every (r, c) cell equal -> chi2 = 0
+        df = pd.DataFrame(
+            [(r, c) for r in "ab" for c in "xy" for _ in range(50)],
+            columns=["r", "c"],
+        )
+        got = chi2_contingency(ray.data.from_pandas(df), "r", "c").to_pandas()
+        assert got["chi2_nano"].tolist() == [0]
+
+    def test_perfect_dependence_is_n(self, ray_session):
+        from duplicate_finder_ray.stages.stats import chi2_contingency
+
+        # 2x2 diagonal: chi2 = n exactly
+        df = pd.DataFrame(
+            [("a", "x")] * 40 + [("b", "y")] * 40, columns=["r", "c"]
+        )
+        got = chi2_contingency(ray.data.from_pandas(df), "r", "c").to_pandas()
+        assert got["chi2_nano"].tolist() == [80 * 1_000_000_000]
