@@ -8715,3 +8715,183 @@ SELECT tot.n,
        CAST((SELECT sum(nano) FROM terms) AS BIGINT) AS chi2_nano
 FROM tot
 """
+
+
+def _ivfpq_sql(
+    dim: int,
+    m: int,
+    k_coarse: int,
+    k_sub: int,
+    iterations: int,
+    query_ids: list[int],
+    topk: int,
+    nprobe: int,
+) -> str:
+    """Chained-CTE twin of `stages.ivfpq.ivfpq_adc_topk`: the coarse
+    kmeans chain over u, EXACT integer residuals ru = qv − C_cell, one
+    kmeans chain per residual subspace, per-(query, probed-cell)
+    residual LUTs, and the ADC sum keyed by each vector's stored codes
+    — the IVF pruning appears as the LUT join (only probed cells have
+    LUT rows)."""
+    sub = dim // m
+    ids = ", ".join(str(int(q)) for q in sorted(set(query_ids)))
+    it = iterations
+    cte = [
+        "u AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)"
+        " AS BIGINT) AS qv FROM embeddings)",
+        "seedc AS (SELECT vec_id,"
+        " CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl"
+        f" FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_coarse}))",
+        "cc_0 AS (SELECT s.cl, u.dim, u.qv AS m"
+        " FROM seedc s JOIN u ON u.vec_id = s.vec_id)",
+    ]
+    for t in range(1, it + 1):
+        cte.append(
+            f"dc_{t} AS (SELECT u.vec_id, c.cl,"
+            " CAST(sum((u.qv - c.m) * (u.qv - c.m)) AS BIGINT) AS d2"
+            f" FROM u JOIN cc_{t - 1} c ON c.dim = u.dim"
+            " GROUP BY u.vec_id, c.cl)"
+        )
+        cte.append(
+            f"ac_{t} AS (SELECT vec_id, cl, d2 FROM (SELECT vec_id, cl, d2,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn"
+            f" FROM dc_{t}) WHERE rn = 1)"
+        )
+        cte.append(
+            f"cc_{t} AS (SELECT a.cl, u.dim,"
+            " CAST(sum(u.qv) AS BIGINT) // count(*) AS m"
+            f" FROM ac_{t} a JOIN u ON u.vec_id = a.vec_id"
+            " GROUP BY a.cl, u.dim)"
+        )
+    cte.append(
+        "dfc AS (SELECT u.vec_id, c.cl,"
+        " CAST(sum((u.qv - c.m) * (u.qv - c.m)) AS BIGINT) AS d2"
+        f" FROM u JOIN cc_{it} c ON c.dim = u.dim GROUP BY u.vec_id, c.cl)"
+    )
+    cte.append(
+        "fco AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, d2,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn"
+        " FROM dfc) WHERE rn = 1)"
+    )
+    cte.append(
+        "ru AS (SELECT u.vec_id, u.dim, u.qv - c.m AS qv FROM u"
+        " JOIN fco a ON a.vec_id = u.vec_id"
+        f" JOIN cc_{it} c ON c.cl = a.cl AND c.dim = u.dim)"
+    )
+    cte.append(
+        "seeds AS (SELECT vec_id,"
+        " CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl"
+        f" FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_sub}))"
+    )
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        cte.append(
+            f"ru{j} AS (SELECT vec_id, dim - {lo} AS dim, qv FROM ru"
+            f" WHERE dim >= {lo} AND dim < {hi})"
+        )
+        cte.append(
+            f"c{j}_0 AS (SELECT s.cl, r.dim, r.qv AS m"
+            f" FROM seeds s JOIN ru{j} r ON r.vec_id = s.vec_id)"
+        )
+        for t in range(1, it + 1):
+            cte.append(
+                f"d{j}_{t} AS (SELECT r.vec_id, c.cl,"
+                " CAST(sum((r.qv - c.m) * (r.qv - c.m)) AS BIGINT) AS d2"
+                f" FROM ru{j} r JOIN c{j}_{t - 1} c ON c.dim = r.dim"
+                " GROUP BY r.vec_id, c.cl)"
+            )
+            cte.append(
+                f"a{j}_{t} AS (SELECT vec_id, cl, d2 FROM"
+                " (SELECT vec_id, cl, d2,"
+                " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl)"
+                f" AS rn FROM d{j}_{t}) WHERE rn = 1)"
+            )
+            cte.append(
+                f"c{j}_{t} AS (SELECT a.cl, r.dim,"
+                " CAST(sum(r.qv) AS BIGINT) // count(*) AS m"
+                f" FROM a{j}_{t} a JOIN ru{j} r ON r.vec_id = a.vec_id"
+                " GROUP BY a.cl, r.dim)"
+            )
+        cte.append(
+            f"df{j} AS (SELECT r.vec_id, c.cl,"
+            " CAST(sum((r.qv - c.m) * (r.qv - c.m)) AS BIGINT) AS d2"
+            f" FROM ru{j} r JOIN c{j}_{it} c ON c.dim = r.dim"
+            " GROUP BY r.vec_id, c.cl)"
+        )
+        cte.append(
+            f"f{j} AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, d2,"
+            " row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn"
+            f" FROM df{j}) WHERE rn = 1)"
+        )
+    cte.append(f"qu AS (SELECT vec_id AS qid, dim, qv FROM u WHERE vec_id IN ({ids}))")
+    cte.append(
+        "dq AS (SELECT qu.qid, c.cl,"
+        " CAST(sum((qu.qv - c.m) * (qu.qv - c.m)) AS BIGINT) AS d2"
+        f" FROM qu JOIN cc_{it} c ON c.dim = qu.dim GROUP BY 1, 2)"
+    )
+    cte.append(
+        "probe AS (SELECT qid, cl FROM (SELECT qid, cl,"
+        " row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn"
+        f" FROM dq) WHERE rn <= {nprobe})"
+    )
+    cte.append(
+        "qr AS (SELECT p.qid, p.cl AS cell, c.dim, qu.qv - c.m AS rv"
+        " FROM probe p JOIN qu ON qu.qid = p.qid"
+        f" JOIN cc_{it} c ON c.cl = p.cl AND c.dim = qu.dim)"
+    )
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        cte.append(
+            f"lut{j} AS (SELECT x.qid, x.cell, k.cl,"
+            " CAST(sum((x.rv - k.m) * (x.rv - k.m)) AS BIGINT) AS d"
+            f" FROM (SELECT qid, cell, dim - {lo} AS dim, rv FROM qr"
+            f" WHERE dim >= {lo} AND dim < {hi}) x"
+            f" JOIN c{j}_{it} k ON k.dim = x.dim GROUP BY 1, 2, 3)"
+        )
+    f_joins = " ".join(f"JOIN f{j} ON f{j}.vec_id = a.vec_id" for j in range(m))
+    lut_joins = ["JOIN lut0 l0 ON l0.cell = a.cl AND l0.cl = f0.cl"]
+    for j in range(1, m):
+        lut_joins.append(
+            f"JOIN lut{j} l{j} ON l{j}.cell = a.cl AND l{j}.cl = f{j}.cl"
+            " AND l" + str(j) + ".qid = l0.qid"
+        )
+    dsum = " + ".join(f"l{j}.d" for j in range(m))
+    cte.append(
+        f"dist AS (SELECT l0.qid AS query_id, a.vec_id,"
+        f" CAST({dsum} AS BIGINT) AS adc_d2"
+        f" FROM fco a {f_joins} {' '.join(lut_joins)})"
+    )
+    return (
+        "WITH "
+        + ",\n     ".join(cte)
+        + "\nSELECT query_id, vec_id, adc_d2, CAST(rn AS BIGINT) AS rank FROM"
+        " (SELECT query_id, vec_id, adc_d2,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id)"
+        f" AS rn FROM dist) WHERE rn <= {topk}"
+    )
+
+
+def q_ivfpq_adc_topk(sf_dir: str) -> ray.data.Dataset:
+    """IVF-PQ end-to-end (stages/ivfpq.py): coarse lattice k-means
+    cells + residual product codes + per-cell query-residual ADC scan
+    probing the 3 nearest cells — the canonical billion-scale ANN
+    index shape, every step integer-exact so the WHOLE build + search
+    hash-matches one chained-CTE twin."""
+    from duplicate_finder_ray.stages.ivfpq import ivfpq_adc_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivfpq_adc_topk(
+        emb, "vec_id", "embedding", dim=64, m=2, k_coarse=8, k_sub=8,
+        query_ids=[0, 1, 2, 3], topk=10, nprobe=3, iterations=2,
+    )
+
+
+QUERIES["ivfpq_adc_topk"] = q_ivfpq_adc_topk
+ORACLE_SQL["ivfpq_adc_topk"] = _ivfpq_sql(
+    dim=64, m=2, k_coarse=8, k_sub=8, iterations=2,
+    query_ids=[0, 1, 2, 3], topk=10, nprobe=3,
+)
