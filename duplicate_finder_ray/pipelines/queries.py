@@ -2787,6 +2787,29 @@ def q_doclen_psi_drift(sf_dir: str) -> ray.data.Dataset:
     return psi_drift(docs, "source", "n_chars", "src0", "src1", bucket_width=16)
 
 
+def q_zorder_zone_maps(sf_dir: str) -> ray.data.Dataset:
+    """Storage-layout pair (stages/layout.py): docs Z-ordered by
+    (n_chars, doc_id % 1024) via the magic-mask Morton interleave
+    (signed-64-safe, identical BIGINT chain in the twin), then
+    64-row zone maps — the min/max skipping statistics a 2-D scan
+    predicate consults; tight per-zone ranges on BOTH columns are the
+    observable proof the interleave worked."""
+    from duplicate_finder_ray.stages.layout import zone_maps
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array(ids % np.int64(1024), pa.int64())
+        )
+
+    ds = docs.map_batches(add_bucket, batch_format="pyarrow")
+    return zone_maps(ds, "n_chars", "bucket", "doc_id", zone_rows=64)
+
+
 def q_lang_source_chi2(sf_dir: str) -> ray.data.Dataset:
     """Categorical independence audit (stages/stats.py:
     chi2_contingency): Pearson chi² of the lang × source contingency
@@ -5135,6 +5158,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ab_welch_t": q_ab_welch_t,
     "doclen_psi_drift": q_doclen_psi_drift,
     "lang_source_chi2": q_lang_source_chi2,
+    "zorder_zone_maps": q_zorder_zone_maps,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "normalize_text": q_normalize_text,
     "quality_prune": q_quality_prune,
@@ -8895,3 +8919,39 @@ ORACLE_SQL["ivfpq_adc_topk"] = _ivfpq_sql(
     dim=64, m=2, k_coarse=8, k_sub=8, iterations=2,
     query_ids=[0, 1, 2, 3], topk=10, nprobe=3,
 )
+
+ORACLE_SQL["zorder_zone_maps"] = """
+WITH b0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(doc_id AS BIGINT) % 1024 AS y,
+         CAST(n_chars AS BIGINT) & 2147483647 AS xv,
+         (CAST(doc_id AS BIGINT) % 1024) & 2147483647 AS yv
+  FROM documents
+),
+b1 AS (SELECT doc_id, x, y,
+              (xv | (xv << 16)) & 281470681808895 AS xv,
+              (yv | (yv << 16)) & 281470681808895 AS yv FROM b0),
+b2 AS (SELECT doc_id, x, y,
+              (xv | (xv << 8)) & 71777214294589695 AS xv,
+              (yv | (yv << 8)) & 71777214294589695 AS yv FROM b1),
+b3 AS (SELECT doc_id, x, y,
+              (xv | (xv << 4)) & 1085102592571150095 AS xv,
+              (yv | (yv << 4)) & 1085102592571150095 AS yv FROM b2),
+b4 AS (SELECT doc_id, x, y,
+              (xv | (xv << 2)) & 3689348814741910323 AS xv,
+              (yv | (yv << 2)) & 3689348814741910323 AS yv FROM b3),
+b5 AS (SELECT doc_id, x, y,
+              (xv | (xv << 1)) & 6148914691236517205 AS xv,
+              (yv | (yv << 1)) & 6148914691236517205 AS yv FROM b4),
+z AS (SELECT doc_id, x, y, xv | (yv << 1) AS zval FROM b5),
+r AS (
+  SELECT x, y,
+         CAST(row_number() OVER (ORDER BY zval, doc_id) - 1 AS BIGINT) AS rnk
+  FROM z
+)
+SELECT rnk // 64 AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM r GROUP BY 1
+"""
