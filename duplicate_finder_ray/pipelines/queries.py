@@ -193,7 +193,18 @@ def q_lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
     from duplicate_finder_ray.stages import neardup
 
-    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
+    cfg = PipelineConfig(
+        jaccard_threshold=0.5,
+        lsh_bands=0,
+        # the word-salad corpus turns near-clique at sf0.1 (~720k
+        # true pairs over 5k docs): the protective default cap
+        # (band_bucket_cap=200) would truncate buckets and cost
+        # recall exactly where the TRUE answer is quadratic. At
+        # these gate scales the cap must not bind; at real scale
+        # the default cap + observable truncation is the intended
+        # trade-off (stages/neardup.py docstring).
+        band_bucket_cap=5000,
+    )
     sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
     sigs = sigs.materialize()  # consumed by both the bands and the id map
     bands = neardup.explode_bands(sigs, cfg)
@@ -211,7 +222,18 @@ def q_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     float jaccard that no rounding mode can smudge."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
 
-    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
+    cfg = PipelineConfig(
+        jaccard_threshold=0.5,
+        lsh_bands=0,
+        # the word-salad corpus turns near-clique at sf0.1 (~720k
+        # true pairs over 5k docs): the protective default cap
+        # (band_bucket_cap=200) would truncate buckets and cost
+        # recall exactly where the TRUE answer is quadratic. At
+        # these gate scales the cap must not bind; at real scale
+        # the default cap + observable truncation is the intended
+        # trade-off (stages/neardup.py docstring).
+        band_bucket_cap=5000,
+    )
     res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
     return res.pairs.select_columns(["a", "b", "n_inter", "n_union"])
 
@@ -223,7 +245,18 @@ def q_near_dup_clusters(sf_dir: str) -> ray.data.Dataset:
     (union-find oracle also in tests/test_neardup.py)."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
 
-    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
+    cfg = PipelineConfig(
+        jaccard_threshold=0.5,
+        lsh_bands=0,
+        # the word-salad corpus turns near-clique at sf0.1 (~720k
+        # true pairs over 5k docs): the protective default cap
+        # (band_bucket_cap=200) would truncate buckets and cost
+        # recall exactly where the TRUE answer is quadratic. At
+        # these gate scales the cap must not bind; at real scale
+        # the default cap + observable truncation is the intended
+        # trade-off (stages/neardup.py docstring).
+        band_bucket_cap=5000,
+    )
     res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
     return res.labels
 
@@ -235,7 +268,18 @@ def q_near_dup_spans(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.stages.derive import add_identity
     from duplicate_finder_ray.stages.spans import common_spans
 
-    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
+    cfg = PipelineConfig(
+        jaccard_threshold=0.5,
+        lsh_bands=0,
+        # the word-salad corpus turns near-clique at sf0.1 (~720k
+        # true pairs over 5k docs): the protective default cap
+        # (band_bucket_cap=200) would truncate buckets and cost
+        # recall exactly where the TRUE answer is quadratic. At
+        # these gate scales the cap must not bind; at real scale
+        # the default cap + observable truncation is the intended
+        # trade-off (stages/neardup.py docstring).
+        band_bucket_cap=5000,
+    )
     code = code_files_from_documents(sf_dir)
     res = NearDupPipeline(cfg).run_on(code)
     with_id = code.map_batches(add_identity, batch_format="pyarrow")
@@ -568,7 +612,18 @@ def q_incremental_near_dup(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.stages import neardup
     from duplicate_finder_ray.stages.derive import add_identity
 
-    cfg = PipelineConfig(jaccard_threshold=0.5, lsh_bands=0)
+    cfg = PipelineConfig(
+        jaccard_threshold=0.5,
+        lsh_bands=0,
+        # the word-salad corpus turns near-clique at sf0.1 (~720k
+        # true pairs over 5k docs): the protective default cap
+        # (band_bucket_cap=200) would truncate buckets and cost
+        # recall exactly where the TRUE answer is quadratic. At
+        # these gate scales the cap must not bind; at real scale
+        # the default cap + observable truncation is the intended
+        # trade-off (stages/neardup.py docstring).
+        band_bucket_cap=5000,
+    )
     wid = _split_docs_code(sf_dir, increment=False).map_batches(
         add_identity, batch_format="pyarrow"
     )
