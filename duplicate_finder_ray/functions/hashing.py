@@ -73,3 +73,26 @@ def file_id_array(batch: pa.Table) -> pa.Array | pa.ChunkedArray:
         batch["commit"],
         "@",
     )
+
+
+def stable_hash_array(vals, hash_key: str | None = None):
+    """Value-stable 64-bit siphash of an array (uint64 per element).
+
+    ALWAYS use this for object/string arrays, never bare
+    ``pd.util.hash_array``: its default ``categorize=True`` routes
+    object arrays through ``factorize``, whose string hash table
+    compares C strings — NUL-TRUNCATED — so (a) two keys that differ
+    only after an embedded NUL (this engine's exchange-separator
+    convention) collapse into ONE category, and (b) a value's hash
+    depends on which other values share its block (it inherits the
+    category representative's hash), silently breaking cross-block
+    co-location. ``categorize=False`` hashes each value's full buffer,
+    independent of array composition. (Diagnosed in round 3: at sf0.1
+    the dup-dir exchange split 399 directories across partitions and
+    emitted 44 false duplicate-directory groups.)
+    """
+    import pandas as pd
+
+    if hash_key is None:
+        return pd.util.hash_array(vals, categorize=False)
+    return pd.util.hash_array(vals, hash_key=hash_key, categorize=False)

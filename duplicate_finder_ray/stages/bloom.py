@@ -28,6 +28,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 def _splitmix64(h: np.ndarray) -> np.ndarray:
     """Stateless 64-bit finalizer (splitmix64, public domain): derives
@@ -44,7 +45,7 @@ def _splitmix64(h: np.ndarray) -> np.ndarray:
 def _hash_pair(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if vals.dtype != object:
         vals = np.ascontiguousarray(vals)
-    h1 = pd.util.hash_array(vals)
+    h1 = stable_hash_array(vals)
     # force h2 odd so the k probe positions never collapse onto one bit
     return h1, _splitmix64(h1) | np.uint64(1)
 

@@ -51,6 +51,7 @@ import pyarrow as pa
 import ray.data
 
 from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 _LABELS_SCHEMA = pa.schema([("file_id", pa.string()), ("component", pa.string())])
 
@@ -88,7 +89,7 @@ def _hash_buckets(vals: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic bucket id per string — vectorized fixed-key siphash
     (pd.util.hash_array), never builtin hash() (per-process salt) and
     never a per-row crc32 loop (this runs on every shuffle-bound row)."""
-    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    h = stable_hash_array(np.asarray(vals, dtype=object))
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
@@ -149,8 +150,8 @@ def _edge_checksum(edges: ray.data.Dataset) -> int:
     passes + a mix, no per-edge Python."""
 
     def fold(batch: pa.Table) -> pa.Table:
-        ha = pd.util.hash_array(batch.column("a").to_numpy(zero_copy_only=False))
-        hb = pd.util.hash_array(batch.column("b").to_numpy(zero_copy_only=False))
+        ha = stable_hash_array(batch.column("a").to_numpy(zero_copy_only=False))
+        hb = stable_hash_array(batch.column("b").to_numpy(zero_copy_only=False))
         # asymmetric mix so (a,b) != (b,a); uint64 arithmetic wraps
         combo = ha * np.uint64(0x9E3779B97F4A7C15) ^ hb
         acc = int(np.sum(combo, dtype=np.uint64))

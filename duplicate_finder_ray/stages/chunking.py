@@ -27,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 
 def chunk_table(
@@ -240,7 +241,7 @@ def chunk_share_pairs(
     chunks = chunk_documents(ds, id_col, text_col, chunk_tokens, stride)
 
     def prep(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
+        h = stable_hash_array(
             batch.column("chunk_text").to_numpy(zero_copy_only=False)
         )
         return pa.table(

@@ -37,6 +37,7 @@ import ray.data
 
 from duplicate_finder_ray.functions.hashing import sha256_hex_array
 from duplicate_finder_ray.stages.exchange import hash_exchange
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 _SLIM_SCHEMA = pa.schema(
     [
@@ -96,7 +97,7 @@ def clone_groups_type2(
     slim = code.map_batches(fingerprint, batch_format="pyarrow")
 
     def clone_part(tbl: pa.Table, n: int) -> np.ndarray:
-        h = pd.util.hash_array(
+        h = stable_hash_array(
             np.asarray(tbl.column("clone_id").to_pylist(), dtype=object)
         )
         return (h % np.uint64(n)).astype(np.int64)

@@ -45,6 +45,7 @@ import ray
 import ray.data
 
 from duplicate_finder_ray.stages.textstats import TOKEN_SPLIT_REGEX
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 _FANIN = 8
 
@@ -60,7 +61,7 @@ def cms_hash(tokens: np.ndarray, depth: int, width: int) -> np.ndarray:
     keys."""
     out = np.empty((depth, len(tokens)), dtype=np.int64)
     for r, key in enumerate(_row_keys(depth)):
-        h = pd.util.hash_array(tokens, hash_key=key)
+        h = stable_hash_array(tokens, hash_key=key)
         out[r] = (h % np.uint64(width)).astype(np.int64)
     return out
 

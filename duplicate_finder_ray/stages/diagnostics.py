@@ -22,6 +22,7 @@ import ray.data
 from duplicate_finder_ray.stages.exchange import hash_exchange
 from duplicate_finder_ray.stages.relational import _md5_prefix_u64
 from duplicate_finder_ray.stages.repostats import _group_starts
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 
 def key_skew_report(
@@ -179,7 +180,7 @@ def snapshot_diff(
         return out
 
     def part_of(tbl: pa.Table, p: int) -> np.ndarray:
-        h = pd.util.hash_array(np.asarray(joined_key(tbl), dtype=object))
+        h = stable_hash_array(np.asarray(joined_key(tbl), dtype=object))
         return (h % np.uint64(p)).astype(np.int64)
 
     def classify(p: int, tbl: pa.Table) -> pa.Table:

@@ -35,6 +35,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 #: columns that flow into the shuffle (content intentionally absent)
 MEMBER_COLS = ["file_id", "repo", "path", "commit", "lang", "size", "sha256"]
@@ -151,7 +152,7 @@ def duplicate_members(
         def add_pkey(batch: pa.Table) -> pa.Table:
             # vectorized fixed-key siphash — never per-row crc32 Python
             # loops on a shuffle-key path, never salted builtin hash()
-            h = pd.util.hash_array(
+            h = stable_hash_array(
                 batch.column("sha256").to_numpy(zero_copy_only=False)
             )
             return batch.append_column(
@@ -303,7 +304,7 @@ def keepers_by_depth(
 
     def part_of(tbl: pa.Table, n: int) -> np.ndarray:
         g = tbl.column("group_id").to_numpy(zero_copy_only=False)
-        return (pd.util.hash_array(g) % np.uint64(n)).astype(np.int64)
+        return (stable_hash_array(g) % np.uint64(n)).astype(np.int64)
 
     def kernel(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:

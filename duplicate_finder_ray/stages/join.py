@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from duplicate_finder_ray.stages.exchange import hash_exchange
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 
 def _pa_type(t) -> pa.DataType:
@@ -43,7 +44,7 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     # vectorized fixed-key siphash (handles str and bytes object arrays);
     # deterministic across processes, no per-row Python on the join path
     vals = col.to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    h = stable_hash_array(np.asarray(vals, dtype=object))
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
 
 
@@ -301,7 +302,7 @@ def shuffle_hash_join(
     def part_of(tbl: pa.Table, n: int) -> np.ndarray:
         vals = tbl.column("__key").to_numpy(zero_copy_only=False)
         if vals.dtype == object:
-            h = pd.util.hash_array(vals)
+            h = stable_hash_array(vals)
         else:
             h = pd.util.hash_array(np.ascontiguousarray(vals))
         # salt shifts hot rows across partitions; cold rows (salt 0)

@@ -40,6 +40,7 @@ import pyarrow as pa
 import ray.data
 
 from duplicate_finder_ray.config import PipelineConfig
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 from duplicate_finder_ray.functions.shingles import (
     Shingler,
     band_keys,
@@ -95,7 +96,7 @@ VERIFIED_SCHEMA = pa.schema(
 def fid_of(ids: np.ndarray) -> np.ndarray:
     """uint64 surrogate id per file_id string — vectorized fixed-key
     siphash (deterministic across processes/nodes)."""
-    return pd.util.hash_array(np.asarray(ids, dtype=object))
+    return stable_hash_array(np.asarray(ids, dtype=object))
 
 
 def effective_parallelism(cfg: PipelineConfig) -> int:
@@ -1129,10 +1130,10 @@ def simhash_candidate_pairs(
     def pair_part(tbl: pa.Table, n: int) -> np.ndarray:
         # key on the FULL (a, b) pair — keying on a alone would funnel a
         # hub file's pairs into one partition
-        ha = pd.util.hash_array(
+        ha = stable_hash_array(
             tbl.column("a").to_numpy(zero_copy_only=False).astype(object)
         )
-        hb = pd.util.hash_array(
+        hb = stable_hash_array(
             tbl.column("b").to_numpy(zero_copy_only=False).astype(object)
         )
         with np.errstate(over="ignore"):

@@ -51,6 +51,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Max, Sum
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 
 # --------------------------------------------------------------------------
@@ -176,7 +177,7 @@ def asof_join(
 
     def bucket_col(batch: pa.Table) -> pa.Array:
         k = batch.column(key).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.asarray(k, dtype=object))
+        h = stable_hash_array(np.asarray(k, dtype=object))
         return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
 
     def tag_left(batch: pa.Table) -> pa.Table:

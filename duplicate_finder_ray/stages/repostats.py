@@ -26,11 +26,12 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from duplicate_finder_ray.stages.exchange import hash_exchange
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 
 def _str_part(col: pa.ChunkedArray, n_parts: int) -> np.ndarray:
     """Deterministic partition ids for a string key column."""
-    h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+    h = stable_hash_array(np.asarray(col.to_pylist(), dtype=object))
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 
 def tdigest_compress(
@@ -143,7 +144,7 @@ def grouped_quantiles_sketch(
 
     def group_part(tbl: pa.Table, n: int) -> np.ndarray:
         g = tbl.column(group_col).to_numpy(zero_copy_only=False).astype(object)
-        return (pd.util.hash_array(g) % np.uint64(n)).astype(np.int64)
+        return (stable_hash_array(g) % np.uint64(n)).astype(np.int64)
 
     def finalize(p: int, tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 # -- quality scoring ---------------------------------------------------
 
@@ -559,7 +560,7 @@ def approx_distinct_tokens(
             pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
         )
         toks = toks.filter(pc.not_equal(toks, ""))
-        hashes = pd.util.hash_array(
+        hashes = stable_hash_array(
             toks.to_numpy(zero_copy_only=False).astype(object)
         )
         regs = hll_partial(np.unique(hashes), p)

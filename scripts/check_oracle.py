@@ -28,7 +28,13 @@ def to_pandas(result) -> pd.DataFrame:
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if df.shape[1] == 0:
+            # to_pandas() on an EMPTY Dataset drops the schema (known
+            # gotcha); rebuild the columns so 0-row results still
+            # compare on column names
+            df = pd.DataFrame(columns=result.schema().names)
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
