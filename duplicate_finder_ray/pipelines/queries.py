@@ -545,16 +545,32 @@ def q_language_id(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
-    """Winnowing fingerprints (rows-only; rolling-hash oracle in
-    tests/test_textstats.py)."""
+    """Winnowing fingerprints in long form (doc_id, fp) — HASH-MATCH
+    oracle: the byte-level polynomial k-gram hash (mod 2^31-1, base
+    1000003) and the window-min selection are integer-exact, so DuckDB
+    recomputes them verbatim over hex(encode(text)) (python oracle also
+    in tests/test_textstats.py). Docs with zero fingerprints
+    (< k bytes) drop out of the long form on both sides."""
     from duplicate_finder_ray.stages import textstats
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("fingerprints")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parents = pc.list_parent_indices(col)
+        return pa.table(
+            {
+                "doc_id": pc.take(batch.column("doc_id"), parents),
+                "fp": pc.cast(pc.list_flatten(col), pa.int64()),
+            }
+        )
 
     return (
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(textstats.fingerprint_docs, batch_format="pyarrow")
-        .select_columns(["doc_id", "n_fingerprints"])
+        .map_batches(explode, batch_format="pyarrow")
     )
 
 
@@ -9009,4 +9025,40 @@ SELECT rnk // 64 AS zone, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
        CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
 FROM r GROUP BY 1
+"""
+
+# -- winnowing fingerprints twin: byte-level polynomial k-gram hash -----
+# weights B^(k-1-j) mod M generated from the SAME constants as
+# stages/textstats.py:_kgram_hashes (k=8, window=4) so both engines'
+# integer lattices are one definition. Every term is ≤ 255·2^31 and the
+# 8-term sum < 2^42 — exact BIGINT on both sides.
+_FP_WEIGHTS = [pow(1_000_003, 7 - j, (1 << 31) - 1) for j in range(8)]
+_FP_GRAM_EXPR = " + ".join(
+    f"('0x' || substr(hx, 2*(i+{j}) + 1, 2))::BIGINT * {w}"
+    for j, w in enumerate(_FP_WEIGHTS)
+)
+ORACLE_SQL["doc_fingerprints"] = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (  -- 0-based k-gram start positions; len(h) = n - 7
+  SELECT doc_id, hx, n, unnest(range(0, n - 7)) AS i FROM b WHERE n >= 8
+),
+g AS (
+  SELECT doc_id, n, i, ({_FP_GRAM_EXPR}) % 2147483647 AS h FROM pos
+),
+small AS (  -- len(h) <= window: single global min
+  SELECT DISTINCT doc_id, min(h) AS fp FROM g WHERE n - 7 <= 4 GROUP BY doc_id
+),
+big AS (    -- full sliding windows of 4 only (i <= len(h) - 4)
+  SELECT DISTINCT doc_id, m AS fp FROM (
+    SELECT doc_id, i, n, min(h) OVER (
+      PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+    FROM g WHERE n - 7 > 4
+  ) WHERE i <= n - 11
+)
+SELECT doc_id, fp FROM small UNION ALL SELECT doc_id, fp FROM big
 """
