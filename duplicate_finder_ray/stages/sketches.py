@@ -87,6 +87,18 @@ def tdigest_quantile(
     qs = np.asarray(qs, dtype=np.float64)
     if len(means) == 0:
         return np.full(len(qs), np.nan)
+    if np.all(weights == 1.0):
+        # EXACT branch: no compaction has merged anything, so the
+        # centroids ARE the values and the sketch answers with the
+        # exact linear-interpolation quantile — bit-identical to the
+        # ``relational.grouped_quantiles`` oracle. The k1 scale
+        # function guarantees this holds whenever a group has
+        # ≤ delta/pi values (midpoint ranks then differ by > 1 in
+        # k-space, so no two points share a bucket) — which is why
+        # the driver's exact-quantile SQL is a true hash-match oracle
+        # at gate scales while the sketch stays mergeable and bounded
+        # at corpus scale.
+        return np.quantile(means, qs, method="linear")
     total = weights.sum()
     cum = np.cumsum(weights) - weights / 2.0
     return np.interp(qs * total, cum, means)
