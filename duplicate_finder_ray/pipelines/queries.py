@@ -9073,3 +9073,39 @@ SELECT doc_id, fp FROM small UNION ALL SELECT doc_id, fp FROM big
 # at every gate scale; at corpus scale it degrades gracefully to the
 # tested rank-error bound while this oracle documents the exact regime
 ORACLE_SQL["doclen_quantiles_sketch"] = ORACLE_SQL["doclen_quantiles"]
+
+# -- greedy packing twin: next-fit is a linear recurrence, replayed ----
+# exactly by a recursive CTE walking each partition's doc-id order; the
+# partition hash is the engine's md5-prefix (SQL-replayable by design)
+ORACLE_SQL["greedy_pack_documents"] = """
+WITH RECURSIVE c AS (
+  SELECT doc_id,
+         (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+               ELSE array_length(regexp_split_to_array(
+                      regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+          END)::BIGINT AS n
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              % 16 AS BIGINT) AS part,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 16
+           ORDER BY doc_id) AS rn
+  FROM c WHERE n > 0
+),
+pack AS (
+  SELECT part, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS acc
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.part, s.rn, s.doc_id, s.n,
+         CASE WHEN p.acc + s.n > 512 THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.acc + s.n > 512 THEN s.n ELSE p.acc + s.n END
+  FROM pack p JOIN seq s ON s.part = p.part AND s.rn = p.rn + 1
+),
+fills AS (SELECT part, bin, sum(n) AS f FROM pack GROUP BY 1, 2)
+SELECT p.doc_id, CAST(p.part * 4294967296 + p.bin AS BIGINT) AS pack_id,
+       p.n AS n_tokens, CAST(fills.f AS BIGINT) AS pack_fill
+FROM pack p JOIN fills USING (part, bin)
+"""

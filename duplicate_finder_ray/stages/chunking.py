@@ -341,8 +341,9 @@ def greedy_pack(
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """No-split greedy packing (the SFT shape): documents are packed
-    WHOLE into bins of ≤ ``budget`` tokens — first-fit-sequential in
-    doc-id order inside each of ``num_partitions`` hash partitions.
+    WHOLE into bins of ≤ ``budget`` tokens — next-fit-sequential (one
+    open bin, closed when the next doc overflows it) in doc-id order
+    inside each of ``num_partitions`` hash partitions.
     Emits (id, pack_id, n_tokens, pack_fill); documents longer than the
     budget get a singleton (overflowing) pack; zero-token docs pack
     nowhere. ``pack_id = partition * 2^32 + local_seq`` — globally
@@ -372,11 +373,15 @@ def greedy_pack(
         ]
     )
 
-    import pandas as pd
-
     def part_of(tbl: pa.Table, p: int) -> np.ndarray:
-        ids = tbl.column(id_col).to_numpy()
-        return (pd.util.hash_array(ids.copy()) % np.uint64(p)).astype(np.int64)
+        # md5-prefix partition hash: SQL-replayable (DuckDB
+        # ('0x'||substr(md5(id::VARCHAR),1,16))::UBIGINT % p), so the
+        # SEMANTIC grouping parameter is reproducible cross-engine and
+        # the driver oracle can replay the packing verbatim
+        from duplicate_finder_ray.stages.relational import _md5_prefix_u64
+
+        ids = _md5_prefix_u64(tbl.column(id_col))
+        return (ids % np.uint64(p)).astype(np.int64)
 
     def pack_partition(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
