@@ -136,6 +136,11 @@ class PipelineConfig:
     # ---- near-dup (north_rule extension) ------------------------------
     shingle_k: int = 5                      # tokens per shingle
     shingle_mode: str = "token"             # "token" | "char" | "line"
+    #: token-id hash family: "blake2b" (production default) or "md5"
+    #: (SQL-replayable — DuckDB md5_number_lower + ASCII tokenization,
+    #: functions/shingles.py:token_id_md5 — so an external engine can
+    #: audit signatures/bands bit-for-bit)
+    token_hash: str = "blake2b"
     minhash_perms: int = 128                # signature length K
     #: b bands of r = K // b rows. Default (32, 4): detection prob for
     #: Jaccard 0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8 — recall is set by the

@@ -45,33 +45,61 @@ def token_id(token: str) -> int:
     )
 
 
+def token_id_md5(token: str) -> int:
+    """SQL-parity 64-bit token id: the LAST 8 bytes of md5,
+    little-endian — exactly DuckDB's ``md5_number_lower(token)``. The
+    "md5" hash family exists so the driver oracle can replay the whole
+    signature pipeline (rolling shingle mix, MinHash permutations, LSH
+    band keys, SimHash votes — all uint64-wraparound arithmetic, which
+    SQL emulates with HUGEINT limb products) bit-for-bit; blake2b stays
+    the production default."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:], "little")
+
+
 class Shingler:
     """Tokenize + k-shingle hash with a memoised token vocabulary.
 
     mode: "token" (``\\w+`` word tokens), "line" (non-blank lines), or
     "char" (k applies to characters, hashed in sliding windows).
+
+    token_hash: "blake2b" (default) or "md5" — the SQL-replayable
+    family (:func:`token_id_md5`). The md5 family also pins token-mode
+    tokenization to the ASCII class ``[A-Za-z0-9_]+`` (DuckDB
+    ``regexp_extract_all`` parity); everything downstream of the token
+    ids is identical code.
     """
 
-    def __init__(self, k: int = 5, mode: str = "token") -> None:
+    _ASCII_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+    def __init__(
+        self, k: int = 5, mode: str = "token", token_hash: str = "blake2b"
+    ) -> None:
         if mode not in ("token", "line", "char"):
             raise ValueError(f"invalid shingle mode: {mode}")
+        if token_hash not in ("blake2b", "md5"):
+            raise ValueError(f"invalid token_hash: {token_hash}")
         self.k = k
         self.mode = mode
+        self.token_hash = token_hash
+        self._hash_one = token_id if token_hash == "blake2b" else token_id_md5
         self._vocab: dict[str, int] = {}
 
     def _ids(self, units: list[str]) -> np.ndarray:
         vocab = self._vocab
+        hash_one = self._hash_one
         out = np.empty(len(units), dtype=np.uint64)
         for i, u in enumerate(units):
             h = vocab.get(u)
             if h is None:
-                h = token_id(u)
+                h = hash_one(u)
                 vocab[u] = h
             out[i] = h
         return out
 
     def units(self, text: str) -> list[str]:
         if self.mode == "token":
+            if self.token_hash == "md5":
+                return self._ASCII_TOKEN_RE.findall(text)
             return _TOKEN_RE.findall(text)
         if self.mode == "line":
             return [ln for ln in text.splitlines() if ln.strip()]
@@ -109,11 +137,12 @@ class Shingler:
             return np.empty(0, dtype=np.uint64)
         codes, uniques = pd.factorize(np.asarray(units, dtype=object))
         vocab = self._vocab
+        hash_one = self._hash_one
         uid = np.empty(len(uniques), dtype=np.uint64)
         for i, u in enumerate(uniques):
             h = vocab.get(u)
             if h is None:
-                h = token_id(u)
+                h = hash_one(u)
                 vocab[u] = h
             uid[i] = h
         return uid[codes]
@@ -166,6 +195,8 @@ class Shingler:
         )
         if self.mode != "token" or not is_text or len(col) == 0:
             return self.shingle_hashes_batch(col.to_pylist())
+        if self.token_hash == "md5":
+            ascii_only = True  # the md5 family IS the SQL-parity config
         arr = pc.fill_null(col, "")
         if not ascii_only:
             # ASCII gate: bytes == codepoints for every row ⇒ RE2's \W+
@@ -191,11 +222,12 @@ class Shingler:
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniques = enc.dictionary.to_pylist()
         vocab = self._vocab
+        hash_one = self._hash_one
         uid = np.empty(len(uniques), dtype=np.uint64)
-        for i, u in enumerate(uniques):  # blake2b over DISTINCT tokens only
+        for i, u in enumerate(uniques):  # digest DISTINCT tokens only
             h = vocab.get(u)
             if h is None:
-                h = token_id(u)
+                h = hash_one(u)
                 vocab[u] = h
             uid[i] = h
         return self._csr_from_ids(uid[codes], counts, n_docs)

@@ -175,36 +175,66 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(count_tokens, batch_format="pyarrow")
 
 
+#: SQL-replayable signature config: md5 token ids (DuckDB
+#: md5_number_lower), 16 perms × 4 bands — the FULL signature pipeline
+#: (rolling shingle mix, MinHash permutations, band-key fold, SimHash
+#: votes) is uint64-wraparound arithmetic that the generated oracle
+#: replays with HUGEINT limb products, so the driver hash-verifies the
+#: production kernels (batch_minhash/batch_simhash/band_keys —
+#: identical code, parameterized token hash). band_bucket_cap=5000:
+#: caps must not bind at gate scales (see q_near_dup_pairs).
+def _md5_sig_config() -> PipelineConfig:
+    return PipelineConfig(
+        token_hash="md5",
+        minhash_perms=16,
+        lsh_bands=4,
+        band_bucket_cap=5000,
+    )
+
+
 def q_minhash_signatures(sf_dir: str) -> ray.data.Dataset:
-    """M3: MinHash/SimHash signature table (rows-only driver check; full
-    determinism + estimator oracles live in tests/test_shingles.py)."""
+    """M3: MinHash + SimHash signature table in long form
+    (file_id, perm, minhash, simhash, n_shingles) under the
+    SQL-replayable md5 hash family — HASH-MATCH oracle: the generated
+    SQL recomputes every signature bit-for-bit (determinism/estimator
+    oracles additionally in tests/test_shingles.py). Zero-shingle docs
+    (< k tokens — exact-dedup territory) drop out on both sides."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
 
-    cfg = PipelineConfig()
+    cfg = _md5_sig_config()
     sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
-    return sigs.select_columns(["file_id", "simhash", "n_shingles"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["n_shingles"], 0))
+        col = batch.column("minhash")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n, k = len(batch), cfg.minhash_perms
+        rep = pa.array(np.repeat(np.arange(n), k))
+        return pa.table(
+            {
+                "file_id": pc.take(batch.column("file_id"), rep),
+                "perm": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+                "minhash": col.flatten(),
+                "simhash": pc.take(batch.column("simhash"), rep),
+                "n_shingles": pc.take(batch.column("n_shingles"), rep),
+            }
+        )
+
+    return sigs.map_batches(explode, batch_format="pyarrow")
 
 
 def q_lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
-    """M4: LSH candidate pairs (rows-only; recall oracle in
-    tests/test_neardup.py). lsh_bands=0 = recall-targeted auto banding
-    (r=3, b=42 at τ=0.5 — the fixed 32×4 banding only detects 87% of
-    pairs exactly at 0.5)."""
+    """M4: LSH candidate pairs (a, b, n_bands, bucket_size) under the
+    md5 family's 4×4 banding — HASH-MATCH oracle: the generated SQL
+    folds the same band keys and emits intra-bucket pairs with the
+    same cross-band dedupe/counts (recall-vs-τ oracle additionally in
+    tests/test_neardup.py). The production recall-targeted auto
+    banding is exercised by q_near_dup_pairs."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
     from duplicate_finder_ray.stages import neardup
 
-    cfg = PipelineConfig(
-        jaccard_threshold=0.5,
-        lsh_bands=0,
-        # the word-salad corpus turns near-clique at sf0.1 (~720k
-        # true pairs over 5k docs): the protective default cap
-        # (band_bucket_cap=200) would truncate buckets and cost
-        # recall exactly where the TRUE answer is quadratic. At
-        # these gate scales the cap must not bind; at real scale
-        # the default cap + observable truncation is the intended
-        # trade-off (stages/neardup.py docstring).
-        band_bucket_cap=5000,
-    )
+    cfg = _md5_sig_config()
     sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
     sigs = sigs.materialize()  # consumed by both the bands and the id map
     bands = neardup.explode_bands(sigs, cfg)
@@ -330,12 +360,14 @@ def q_ppjoin_pairs(sf_dir: str) -> ray.data.Dataset:
 
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup: Hamming ≤ 3 pairs via bit-block pigeonhole
-    banding (rows-only driver check; hamming oracle in
-    tests/test_neardup.py)."""
+    banding under the md5 family — HASH-MATCH oracle: pigeonhole
+    blocking has zero false negatives at the radius, so the O(n²)
+    bit_count(xor) SQL over the recomputed fingerprints is exact
+    (hamming oracle additionally in tests/test_neardup.py)."""
     from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
     from duplicate_finder_ray.stages.neardup import simhash_candidate_pairs
 
-    cfg = PipelineConfig()
+    cfg = _md5_sig_config()
     sigs = NearDupPipeline(cfg).signatures_for(code_files_from_documents(sf_dir))
     return simhash_candidate_pairs(sigs, cfg, max_hamming=3)
 
@@ -9109,3 +9141,135 @@ SELECT p.doc_id, CAST(p.part * 4294967296 + p.bin AS BIGINT) AS pack_id,
        p.n AS n_tokens, CAST(fills.f AS BIGINT) AS pack_fill
 FROM pack p JOIN fills USING (part, bin)
 """
+
+# ---------------------------------------------------------------------------
+# md5-family signature twins: the ENTIRE signature pipeline (rolling
+# k-shingle mix, MinHash permutations, LSH band-key fold, SimHash bit
+# votes) is uint64-wraparound arithmetic. DuckDB replays it exactly:
+# token ids via md5_number_lower, and every u64 multiply as a HUGEINT
+# limb product (x*C mod 2^64 = lo*Clo + ((hi*Clo + lo*Chi) mod 2^32)
+# * 2^32 mod 2^64). The permutation/mix constants are generated from
+# the engine's own minhash_params(16, seed=42) so there is exactly one
+# definition. Prototyped bit-exact in functions/shingles.py terms.
+# ---------------------------------------------------------------------------
+
+
+def _build_md5_family_sql() -> dict[str, str]:
+    from duplicate_finder_ray.functions.shingles import _MIX, minhash_params
+
+    mix = int(_MIX)
+    mlo, mhi = mix & 0xFFFFFFFF, mix >> 32
+    u64 = 1 << 64
+
+    def umul_mix(x: str) -> str:
+        """SQL for (x * MIX) mod 2^64 via HUGEINT limbs."""
+        return (
+            f"CAST((CAST({x} % 4294967296 AS HUGEINT) * {mlo} + "
+            f"((CAST({x} // 4294967296 AS HUGEINT) * {mlo} + "
+            f"CAST({x} % 4294967296 AS HUGEINT) * {mhi}) % 4294967296) "
+            f"* 4294967296) % {u64} AS UBIGINT)"
+        )
+
+    a, b = minhash_params(16, 42)
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p]) & 0xFFFFFFFF}, {int(a[p]) >> 32}, {int(b[p])})"
+        for p in range(16)
+    )
+    # (s * a + b) mod 2^64 with per-perm limb columns al/ah
+    perm_hash = (
+        f"CAST((CAST(CAST((CAST(s % 4294967296 AS HUGEINT) * al + "
+        f"((CAST(s // 4294967296 AS HUGEINT) * al + "
+        f"CAST(s % 4294967296 AS HUGEINT) * ah) % 4294967296) "
+        f"* 4294967296) % {u64} AS UBIGINT) AS HUGEINT) + bb) % {u64} AS UBIGINT)"
+    )
+    start = 0x517CC1B727220A95
+    band_case = (
+        "CASE band "
+        + " ".join(f"WHEN {i} THEN {(i * mix) % u64}::UBIGINT" for i in range(4))
+        + " END"
+    )
+    # shared prefix: code table -> per-doc shingle-hash sets -> perms
+    prefix = f"""WITH code_files AS ({CODE_FILES_SQL}),
+tok AS (
+  SELECT repo || ':' || path || '@' || "commit" AS file_id,
+         regexp_extract_all(content, '[A-Za-z0-9_]+') AS w
+  FROM code_files
+),
+idx AS (
+  SELECT file_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+  FROM tok WHERE len(w) >= 5
+),
+t0 AS (
+  SELECT file_id, i, md5_number_lower(w[i]) AS h,
+         md5_number_lower(w[i+1]) AS i1, md5_number_lower(w[i+2]) AS i2,
+         md5_number_lower(w[i+3]) AS i3, md5_number_lower(w[i+4]) AS i4
+  FROM idx
+),
+s1 AS (SELECT file_id, i, xor({umul_mix('h')}, i1) AS h, i2, i3, i4 FROM t0),
+s2 AS (SELECT file_id, i, xor({umul_mix('h')}, i2) AS h, i3, i4 FROM s1),
+s3 AS (SELECT file_id, i, xor({umul_mix('h')}, i3) AS h, i4 FROM s2),
+s4 AS (SELECT file_id, i, xor({umul_mix('h')}, i4) AS h FROM s3),
+sh AS (SELECT DISTINCT file_id, h AS s FROM s4),
+nsh AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+perms(p, al, ah, bb) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT file_id, p, min({perm_hash}) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY 1, 2
+),
+bits AS (
+  SELECT file_id, bit, sum(CAST((s >> bit) & 1 AS BIGINT)) AS ones,
+         count(*) AS n
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) GROUP BY 1, 2
+),
+sim AS (
+  SELECT file_id,
+         CAST(sum(CASE WHEN ones * 2 >= n
+                       THEN CAST(1::UBIGINT << bit AS HUGEINT) ELSE 0 END)
+              % {u64} AS UBIGINT) AS simhash
+  FROM bits GROUP BY 1
+)"""
+
+    signatures = f"""{prefix}
+SELECT sig.file_id, CAST(sig.p AS BIGINT) AS perm, sig.minhash,
+       sim.simhash, nsh.n_shingles
+FROM sig JOIN sim USING (file_id) JOIN nsh USING (file_id)
+"""
+
+    lsh_pairs = f"""{prefix},
+bs AS (SELECT file_id, p // 4 AS band, p % 4 AS j, minhash FROM sig),
+k0 AS (SELECT file_id, band, {umul_mix(f'xor({start}::UBIGINT, minhash)')} AS k
+       FROM bs WHERE j = 0),
+k1 AS (SELECT k0.file_id, k0.band, {umul_mix('xor(k0.k, bs.minhash)')} AS k
+       FROM k0 JOIN bs ON bs.file_id = k0.file_id AND bs.band = k0.band AND bs.j = 1),
+k2 AS (SELECT k1.file_id, k1.band, {umul_mix('xor(k1.k, bs.minhash)')} AS k
+       FROM k1 JOIN bs ON bs.file_id = k1.file_id AND bs.band = k1.band AND bs.j = 2),
+k3 AS (SELECT k2.file_id, k2.band, {umul_mix('xor(k2.k, bs.minhash)')} AS k
+       FROM k2 JOIN bs ON bs.file_id = k2.file_id AND bs.band = k2.band AND bs.j = 3),
+bandkey AS (SELECT file_id, band, xor(k, {band_case}) AS key FROM k3),
+buckets AS (SELECT band, key, count(*) AS bsize FROM bandkey GROUP BY 1, 2),
+raw AS (
+  SELECT least(x.file_id, y.file_id) AS a,
+         greatest(x.file_id, y.file_id) AS b, x.band, bk.bsize
+  FROM bandkey x
+  JOIN bandkey y ON x.band = y.band AND x.key = y.key AND x.file_id < y.file_id
+  JOIN buckets bk ON bk.band = x.band AND bk.key = x.key
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_bands,
+       CAST(max(bsize) AS BIGINT) AS bucket_size
+FROM raw GROUP BY 1, 2
+"""
+
+    simhash_pairs = f"""{prefix}
+SELECT x.file_id AS a, y.file_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sim x JOIN sim y ON x.file_id < y.file_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+    return {
+        "minhash_signatures": signatures,
+        "lsh_candidate_pairs": lsh_pairs,
+        "simhash_pairs": simhash_pairs,
+    }
+
+
+ORACLE_SQL.update(_build_md5_family_sql())

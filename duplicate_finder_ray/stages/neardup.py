@@ -127,7 +127,9 @@ class SignatureStage:
     across batches."""
 
     def __init__(self, cfg: PipelineConfig, emit_shingles: bool = False) -> None:
-        self.shingler = Shingler(k=cfg.shingle_k, mode=cfg.shingle_mode)
+        self.shingler = Shingler(
+            k=cfg.shingle_k, mode=cfg.shingle_mode, token_hash=cfg.token_hash
+        )
         self.a, self.b = minhash_params(cfg.minhash_perms, cfg.minhash_seed)
         self.num_perms = cfg.minhash_perms
         #: also emit the deduped shingle set (uint64-LE bytes) per row —
@@ -641,7 +643,9 @@ class ShingleSetStage:
     only (never run over the full corpus)."""
 
     def __init__(self, cfg: PipelineConfig) -> None:
-        self.shingler = Shingler(k=cfg.shingle_k, mode=cfg.shingle_mode)
+        self.shingler = Shingler(
+            k=cfg.shingle_k, mode=cfg.shingle_mode, token_hash=cfg.token_hash
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch.column("content").to_pylist()
