@@ -547,13 +547,33 @@ def q_media_frame_sample(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
-    """Multimodal: batched fake-model inference in an actor pool
-    (rows-only driver check; determinism oracle in
-    tests/test_multimodal.py)."""
+    """Multimodal: batched fake-model inference in an actor pool,
+    exploded to (media_id, media_type, dim_idx, feature) — HASH-MATCH
+    oracle: the stub's md5-counter lanes and the /2^32 - 0.5 float
+    ladder are recomputed verbatim in SQL, so the driver verifies the
+    actor-pool plumbing end-to-end (determinism oracle additionally in
+    tests/test_multimodal.py). Swapping in a real model keeps the
+    plumbing and drops only this oracle."""
     from duplicate_finder_ray.stages import multimodal as mm
 
     feats = mm.media_features(mm.media_from_documents(sf_dir), dim=64)
-    return feats.select_columns(["media_id", "media_type"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("features")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n, k = len(batch), 64
+        rep = pa.array(np.repeat(np.arange(n), k))
+        return pa.table(
+            {
+                "media_id": pc.take(batch.column("media_id"), rep),
+                "media_type": pc.take(batch.column("media_type"), rep),
+                "dim_idx": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+                "feature": col.flatten(),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
 
 
 def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
@@ -9273,3 +9293,33 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 
 
 ORACLE_SQL.update(_build_md5_family_sql())
+
+# -- media feature twin: md5-counter lanes + the exact float ladder ----
+ORACLE_SQL["media_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text
+  FROM documents
+),
+d AS (SELECT media_id, media_type, text, unnest(range(0, 16)) AS blk FROM m),
+h AS (
+  SELECT media_id, media_type, blk,
+         md5_number_upper(text || 'feat:' || blk) AS up,
+         md5_number_lower(text || 'feat:' || blk) AS lo
+  FROM d
+),
+lanes AS (
+  SELECT media_id, media_type, blk * 4     AS dim_idx, up % 4294967296  AS lane FROM h
+  UNION ALL
+  SELECT media_id, media_type, blk * 4 + 1, up // 4294967296 FROM h
+  UNION ALL
+  SELECT media_id, media_type, blk * 4 + 2, lo % 4294967296 FROM h
+  UNION ALL
+  SELECT media_id, media_type, blk * 4 + 3, lo // 4294967296 FROM h
+)
+SELECT media_id, media_type, CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(CAST(lane AS DOUBLE) / 4294967296 - 0.5 AS FLOAT) AS feature
+FROM lanes
+"""

@@ -74,14 +74,19 @@ class DecoderStub:
 
     def features(self, payload: bytes, dim: int, seed_tag: bytes = b"feat") -> np.ndarray:
         """Deterministic float32 feature vector from the payload digest
-        (stand-in for model inference; one blake2b per 32 dims)."""
+        (stand-in for model inference; one md5 counter digest per 4
+        dims). md5-counter lanes keep the stub SQL-replayable — DuckDB
+        recomputes each uint32 lane from md5_number_upper/lower of
+        (payload || seed_tag || ':' || block) and applies the identical
+        /2^32 - 0.5 float ladder, so the driver oracle hash-verifies
+        the whole actor-pool feature pipeline."""
         out = np.empty(dim, dtype=np.float32)
-        n_blocks = (dim + 7) // 8
+        n_blocks = (dim + 3) // 4
         raw = b"".join(
-            hashlib.blake2b(payload, digest_size=32, salt=seed_tag[:16], person=i.to_bytes(8, "little")).digest()
+            hashlib.md5(payload + seed_tag + b":" + str(i).encode()).digest()
             for i in range(n_blocks)
         )
-        u = np.frombuffer(raw, dtype=np.uint32)[:dim]
+        u = np.frombuffer(raw, dtype="<u4")[:dim]
         out[:] = (u.astype(np.float64) / np.float64(2**32) - 0.5).astype(np.float32)
         return out
 
