@@ -9323,3 +9323,69 @@ SELECT media_id, media_type, CAST(dim_idx AS BIGINT) AS dim_idx,
        CAST(CAST(lane AS DOUBLE) / 4294967296 - 0.5 AS FLOAT) AS feature
 FROM lanes
 """
+
+# -- LCS span twin: a common substring of length L >= 16 is exactly a
+# maximal diagonal run of L-15 matching 16-byte grams, so DuckDB finds
+# the span length via gaps-and-islands over matching gram positions,
+# then replays the kernel's tie-breaks (min a_start among max runs,
+# then min b_start whose substring equals a's) with direct hex-substring
+# comparison — byte-exact regardless of encoding.
+ORACLE_SQL["near_dup_spans"] = (
+    "WITH "
+    + _NGRAM_CTES
+    + """,
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN n na ON na.doc_key = inter.a
+  JOIN n nb ON nb.doc_key = inter.b
+  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+),
+cf AS (
+  SELECT repo || ':' || path || '@' || "commit" AS file_id,
+         hex(encode(content)) AS hx, octet_length(encode(content)) AS nbytes
+  FROM code_files
+),
+g2 AS (
+  SELECT file_id, i, substr(hx, 2*i + 1, 32) AS gram
+  FROM (SELECT file_id, hx, unnest(range(0, nbytes - 15)) AS i
+        FROM cf WHERE nbytes >= 16)
+),
+m AS (
+  SELECT p.a, p.b, ga.i AS ia, gb.i AS ib
+  FROM pairs p
+  JOIN g2 ga ON ga.file_id = p.a
+  JOIN g2 gb ON gb.file_id = p.b AND gb.gram = ga.gram
+),
+runrows AS (
+  SELECT a, b, ia, ib, ia - ib AS diag,
+         ia - row_number() OVER (PARTITION BY a, b, ia - ib ORDER BY ia) AS grp
+  FROM m
+),
+runs AS (
+  SELECT a, b, min(ia) AS i0, min(ib) AS j0, count(*) AS run
+  FROM runrows GROUP BY a, b, diag, grp
+),
+best AS (SELECT a, b, max(run) AS maxrun FROM runs GROUP BY 1, 2),
+ast AS (
+  SELECT r.a, r.b, bst.maxrun, min(r.i0) AS a_start
+  FROM runs r
+  JOIN best bst ON bst.a = r.a AND bst.b = r.b AND r.run = bst.maxrun
+  GROUP BY 1, 2, 3
+),
+spans AS (
+  SELECT s.a, s.b, s.maxrun, s.a_start, min(r.j0) AS b_start
+  FROM ast s
+  JOIN runs r ON r.a = s.a AND r.b = s.b AND r.run = s.maxrun
+  JOIN cf ca ON ca.file_id = s.a
+  JOIN cf cb ON cb.file_id = s.b
+  WHERE substr(cb.hx, 2 * r.j0 + 1, 2 * (s.maxrun + 15))
+      = substr(ca.hx, 2 * s.a_start + 1, 2 * (s.maxrun + 15))
+  GROUP BY 1, 2, 3, 4
+)
+SELECT p.a, p.b,
+       CAST(coalesce(v.maxrun + 15, 0) AS BIGINT) AS span_len,
+       CAST(coalesce(v.a_start, -1) AS BIGINT) AS a_start,
+       CAST(coalesce(v.b_start, -1) AS BIGINT) AS b_start
+FROM pairs p LEFT JOIN spans v ON v.a = p.a AND v.b = p.b
+"""
+)
