@@ -9389,3 +9389,56 @@ SELECT p.a, p.b,
 FROM pairs p LEFT JOIN spans v ON v.a = p.a AND v.b = p.b
 """
 )
+
+# -- pHash twin: the fixed-point DCT basis is embedded verbatim, so ----
+# DuckDB recomputes every coefficient as the same exact integer
+# (separable row/col contractions), takes the same 63-coeff median and
+# packs the same bits — no float summation-order hazard by construction
+
+
+def _build_media_phash_sql() -> str:
+    from duplicate_finder_ray.stages.multimodal import PhashStage
+
+    basis = PhashStage().basis  # (32, 32) int64, scale 2^16
+    bu_rows = ", ".join(
+        f"({u}, {j}, {int(basis[u, j])})" for u in range(8) for j in range(32)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+bu(u, j, w) AS (VALUES {bu_rows}),
+t AS (SELECT media_id, hx, n, unnest(range(0, 1024)) AS t FROM m),
+px AS (
+  SELECT media_id, t // 32 AS j, t % 32 AS k,
+         CASE WHEN n = 0 THEN 0
+              ELSE ('0x' || substr(hx, 2 * (t % n) + 1, 2))::BIGINT END AS v
+  FROM t
+),
+rs AS (
+  SELECT px.media_id, px.j, b.u AS v, sum(px.v * b.w) AS r
+  FROM px JOIN bu b ON b.j = px.k GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT rs.media_id, b.u AS u, rs.v, sum(b.w * rs.r) AS dv
+  FROM rs JOIN bu b ON b.j = rs.j GROUP BY 1, 2, 3
+),
+coef AS (SELECT media_id, u * 8 + v AS idx, dv FROM d WHERE u * 8 + v > 0),
+med AS (SELECT media_id, median(dv) AS mv FROM coef GROUP BY 1),
+ph AS (
+  SELECT c.media_id,
+         CAST(sum(CASE WHEN c.dv > m.mv
+                       THEN CAST(1::UBIGINT << (c.idx - 1) AS HUGEINT)
+                       ELSE 0 END) % 18446744073709551616 AS UBIGINT) AS phash
+  FROM coef c JOIN med m USING (media_id) GROUP BY 1
+)
+SELECT m.media_id, m.media_type, ph.phash
+FROM m JOIN ph USING (media_id)
+"""
+
+
+ORACLE_SQL["media_phash"] = _build_media_phash_sql()

@@ -249,10 +249,16 @@ class PhashStage:
     2-D DCT-II over 32×32, top-left 8×8 low-frequency block, DC
     dropped, median threshold, 64-bit pack — and runs as ONE batched
     einsum over the whole batch (the DCT basis is built once per
-    actor). Swap ``_pixels`` for a PIL-backed loader and nothing else
+    actor). The basis is FIXED-POINT (int64, scale 2^16 — the standard
+    fixed-point DCT of codec practice): every coefficient is an exact
+    integer ≤ 2^47, so the hash is bit-reproducible across BLAS builds
+    AND SQL-replayable (the driver oracle recomputes it in DuckDB from
+    the same embedded basis integers — no float summation-order
+    hazard). Swap ``_pixels`` for a PIL-backed loader and nothing else
     changes."""
 
     _N = 32
+    _SCALE = 1 << 16
 
     def __init__(self) -> None:
         n = np.arange(self._N)
@@ -260,7 +266,8 @@ class PhashStage:
             np.pi * (2 * n[None, :] + 1) * n[:, None] / (2 * self._N)
         )
         basis[0] /= np.sqrt(2.0)
-        self.basis = basis  # (32, 32) DCT-II matrix, orthonormal
+        #: (32, 32) DCT-II matrix quantized to the 2^16 lattice
+        self.basis = np.round(basis * self._SCALE).astype(np.int64)
 
     def _pixels(self, payload: bytes) -> np.ndarray:
         """STUB pixel loader: payload bytes tiled/truncated to 32×32
@@ -278,17 +285,14 @@ class PhashStage:
         payloads = batch.column("payload").to_pylist()
         if payloads:
             px = np.stack([self._pixels(p) for p in payloads]).astype(
-                np.float64
+                np.int64
             )
-            # batched 2-D DCT-II: C @ X @ C.T for every image at once
-            d = np.einsum("ij,bjk,lk->bil", self.basis, px, self.basis)
-            # quantize to a 1e-6 lattice BEFORE thresholding: different
-            # BLAS summation orders disagree at ~1e-12, and a payload
-            # with tied coefficients would flip bits on that fuzz —
-            # the lattice makes the hash machine/BLAS-portable
-            block = np.round(
-                d[:, :8, :8].reshape(len(px), 64)[:, 1:], 6
-            )
+            # batched 2-D DCT-II: C @ X @ C.T for every image at once —
+            # all-integer, so the coefficients are EXACT (≤ 2^47, no
+            # overflow) and threshold comparisons can never flip on
+            # float summation-order fuzz
+            d = np.einsum("ij,bjk,lk->bil", self.basis[:8], px, self.basis[:8])
+            block = d.reshape(len(px), 64)[:, 1:]
             med = np.median(block, axis=1, keepdims=True)
             bits = block > med  # (B, 63)
             weights = np.uint64(1) << np.arange(63, dtype=np.uint64)

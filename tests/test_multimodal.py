@@ -83,20 +83,27 @@ class TestPhash:
 
         stage = PhashStage()
         payload = bytes(range(256)) * 3
-        px = stage._pixels(payload).astype(np.float64)
-        # independent O(N^3) DCT-II reference, straight from the formula
+        px = stage._pixels(payload).astype(np.int64)
+        # independent O(N^3) DCT-II reference, straight from the
+        # formula, quantized to the SAME 2^16 fixed-point lattice (the
+        # lattice is part of the hash definition — it makes the
+        # coefficients exact integers on every platform and in SQL)
         N = 32
-        ref = np.zeros((N, N))
-        for u in range(N):
-            for v in range(N):
+        ref = np.zeros((8, 8), dtype=np.int64)
+        for u in range(8):
+            for v in range(8):
                 cu = np.sqrt(1 / N) if u == 0 else np.sqrt(2 / N)
                 cv = np.sqrt(1 / N) if v == 0 else np.sqrt(2 / N)
-                ref[u, v] = cu * cv * np.sum(
-                    px
-                    * np.cos(np.pi * (2 * np.arange(N)[:, None] + 1) * u / (2 * N))
-                    * np.cos(np.pi * (2 * np.arange(N)[None, :] + 1) * v / (2 * N))
-                )
-        block = np.round(ref[:8, :8].reshape(64)[1:], 6)
+                wu = np.round(
+                    cu * np.cos(np.pi * (2 * np.arange(N) + 1) * u / (2 * N))
+                    * stage._SCALE
+                ).astype(np.int64)
+                wv = np.round(
+                    cv * np.cos(np.pi * (2 * np.arange(N) + 1) * v / (2 * N))
+                    * stage._SCALE
+                ).astype(np.int64)
+                ref[u, v] = int((wu[:, None] * px * wv[None, :]).sum())
+        block = ref.reshape(64)[1:]
         want_bits = block > np.median(block)
         want = int(
             (want_bits.astype(np.uint64)
