@@ -9442,3 +9442,70 @@ FROM m JOIN ph USING (media_id)
 
 
 ORACLE_SQL["media_phash"] = _build_media_phash_sql()
+
+# ---------------------------------------------------------------------------
+# Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
+# bounded PREFIX of this registry (~50 entries/round, in insertion
+# order), so the registry is explicitly ordered least-proven-first:
+# (1) queries whose oracles are NEW this round, (2) suites that have
+# never had a driver row (TPC-H, order/skew, graph, semantic, IR),
+# (3) the remaining never-snapshotted queries, (4) queries already
+# hash-verified by a previous round's snapshot (r01–r03). The full
+# 194-query gate still runs locally via scripts/check_oracle.py.
+# ---------------------------------------------------------------------------
+
+#: round-4 window: new oracles + never-snapshotted headline suites
+_DRIVER_PRIORITY = [
+    # new hash-match oracles this round
+    "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
+    "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
+    "greedy_pack_documents", "media_features", "media_phash",
+    # TPC-H relational suite (never snapshotted)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_nation_profit",
+    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_bracket_revenue", "q20_volume_suppliers", "q21_waiting_suppliers",
+    "q22_lapsed_balances",
+    # order/skew suite
+    "code_global_rank", "snm_candidate_pairs", "skew_join_repo_bytes",
+    "zorder_zone_maps", "epoch_shuffle",
+    # graph analytics suite
+    "near_dup_degrees", "near_dup_pagerank", "near_dup_triangles",
+    "near_dup_kcore",
+    # semantic / vector suite
+    "semdedup", "kmeans_clusters", "pq_adc_topk", "ivfpq_adc_topk",
+    # retrieval / sketch suite
+    "bm25_topk", "hybrid_search_rrf", "boolean_search",
+    "cms_point_counts", "bloom_semi_lineitems",
+]
+
+#: already hash-verified by a driver snapshot in rounds 1–3 — safe to
+#: park at the back of the registry
+_SNAPSHOTTED_R123 = [
+    "code_files_derive", "incremental_dedup", "incremental_near_dup",
+    "exact_dup_groups", "exact_dup_members", "exact_dup_members_verified",
+    "dedup_keepers", "deletion_tally", "filter_globs", "filter_size_range",
+    "size_prefilter", "group_sort_by_n", "group_sort_by_size",
+    "token_counts", "near_dup_pairs", "near_dup_clusters",
+    "ngram_jaccard_pairs", "ngram_jaccard_clusters", "ppjoin_pairs",
+    "ann_topk", "ann_topk_ivf", "embedding_cosine_pairs",
+    "embedding_lsh_pairs", "incremental_embedding_pairs", "events_hourly",
+    "events_sessions", "media_meta", "media_frame_sample",
+    "quality_scores", "language_id", "token_counts_bpe",
+    "join_segment_revenue", "lineitem_pricing_summary", "asof_last_purchase",
+    "range_join_price_buckets", "events_sliding", "topk_docs_per_lang",
+    "set_intersect_repos", "set_except_repos", "sample_docs_md5",
+    "doclen_quantiles", "top_tokens", "top_tokens_approx",
+]
+
+_mid = [
+    k for k in QUERIES
+    if k not in _DRIVER_PRIORITY and k not in _SNAPSHOTTED_R123
+]
+QUERIES = {
+    k: QUERIES[k]
+    for k in [*_DRIVER_PRIORITY, *_mid, *_SNAPSHOTTED_R123]
+}
