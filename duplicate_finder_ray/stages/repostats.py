@@ -29,6 +29,16 @@ from duplicate_finder_ray.stages.exchange import hash_exchange
 from duplicate_finder_ray.functions.hashing import stable_hash_array
 
 
+def _codes(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """int32 dictionary codes of a string column (Arrow C hash table) —
+    equal values share a code, so group membership/boundaries are plain
+    int comparisons with NO per-row python string materialization (the
+    round-3 to_pandas()/object-array hop this replaces)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.dictionary_encode(col).indices.to_numpy(zero_copy_only=False)
+
+
 def _str_part(col: pa.ChunkedArray, n_parts: int) -> np.ndarray:
     """Deterministic partition ids for a string key column."""
     h = stable_hash_array(np.asarray(col.to_pylist(), dtype=object))
@@ -78,35 +88,43 @@ def repo_overlap_pairs(
     def emit_pairs(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return out_schema.empty_table()
-        df = (
-            tbl.to_pandas()
-            .drop_duplicates(["sha256", "repo"])
-            .sort_values(["sha256", "repo"], kind="mergesort")
-        )
-        sha = df["sha256"].to_numpy(dtype=object)
-        repo = df["repo"].to_numpy(dtype=object)
-        starts = _group_starts(sha)
+        tbl = tbl.sort_by([("sha256", "ascending"), ("repo", "ascending")])
+        sha_c = _codes(tbl.column("sha256"))
+        repo_c = _codes(tbl.column("repo"))
+        distinct = np.r_[
+            True, (sha_c[1:] != sha_c[:-1]) | (repo_c[1:] != repo_c[:-1])
+        ]
+        tbl = tbl.filter(pa.array(distinct))
+        sha_c, repo_c = sha_c[distinct], repo_c[distinct]
+        repo = tbl.column("repo")  # stays Arrow; pairs materialize via take
+        starts = np.r_[True, sha_c[1:] != sha_c[:-1]]
+        n_rows = len(sha_c)
         gidx = np.cumsum(starts) - 1  # group index per row
         start_pos = np.nonzero(starts)[0]
-        local = np.arange(len(sha)) - start_pos[gidx]  # rank within group
+        local = np.arange(n_rows) - start_pos[gidx]  # rank within group
         local = np.minimum(local, max_repos_per_content - 1)
         # rows past the cap emit no pairs and pair with nothing new:
-        keep = (np.arange(len(sha)) - start_pos[gidx]) < max_repos_per_content
+        keep = (np.arange(n_rows) - start_pos[gidx]) < max_repos_per_content
         n_pred = np.where(keep, local, 0)  # predecessors to pair with
         total = int(n_pred.sum())
         if total == 0:
             return out_schema.empty_table()
-        b_idx = np.repeat(np.arange(len(sha)), n_pred)
+        b_idx = np.repeat(np.arange(n_rows), n_pred)
         run_start = np.repeat(np.cumsum(n_pred) - n_pred, n_pred)
         offset = np.arange(total) - run_start
         a_idx = np.repeat(start_pos[gidx], n_pred) + offset
-        pairs = pd.DataFrame({"repo_a": repo[a_idx], "repo_b": repo[b_idx]})
-        g = pairs.groupby(["repo_a", "repo_b"], sort=False).size().reset_index(name="n")
+        # count per (repo_a, repo_b) over int codes; strings materialize
+        # only for the DISTINCT pairs, via Arrow take
+        pkey = repo_c[a_idx].astype(np.uint64) << np.uint64(32)
+        pkey |= repo_c[b_idx].astype(np.uint64)
+        uniq, first, counts = np.unique(
+            pkey, return_index=True, return_counts=True
+        )
         return pa.table(
             {
-                "repo_a": pa.array(g["repo_a"], pa.string()),
-                "repo_b": pa.array(g["repo_b"], pa.string()),
-                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "repo_a": repo.take(pa.array(a_idx[first])).combine_chunks(),
+                "repo_b": repo.take(pa.array(b_idx[first])).combine_chunks(),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
@@ -155,16 +173,16 @@ def vendored_content(
     def reduce_fn(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return out_schema.empty_table()
-        df = tbl.to_pandas().sort_values(["sha256", "repo"], kind="mergesort")
-        sha = df["sha256"].to_numpy(dtype=object)
-        repo = df["repo"].to_numpy(dtype=object)
-        size = df["size"].to_numpy().astype(np.int64)
-        starts = _group_starts(sha)
+        tbl = tbl.sort_by([("sha256", "ascending"), ("repo", "ascending")])
+        sha_c = _codes(tbl.column("sha256"))
+        repo_c = _codes(tbl.column("repo"))
+        size = tbl.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.r_[True, sha_c[1:] != sha_c[:-1]]
         gidx = np.cumsum(starts) - 1
         n_groups = int(gidx[-1]) + 1
         n_files = np.bincount(gidx, minlength=n_groups)
         # distinct repos per sha: a (sha, repo) run boundary inside the group
-        repo_new = starts | np.r_[True, repo[1:] != repo[:-1]]
+        repo_new = starts | np.r_[True, repo_c[1:] != repo_c[:-1]]
         n_repos = np.bincount(gidx[repo_new], minlength=n_groups)
         g_size = size[np.nonzero(starts)[0]]  # sha determines size
         qual = n_repos >= min_repos
@@ -172,7 +190,9 @@ def vendored_content(
             return out_schema.empty_table()
         return pa.table(
             {
-                "sha256": pa.array(sha[np.nonzero(starts)[0]][qual], pa.string()),
+                "sha256": tbl.column("sha256")
+                .take(pa.array(np.nonzero(starts)[0][qual]))
+                .combine_chunks(),
                 "n_repos": pa.array(n_repos[qual], pa.int64()),
                 "n_files": pa.array(n_files[qual], pa.int64()),
                 "size": pa.array(g_size[qual], pa.int64()),
@@ -247,28 +267,30 @@ def dup_dir_groups(
     def fingerprint(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return out_schema.empty_table()
-        df = tbl.to_pandas().sort_values(
-            ["repo", "dir", "sha256"], kind="mergesort"
+        tbl = tbl.sort_by(
+            [("repo", "ascending"), ("dir", "ascending"), ("sha256", "ascending")]
         )
-        repo = df["repo"].to_numpy(dtype=object)
-        dirs = df["dir"].to_numpy(dtype=object)
-        sha = df["sha256"].to_numpy(dtype=object)
-        key = np.fromiter(
-            (r + "\x00" + d for r, d in zip(repo, dirs)), dtype=object, count=len(repo)
-        )
-        starts = _group_starts(key)
+        repo_c = _codes(tbl.column("repo"))
+        dir_c = _codes(tbl.column("dir"))
+        starts = np.r_[
+            True, (repo_c[1:] != repo_c[:-1]) | (dir_c[1:] != dir_c[:-1])
+        ]
         start_pos = np.nonzero(starts)[0]
-        ends = np.append(start_pos[1:], len(key))
+        ends = np.append(start_pos[1:], len(repo_c))
+        # python strings materialize ONLY for the md5 join (the digest
+        # input itself); boundaries came from int codes
+        sha = tbl.column("sha256").to_pylist()
         md5 = hashlib.md5
         hashes = [
             md5(",".join(sha[s:e]).encode()).hexdigest()
             for s, e in zip(start_pos, ends)
         ]
+        firsts = pa.array(start_pos)
         return pa.table(
             {
                 "dir_hash": pa.array(hashes, pa.string()),
-                "repo": pa.array(repo[start_pos], pa.string()),
-                "dir": pa.array(dirs[start_pos], pa.string()),
+                "repo": tbl.column("repo").take(firsts).combine_chunks(),
+                "dir": tbl.column("dir").take(firsts).combine_chunks(),
                 "n_files": pa.array((ends - start_pos).astype(np.int64), pa.int64()),
             }
         )
@@ -283,24 +305,13 @@ def dup_dir_groups(
     def keep_groups(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return out_schema.empty_table()
-        df = tbl.to_pandas().sort_values(
-            ["dir_hash", "repo", "dir"], kind="mergesort"
-        )
-        h = df["dir_hash"].to_numpy(dtype=object)
-        starts = _group_starts(h)
-        gidx = np.cumsum(starts) - 1
-        sizes = np.bincount(gidx, minlength=int(gidx[-1]) + 1)
-        keep = sizes[gidx] >= 2
+        h_c = _codes(tbl.column("dir_hash"))
+        sizes = np.bincount(h_c, minlength=int(h_c.max()) + 1)
+        keep = sizes[h_c] >= 2
         if not keep.any():
             return out_schema.empty_table()
-        kept = df[keep]
-        return pa.table(
-            {
-                "dir_hash": pa.array(kept["dir_hash"].to_numpy(dtype=object), pa.string()),
-                "repo": pa.array(kept["repo"].to_numpy(dtype=object), pa.string()),
-                "dir": pa.array(kept["dir"].to_numpy(dtype=object), pa.string()),
-                "n_files": pa.array(kept["n_files"].to_numpy().astype(np.int64), pa.int64()),
-            }
+        return tbl.filter(pa.array(keep)).select(
+            ["dir_hash", "repo", "dir", "n_files"]
         )
 
     return hash_exchange(
@@ -326,12 +337,24 @@ def repo_content_counts(
     def reduce_fn(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return out_schema.empty_table()
-        df = tbl.to_pandas().drop_duplicates(["repo", "sha256"])
-        g = df.groupby("repo", sort=False).size().reset_index(name="n")
+        repo_c = _codes(tbl.column("repo"))
+        sha_c = _codes(tbl.column("sha256"))
+        pair = repo_c.astype(np.uint64) << np.uint64(32)
+        pair |= sha_c.astype(np.uint64)
+        uniq, first = np.unique(pair, return_index=True)
+        u_repo = repo_c[first]
+        n_contents = np.bincount(u_repo, minlength=int(repo_c.max()) + 1)
+        r_first = np.zeros(len(n_contents), dtype=np.int64)
+        r_first[repo_c[::-1]] = np.arange(len(repo_c) - 1, -1, -1)
+        present = n_contents > 0
         return pa.table(
             {
-                "repo": pa.array(g["repo"], pa.string()),
-                "n_contents": pa.array(g["n"].to_numpy(), pa.int64()),
+                "repo": tbl.column("repo")
+                .take(pa.array(r_first[present]))
+                .combine_chunks(),
+                "n_contents": pa.array(
+                    n_contents[present].astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -432,25 +455,22 @@ def dup_rate_by_size(
     def bucket_partials(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return part_schema.empty_table()
-        df = tbl.to_pandas().sort_values("sha256", kind="mergesort")
-        sha = df["sha256"].to_numpy(dtype=object)
-        size = df["size"].to_numpy().astype(np.int64)
-        starts = _group_starts(sha)
-        gidx = np.cumsum(starts) - 1
-        gsize = np.bincount(gidx, minlength=int(gidx[-1]) + 1)
-        is_dup = (gsize[gidx] >= 2).astype(np.int64)
-        digits = df["size"].astype(str).str.len().to_numpy().astype(np.int64)
-        g = (
-            pd.DataFrame({"size_digits": digits, "is_dup": is_dup})
-            .groupby("size_digits", sort=False)
-            .agg(n_files=("is_dup", "size"), n_dup_files=("is_dup", "sum"))
-            .reset_index()
-        )
+        sha_c = _codes(tbl.column("sha256"))
+        size = tbl.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
+        gsize = np.bincount(sha_c, minlength=int(sha_c.max()) + 1)
+        is_dup = gsize[sha_c] >= 2
+        # decimal digit count without str(): size >= 1 always (files)
+        digits = np.floor(np.log10(np.maximum(size, 1))).astype(np.int64) + 1
+        n_files = np.bincount(digits)
+        n_dup = np.bincount(digits, weights=is_dup).astype(np.int64)
+        present = n_files > 0
         return pa.table(
             {
-                "size_digits": pa.array(g["size_digits"].to_numpy(), pa.int64()),
-                "n_files": pa.array(g["n_files"].to_numpy(), pa.int64()),
-                "n_dup_files": pa.array(g["n_dup_files"].to_numpy(), pa.int64()),
+                "size_digits": pa.array(
+                    np.nonzero(present)[0].astype(np.int64), pa.int64()
+                ),
+                "n_files": pa.array(n_files[present].astype(np.int64), pa.int64()),
+                "n_dup_files": pa.array(n_dup[present], pa.int64()),
             }
         )
 
@@ -619,14 +639,15 @@ def repo_size_gini(files: ray.data.Dataset) -> ray.data.Dataset:
             return pa.schema(
                 [("repo", pa.string()), ("bytes", pa.int64())]
             ).empty_table()
-        df = pa.table(
-            {"repo": batch.column("repo"), "bytes": batch.column("size")}
-        ).to_pandas()
-        g = df.groupby("repo", sort=False)["bytes"].sum().reset_index()
+        g = (
+            pa.table({"repo": batch.column("repo"), "bytes": batch.column("size")})
+            .group_by("repo")
+            .aggregate([("bytes", "sum")])
+        )
         return pa.table(
             {
-                "repo": pa.array(g["repo"], pa.string()),
-                "bytes": pa.array(g["bytes"].to_numpy(np.int64)),
+                "repo": g.column("repo"),
+                "bytes": g.column("bytes_sum").cast(pa.int64()),
             }
         )
 
@@ -705,18 +726,16 @@ def dedup_summary(
     def summarize(p: int, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return part_schema.empty_table()
-        df = tbl.to_pandas().sort_values("sha256", kind="mergesort")
-        sha = df["sha256"].to_numpy(dtype=object)
-        size = df["size"].to_numpy().astype(np.int64)
-        starts = _group_starts(sha)
-        gidx = np.cumsum(starts) - 1
-        n_groups = int(gidx[-1]) + 1
-        n = np.bincount(gidx, minlength=n_groups)
-        g_size = size[np.nonzero(starts)[0]]
+        sha_c = _codes(tbl.column("sha256"))
+        size = tbl.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_groups = int(sha_c.max()) + 1
+        n = np.bincount(sha_c, minlength=n_groups)
+        g_size = np.zeros(n_groups, dtype=np.int64)
+        g_size[sha_c] = size  # sha determines size; any writer wins
         dup = n > 1
         return pa.table(
             {
-                "total_files": pa.array([int(len(sha))], pa.int64()),
+                "total_files": pa.array([int(len(sha_c))], pa.int64()),
                 "distinct_contents": pa.array([n_groups], pa.int64()),
                 "dup_groups": pa.array([int(dup.sum())], pa.int64()),
                 "dup_files": pa.array([int(n[dup].sum())], pa.int64()),
