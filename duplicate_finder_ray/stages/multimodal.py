@@ -91,6 +91,55 @@ class DecoderStub:
         return out
 
 
+class PilImageDecoder(DecoderStub):
+    """REAL image decode via Pillow (guarded import — this container
+    ships no codecs, so construction raises ImportError and callers
+    fall back to :class:`DecoderStub`). Only the ``image`` branch of
+    ``decode_meta`` changes: width/height/bands/frames come from the
+    actual decoded image; audio/video (and the feature stub) inherit.
+    The surrounding Ray plumbing — actor pools, batch sizing, schema —
+    is identical either way."""
+
+    def __init__(self) -> None:
+        import io
+
+        import PIL.Image  # ImportError here selects the stub fallback
+
+        self._io = io
+        self._Image = PIL.Image
+
+    def decode_meta(self, media_type: str, payload: bytes) -> dict:
+        if media_type == "image":
+            with self._Image.open(self._io.BytesIO(payload)) as im:
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "n_channels": len(im.getbands()),
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                }
+        return super().decode_meta(media_type, payload)
+
+    def pixels32(self, payload: bytes) -> "np.ndarray":
+        """32×32 grayscale pixels for pHash — the real loader the
+        PhashStage docstring promises (convert('L').resize(32, 32))."""
+        with self._Image.open(self._io.BytesIO(payload)) as im:
+            gray = im.convert("L").resize((32, 32))
+            return np.asarray(gray, dtype=np.uint8)
+
+
+def make_decoder(prefer_real: bool = True) -> DecoderStub:
+    """PilImageDecoder where Pillow exists, DecoderStub otherwise.
+    The synthetic gate corpus carries text-byte payloads, so the
+    oracle-gated queries pin ``DecoderStub`` explicitly; real-image
+    pipelines opt in via this factory."""
+    if prefer_real:
+        try:
+            return PilImageDecoder()
+        except ImportError:
+            pass
+    return DecoderStub()
+
+
 class MediaMetaStage:
     """Actor-pool stage: payload → typed metadata columns (decoder
     state built once per actor). Output keeps the payload column for

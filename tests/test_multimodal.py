@@ -140,3 +140,49 @@ class TestPhash:
         assert sorted(g["phash"] for g in groups) == sorted(
             g["phash"] for g in again
         )
+
+
+class TestDecoderSelection:
+    def test_make_decoder_runs_either_way(self):
+        """Round-3 VERDICT item 4: the decoder factory must work both
+        with and without Pillow — real decode when the codec exists,
+        deterministic stub otherwise — exercising whichever branch this
+        environment provides."""
+        from duplicate_finder_ray.stages.multimodal import (
+            DecoderStub,
+            PilImageDecoder,
+            make_decoder,
+        )
+
+        dec = make_decoder()
+        if isinstance(dec, PilImageDecoder):  # pillow present
+            import io
+
+            import PIL.Image
+
+            buf = io.BytesIO()
+            PIL.Image.new("RGB", (20, 10)).save(buf, format="PNG")
+            meta = dec.decode_meta("image", buf.getvalue())
+            assert (meta["width"], meta["height"], meta["n_channels"]) == (20, 10, 3)
+            px = dec.pixels32(buf.getvalue())
+            assert px.shape == (32, 32) and px.dtype == np.uint8
+        else:  # codec-free container: deterministic stub
+            assert isinstance(dec, DecoderStub)
+            meta = dec.decode_meta("image", b"xyz")
+            assert meta == {
+                "width": 16 + 3 % 624,
+                "height": 16 + 21 % 464,
+                "n_channels": 3,
+                "n_frames": 1,
+            }
+        # audio/video arithmetic is stub-inherited in BOTH branches
+        assert dec.decode_meta("audio", b"abcd")["n_frames"] == 2
+        assert dec.decode_meta("video", bytes(2048))["n_frames"] == 3
+
+    def test_explicit_stub_fallback(self):
+        from duplicate_finder_ray.stages.multimodal import (
+            DecoderStub,
+            make_decoder,
+        )
+
+        assert isinstance(make_decoder(prefer_real=False), DecoderStub)
