@@ -204,14 +204,31 @@ def connected_components(
         # scale shape.
         @ray.remote
         def local_cc(*blocks: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             blocks = tuple(b for b in blocks if "a" in b.column_names and len(b))
             if not blocks:
                 return _LABELS_SCHEMA.empty_table()
             tbl = pa.concat_tables(blocks)
-            a = tbl.column("a").to_numpy(zero_copy_only=False)
-            b = tbl.column("b").to_numpy(zero_copy_only=False)
-            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-            ea, eb = inv[: len(a)], inv[len(a) :]
+            n_e = len(tbl)
+            # node ids via Arrow C hash table + C string sort — the
+            # previous np.unique over 2M PYTHON strings was ~half this
+            # task's wall (the single-task path is a deliberate flat
+            # term; keep it as small as possible)
+            both = pa.chunked_array(
+                [tbl.column("a").combine_chunks(), tbl.column("b").combine_chunks()]
+            )
+            enc = pc.dictionary_encode(both).combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            dict_arr = enc.dictionary
+            order = pc.array_sort_indices(dict_arr).to_numpy(
+                zero_copy_only=False
+            )
+            rank = np.empty(len(order), dtype=np.int64)
+            rank[order] = np.arange(len(order), dtype=np.int64)
+            coded = rank[codes]
+            ea, eb = coded[:n_e], coded[n_e:]
+            nodes = dict_arr.take(pa.array(order))  # sorted — index = rank
             label = np.arange(len(nodes), dtype=np.int64)
             while True:
                 new = label.copy()
@@ -223,8 +240,8 @@ def connected_components(
                 label = new
             return pa.table(
                 {
-                    "file_id": pa.array(nodes, pa.string()),
-                    "component": pa.array(nodes[label], pa.string()),
+                    "file_id": nodes,
+                    "component": nodes.take(pa.array(label)),
                 }
             )
 
