@@ -9443,6 +9443,83 @@ FROM m JOIN ph USING (media_id)
 
 ORACLE_SQL["media_phash"] = _build_media_phash_sql()
 
+
+
+def q_dup_ngram_stats(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-duplicated 13-gram exposure per document (C4/MassiveText
+    membership-overlap signal) — HASH-MATCH oracle: md5 hash family, so
+    the generated SQL recomputes every gram hash (13-step rolling mix
+    as chained joins over md5_number_lower token ids) and counts the
+    same distinct-doc memberships. Docs with < 13 tokens have no grams
+    and drop out on both sides."""
+    from duplicate_finder_ray.stages.textstats import dup_ngram_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_ngram_stats(docs, "text", n=13)
+
+
+def _build_dup_ngram_sql(n: int = 13) -> str:
+    from duplicate_finder_ray.functions.shingles import _MIX
+
+    mix = int(_MIX)
+    mlo, mhi = mix & 0xFFFFFFFF, mix >> 32
+    u64 = 1 << 64
+
+    def umul_mix(x: str) -> str:
+        return (
+            f"CAST((CAST({x} % 4294967296 AS HUGEINT) * {mlo} + "
+            f"((CAST({x} // 4294967296 AS HUGEINT) * {mlo} + "
+            f"CAST({x} % 4294967296 AS HUGEINT) * {mhi}) % 4294967296) "
+            f"* 4294967296) % {u64} AS UBIGINT)"
+        )
+
+    steps = []
+    prev = "s0"
+    for j in range(1, n):
+        cur = f"s{j}"
+        steps.append(
+            f"{cur} AS (SELECT s.doc_id, s.i, "
+            f"xor({umul_mix('s.h')}, ids.id) AS h "
+            f"FROM {prev} s JOIN ids ON ids.doc_id = s.doc_id "
+            f"AND ids.pos = s.i + {j})"
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+  FROM documents
+),
+pos_tbl AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM tok
+),
+ids AS (
+  SELECT doc_id, pos, md5_number_lower(w[pos]) AS id FROM pos_tbl
+),
+win AS (
+  SELECT doc_id, unnest(range(1, len(w) - {n - 2})) AS i
+  FROM tok WHERE len(w) >= {n}
+),
+s0 AS (
+  SELECT win.doc_id, win.i, ids.id AS h
+  FROM win JOIN ids ON ids.doc_id = win.doc_id AND ids.pos = win.i
+),
+{chain},
+sh AS (SELECT DISTINCT doc_id, h FROM {prev}),
+cnt AS (SELECT h, count(*) AS nd FROM sh GROUP BY 1)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_13grams,
+       CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_13grams
+FROM sh JOIN cnt ON cnt.h = sh.h GROUP BY 1
+"""
+
+
+QUERIES["dup_ngram_stats"] = q_dup_ngram_stats
+ORACLE_SQL["dup_ngram_stats"] = _build_dup_ngram_sql(13)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
@@ -9457,6 +9534,7 @@ ORACLE_SQL["media_phash"] = _build_media_phash_sql()
 #: round-4 window: new oracles + never-snapshotted headline suites
 _DRIVER_PRIORITY = [
     # new hash-match oracles this round
+    "dup_ngram_stats",
     "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
     "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
     "greedy_pack_documents", "media_features", "media_phash",

@@ -1288,3 +1288,103 @@ def compression_ratios(
             ),
         }
     )
+
+
+# -- corpus-duplicated n-gram statistics (Gopher/C4 dup-ngram signal) --
+
+
+class DupNgramStage:
+    """Actor-pool stage: text → (doc_id, h) rows, one per DISTINCT
+    word n-gram of the document (md5 hash family ⇒ SQL-replayable;
+    Shingler vocab memoises token digests across batches)."""
+
+    def __init__(self, n: int = 13, text_col: str = "text") -> None:
+        from duplicate_finder_ray.functions.shingles import Shingler
+
+        self.shingler = Shingler(k=n, token_hash="md5")
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = self.shingler.shingle_hashes_batch_column(
+            batch.column(self.text_col)
+        )
+        doc = np.repeat(
+            batch.column("doc_id").to_numpy(), np.diff(offsets)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "h": pa.array(flat, pa.uint64()),
+            }
+        )
+
+
+def dup_ngram_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 13,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document duplicated-n-gram exposure — the classic
+    membership-overlap curation signal (C4 / MassiveText analyses count
+    how much of a document is n-grams seen elsewhere): for every doc
+    with ≥ n tokens, (doc_id, n_13grams, n_dup_13grams) where
+    n_13grams = DISTINCT word n-grams in the doc and n_dup_13grams =
+    how many of those appear in ≥ 2 distinct documents.
+
+    Scale shape — NO broadcast of the (corpus-sized) duplicated-gram
+    set: (doc_id, gram-hash) rows are deduped per doc at the map side,
+    ONE gram-keyed barrier-free hash exchange co-locates every copy of
+    a gram (so per-partition doc-counts ARE global), each partition
+    emits per-doc partial counts, and a slim doc-keyed groupby sums
+    them. Both exchanges move 16-byte rows; text never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    rows = ds.select_columns(["doc_id", text_col]).map_batches(
+        DupNgramStage,
+        fn_constructor_args=(n, text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("n_dup", pa.int64()),
+        ]
+    )
+
+    def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+        h = tbl.column("h").to_numpy().astype(np.uint64)
+        return (h % np.uint64(p)).astype(np.int64)
+
+    def reduce_fn(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        h = tbl.column("h").to_numpy().astype(np.uint64)
+        doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+        _, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
+        dup = counts[inv] >= 2  # global: every copy of a gram is here
+        d_uniq, d_inv = np.unique(doc, return_inverse=True)
+        n_grams = np.bincount(d_inv, minlength=len(d_uniq))
+        n_dup = np.bincount(d_inv, weights=dup, minlength=len(d_uniq))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_uniq, pa.int64()),
+                "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
+                "n_dup": pa.array(n_dup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = hash_exchange(
+        rows, part_of, num_partitions, reduce_fn, part_schema.empty_table()
+    )
+    out = partials.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_13grams"),
+        Sum("n_dup", alias_name="n_dup_13grams"),
+    )
+    return out
