@@ -9520,6 +9520,38 @@ QUERIES["dup_ngram_stats"] = q_dup_ngram_stats
 ORACLE_SQL["dup_ngram_stats"] = _build_dup_ngram_sql(13)
 
 
+
+
+def q_unigram_xent(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc cross-entropy under the corpus's add-1 unigram LM (the
+    perplexity-filter proxy) — HASH-MATCH oracle: both engines evaluate
+    ln(N+V) - sum(c*ln(n_t+1))/len_d over the same integer counts; the
+    driver's 6-significant-digit float canon absorbs libm/summation-
+    order ulp differences."""
+    from duplicate_finder_ray.stages.textstats import unigram_xent
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return unigram_xent(docs, "text")
+
+
+QUERIES["unigram_xent"] = q_unigram_xent
+ORACLE_SQL["unigram_xent"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS t
+  FROM documents
+),
+dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+tc AS (SELECT t, sum(c) AS n FROM dt GROUP BY 1),
+g AS (SELECT sum(n) AS nn, count(*) AS v FROM tc)
+SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+       ln(g.nn + g.v) - sum(dt.c * ln(tc.n + 1)) / sum(dt.c) AS xent
+FROM dt JOIN tc USING (t) CROSS JOIN g
+GROUP BY dt.doc_id, g.nn, g.v
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
@@ -9534,7 +9566,7 @@ ORACLE_SQL["dup_ngram_stats"] = _build_dup_ngram_sql(13)
 #: round-4 window: new oracles + never-snapshotted headline suites
 _DRIVER_PRIORITY = [
     # new hash-match oracles this round
-    "dup_ngram_stats",
+    "dup_ngram_stats", "unigram_xent",
     "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
     "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
     "greedy_pack_documents", "media_features", "media_phash",

@@ -1388,3 +1388,126 @@ def dup_ngram_stats(
         Sum("n_dup", alias_name="n_dup_13grams"),
     )
     return out
+
+
+# -- unigram cross-entropy scoring (perplexity-filter proxy) -----------
+
+
+def unigram_xent(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document cross-entropy under the corpus's own add-1-smoothed
+    unigram LM — the classic perplexity-style quality filter in its
+    deterministic, self-contained form:
+
+        xent(d) = ln(N + V) − (Σ_t c_dt · ln(n_t + 1)) / len_d
+
+    (n_t = global occurrences of token t, N = total occurrences, V =
+    vocabulary size, c_dt = occurrences of t in d). Rare-token-heavy
+    word salad scores HIGH; stopword-dense prose scores LOW.
+
+    Scale shape: (doc, token, c) rows from per-batch combiners, ONE
+    token-keyed barrier-free exchange (all copies of a token co-locate,
+    so the within-partition total IS global n_t), per-doc partials +
+    per-partition (V_p, N_p) side rows, then a slim doc-keyed sum and a
+    two-scalar broadcast — the corpus vocabulary is never collected."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    def batch_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc = np.repeat(batch["doc_id"].to_numpy(), reps)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = doc[keep]
+        df = pd.DataFrame(
+            {"doc_id": doc, "t": flat.to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(["doc_id", "t"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = ds.select_columns(["doc_id", text_col]).map_batches(
+        batch_partial, batch_format="pyarrow"
+    )
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("s", pa.float64()),       # Σ c·ln(n_t + 1) partial
+            ("c", pa.int64()),         # Σ c partial
+            ("part_v", pa.int64()),    # partition vocab size (stat row)
+            ("part_n", pa.int64()),    # partition occurrences (stat row)
+        ]
+    )
+
+    def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+        t = tbl.column("t").to_numpy(zero_copy_only=False).astype(object)
+        return (stable_hash_array(t) % np.uint64(p)).astype(np.int64)
+
+    def reduce_fn(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return part_schema.empty_table()
+        t_c = tbl.column("t")
+        if isinstance(t_c, pa.ChunkedArray):
+            t_c = t_c.combine_chunks()
+        codes = pc.dictionary_encode(t_c).indices.to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy().astype(np.int64)
+        doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+        n_t = np.bincount(codes, weights=c)        # global: co-located
+        logn1 = np.log(n_t + 1.0)
+        term = c * logn1[codes]
+        d_uniq, d_inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(d_inv, weights=term)
+        ctot = np.bincount(d_inv, weights=c).astype(np.int64)
+        out = pa.table(
+            {
+                "doc_id": pa.array(d_uniq, pa.int64()),
+                "s": pa.array(s, pa.float64()),
+                "c": pa.array(ctot, pa.int64()),
+                "part_v": pa.array(np.zeros(len(d_uniq), np.int64)),
+                "part_n": pa.array(np.zeros(len(d_uniq), np.int64)),
+            }
+        )
+        stat = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "s": pa.array([0.0], pa.float64()),
+                "c": pa.array([0], pa.int64()),
+                "part_v": pa.array([len(n_t)], pa.int64()),
+                "part_n": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, stat])
+
+    partials = hash_exchange(
+        rows, part_of, num_partitions, reduce_fn, part_schema.empty_table()
+    ).materialize()
+
+    stats = (
+        partials.filter(expr="doc_id < 0").sum(["part_v", "part_n"])
+    )
+    log_nv = float(np.log(stats["sum(part_n)"] + stats["sum(part_v)"]))
+
+    docs = (
+        partials.filter(expr="doc_id >= 0")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="n_tokens"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy()
+        n = batch.column("n_tokens").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+                "xent": pa.array(log_nv - s / n, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(finalize, batch_format="pyarrow")

@@ -84,3 +84,66 @@ def test_deterministic_across_parallelism(ray_session, docs_df):
         ).take_all()
     )
     assert a == b
+
+
+class TestUnigramXent:
+    def test_matches_python_oracle(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        from duplicate_finder_ray.stages.textstats import unigram_xent
+
+        texts = {
+            0: "the cat sat on the mat",
+            1: "the dog sat on the log",
+            2: "zq xv qqj unique salad words here",
+            3: "",  # no tokens: dropped
+        }
+        df = pd.DataFrame(
+            [{"doc_id": k, "text": v} for k, v in texts.items()]
+        )
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["xent"])
+            for r in unigram_xent(
+                ray_session.data.from_pandas(df), num_partitions=3
+            ).take_all()
+        }
+        toks = {k: re.findall(r"[A-Za-z0-9_]+", v) for k, v in texts.items()}
+        global_c = Counter(t for ts in toks.values() for t in ts)
+        nn, vv = sum(global_c.values()), len(global_c)
+        for k, ts in toks.items():
+            if not ts:
+                assert k not in out
+                continue
+            want = math.log(nn + vv) - sum(
+                math.log(global_c[t] + 1) for t in ts
+            ) / len(ts)
+            got_n, got_x = out[k]
+            assert got_n == len(ts)
+            assert abs(got_x - want) < 1e-9
+        # rare-token salad must score above stopword-dense prose
+        assert out[2][1] > out[0][1]
+
+    def test_deterministic_counts_across_parallelism(self, ray_session):
+        from duplicate_finder_ray.stages.textstats import unigram_xent
+
+        df = pd.DataFrame(
+            [{"doc_id": i, "text": f"w{i % 7} common token w{i % 3}"}
+             for i in range(60)]
+        )
+        a = sorted(
+            (r["doc_id"], r["n_tokens"], round(r["xent"], 9))
+            for r in unigram_xent(
+                ray_session.data.from_pandas(df).repartition(2),
+                num_partitions=4,
+            ).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_tokens"], round(r["xent"], 9))
+            for r in unigram_xent(
+                ray_session.data.from_pandas(df).repartition(7),
+                num_partitions=9,
+            ).take_all()
+        )
+        assert a == b
