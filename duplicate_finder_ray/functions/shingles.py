@@ -232,6 +232,110 @@ class Shingler:
             uid[i] = h
         return self._csr_from_ids(uid[codes], counts, n_docs)
 
+    def shingle_positions_batch_column(
+        self, col: "pa.Array | pa.ChunkedArray", ascii_only: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Positional twin of :meth:`shingle_hashes_batch_column` —
+        NO per-doc dedupe; returns (flat uint64 hashes, flat int64
+        0-based window positions within each doc, offsets[n_docs+1]).
+        Needed by span-level consumers (duplicated-passage extraction)
+        where WHERE a gram sits matters, not just membership."""
+        import pyarrow as pa
+
+        flat_ids, counts = self._token_ids_column(col, ascii_only)
+        n_docs = len(counts)
+        n = len(flat_ids)
+        k = self.k
+        empty = (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            np.zeros(n_docs + 1, dtype=np.int64),
+        )
+        if n < k:
+            return empty
+        ids = flat_ids
+        with np.errstate(over="ignore"):
+            h = ids[: n - k + 1].copy()
+            for j in range(1, k):
+                h = (h * _MIX) ^ ids[j : n - k + j + 1]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        start_doc = doc_of[: n - k + 1]
+        valid = doc_of[k - 1 :] == start_doc
+        wh, wd = h[valid], start_doc[valid]
+        if len(wh) == 0:
+            return empty
+        doc_off = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=doc_off[1:])
+        wpos = np.nonzero(valid)[0] - doc_off[wd]
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(np.bincount(wd, minlength=n_docs), out=offsets[1:])
+        return wh, wpos, offsets
+
+    def _token_ids_column(
+        self, col: "pa.Array | pa.ChunkedArray", ascii_only: bool
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(flat token-id stream, per-doc token counts) — the shared
+        front half of the batch kernels (tokenize + digest)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        is_text = pa.types.is_string(col.type) or pa.types.is_large_string(
+            col.type
+        )
+        n_docs = len(col)
+        if self.mode != "token" or not is_text or n_docs == 0:
+            units_per_doc = [
+                self.units(t if t is not None else "")
+                for t in (col.to_pylist() if n_docs else [])
+            ]
+            counts = np.fromiter(
+                (len(u) for u in units_per_doc), dtype=np.int64, count=n_docs
+            )
+            return (
+                self._ids_batch([u for doc in units_per_doc for u in doc]),
+                counts,
+            )
+        if self.token_hash == "md5":
+            ascii_only = True
+        arr = pc.fill_null(col, "")
+        if not ascii_only:
+            ascii_ok = pc.all(
+                pc.equal(pc.binary_length(arr), pc.utf8_length(arr))
+            ).as_py()
+            if not ascii_ok:
+                units_per_doc = [self.units(t) for t in arr.to_pylist()]
+                counts = np.fromiter(
+                    (len(u) for u in units_per_doc), dtype=np.int64, count=n_docs
+                )
+                return (
+                    self._ids_batch([u for doc in units_per_doc for u in doc]),
+                    counts,
+                )
+        split = pc.split_pattern_regex(arr, r"[^0-9A-Za-z_]+")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        if len(flat) == 0:
+            return np.empty(0, dtype=np.uint64), counts
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = enc.dictionary.to_pylist()
+        vocab = self._vocab
+        hash_one = self._hash_one
+        uid = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            hh = vocab.get(u)
+            if hh is None:
+                hh = hash_one(u)
+                vocab[u] = hh
+            uid[i] = hh
+        return uid[codes], counts
+
     def _csr_from_ids(
         self, ids: np.ndarray, counts: np.ndarray, n_docs: int
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -9552,6 +9552,98 @@ GROUP BY dt.doc_id, g.nn, g.v
 """
 
 
+
+
+def q_duplicated_passages(sf_dir: str) -> ray.data.Dataset:
+    """C4-style duplicated-passage spans: maximal 1-based token
+    intervals covered by corpus-duplicated 13-grams — HASH-MATCH
+    oracle: the generated SQL recomputes every window hash (md5
+    family) and merges duplicated positions with the same
+    gaps-and-islands rule."""
+    from duplicate_finder_ray.stages.textstats import duplicated_passages
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return duplicated_passages(docs, "text", n=13)
+
+
+def _build_dup_passages_sql(n: int = 13) -> str:
+    from duplicate_finder_ray.functions.shingles import _MIX
+
+    mix = int(_MIX)
+    mlo, mhi = mix & 0xFFFFFFFF, mix >> 32
+    u64 = 1 << 64
+
+    def umul_mix(x: str) -> str:
+        return (
+            f"CAST((CAST({x} % 4294967296 AS HUGEINT) * {mlo} + "
+            f"((CAST({x} // 4294967296 AS HUGEINT) * {mlo} + "
+            f"CAST({x} % 4294967296 AS HUGEINT) * {mhi}) % 4294967296) "
+            f"* 4294967296) % {u64} AS UBIGINT)"
+        )
+
+    steps = []
+    prev = "s0"
+    for j in range(1, n):
+        cur = f"s{j}"
+        steps.append(
+            f"{cur} AS (SELECT s.doc_id, s.i, "
+            f"xor({umul_mix('s.h')}, ids.id) AS h "
+            f"FROM {prev} s JOIN ids ON ids.doc_id = s.doc_id "
+            f"AND ids.pos = s.i + {j})"
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+  FROM documents
+),
+pos_tbl AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM tok
+),
+ids AS (
+  SELECT doc_id, pos, md5_number_lower(w[pos]) AS id FROM pos_tbl
+),
+win AS (
+  SELECT doc_id, unnest(range(1, len(w) - {n - 2})) AS i
+  FROM tok WHERE len(w) >= {n}
+),
+s0 AS (
+  SELECT win.doc_id, win.i, ids.id AS h
+  FROM win JOIN ids ON ids.doc_id = win.doc_id AND ids.pos = win.i
+),
+{chain},
+docs_per AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM {prev} GROUP BY 1
+),
+duppos AS (
+  SELECT o.doc_id, o.i FROM {prev} o JOIN docs_per d ON d.h = o.h
+  WHERE d.nd >= 2
+),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   <= {n - 1} THEN 0 ELSE 1 END AS brk
+  FROM duppos
+),
+grp AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM isl
+)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS start_tok,
+       CAST(max(i) + {n - 1} AS BIGINT) AS end_tok,
+       CAST(max(i) + {n - 1} - min(i) + 1 AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, g
+"""
+
+
+QUERIES["duplicated_passages"] = q_duplicated_passages
+ORACLE_SQL["duplicated_passages"] = _build_dup_passages_sql(13)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
@@ -9566,7 +9658,7 @@ GROUP BY dt.doc_id, g.nn, g.v
 #: round-4 window: new oracles + never-snapshotted headline suites
 _DRIVER_PRIORITY = [
     # new hash-match oracles this round
-    "dup_ngram_stats", "unigram_xent",
+    "dup_ngram_stats", "unigram_xent", "duplicated_passages",
     "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
     "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
     "greedy_pack_documents", "media_features", "media_phash",

@@ -1511,3 +1511,133 @@ def unigram_xent(
         )
 
     return docs.map_batches(finalize, batch_format="pyarrow")
+
+
+class DupNgramPosStage:
+    """Actor-pool stage: text → (doc_id, pos, h) rows — one per n-gram
+    WINDOW (positions kept, no dedupe). pos is 1-based to match the
+    SQL twin's generate_series convention."""
+
+    def __init__(self, n: int = 13, text_col: str = "text") -> None:
+        from duplicate_finder_ray.functions.shingles import Shingler
+
+        self.shingler = Shingler(k=n, token_hash="md5")
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, pos, offsets = self.shingler.shingle_positions_batch_column(
+            batch.column(self.text_col)
+        )
+        doc = np.repeat(batch.column("doc_id").to_numpy(), np.diff(offsets))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos + 1, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+
+def duplicated_passages(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 13,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """C4/Lee-et-al-style duplicated-passage extraction: per document,
+    the MAXIMAL token spans covered by word n-grams that appear in ≥ 2
+    distinct documents. Output (doc_id, start_tok, end_tok,
+    span_tokens), 1-based inclusive token indices — the spans a
+    span-level dedup would trim.
+
+    Scale shape: (doc, pos, h) window rows → ONE gram-keyed
+    barrier-free exchange (per-partition distinct-doc counts are
+    global) emits only the duplicated positions → one doc-keyed
+    exchange merges positions into spans with a vectorized
+    gaps-and-islands kernel (fixed window width ⇒ interval ends are
+    monotone in pos, so a simple diff > n-1 test is exact)."""
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    rows = ds.select_columns(["doc_id", text_col]).map_batches(
+        DupNgramPosStage,
+        fn_constructor_args=(n, text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    pos_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def h_part(tbl: pa.Table, p: int) -> np.ndarray:
+        h = tbl.column("h").to_numpy().astype(np.uint64)
+        return (h % np.uint64(p)).astype(np.int64)
+
+    def dup_positions(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pos_schema.empty_table()
+        h = tbl.column("h").to_numpy().astype(np.uint64)
+        doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+        _, hcode = np.unique(h, return_inverse=True)
+        _, dcode = np.unique(doc, return_inverse=True)
+        pair = hcode.astype(np.uint64) << np.uint64(32)
+        pair |= dcode.astype(np.uint64)
+        uniq_pairs = np.unique(pair)
+        docs_per_h = np.bincount(
+            (uniq_pairs >> np.uint64(32)).astype(np.int64)
+        )
+        dup = docs_per_h[hcode] >= 2
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[dup], pa.int64()),
+                "pos": pa.array(
+                    tbl.column("pos").to_numpy().astype(np.int64)[dup],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    dup_pos = hash_exchange(
+        rows, h_part, num_partitions, dup_positions, pos_schema.empty_table()
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("end_tok", pa.int64()),
+            ("span_tokens", pa.int64()),
+        ]
+    )
+
+    def doc_part(tbl: pa.Table, p: int) -> np.ndarray:
+        d = tbl.column("doc_id").to_numpy().astype(np.uint64)
+        return (d % np.uint64(p)).astype(np.int64)
+
+    def merge_spans(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+        pos = tbl.column("pos").to_numpy().astype(np.int64)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        brk = np.empty(len(doc), dtype=bool)
+        brk[0] = True
+        np.logical_or(
+            doc[1:] != doc[:-1], pos[1:] - pos[:-1] > n - 1, out=brk[1:]
+        )
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(doc)) - 1
+        start_tok = pos[starts]
+        end_tok = pos[ends] + (n - 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "start_tok": pa.array(start_tok, pa.int64()),
+                "end_tok": pa.array(end_tok, pa.int64()),
+                "span_tokens": pa.array(end_tok - start_tok + 1, pa.int64()),
+            }
+        )
+
+    return hash_exchange(
+        dup_pos, doc_part, num_partitions, merge_spans, out_schema.empty_table()
+    )

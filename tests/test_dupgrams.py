@@ -147,3 +147,47 @@ class TestUnigramXent:
             ).take_all()
         )
         assert a == b
+
+
+class TestDuplicatedPassages:
+    def test_planted_shared_span(self, ray_session):
+        from duplicate_finder_ray.stages.textstats import duplicated_passages
+
+        # docs 0/1 share a 14-token sentence embedded in unique noise;
+        # tokens 21..34 (1-based) of each doc are the shared region
+        noise_a = " ".join(f"na{j}" for j in range(20))
+        noise_b = " ".join(f"nb{j}" for j in range(20))
+        tail_a = " ".join(f"ta{j}" for j in range(15))
+        tail_b = " ".join(f"tb{j}" for j in range(15))
+        df = pd.DataFrame(
+            [
+                {"doc_id": 0, "text": f"{noise_a} {SHARED} {tail_a}"},
+                {"doc_id": 1, "text": f"{noise_b} {SHARED} {tail_b}"},
+                {"doc_id": 2, "text": " ".join(f"z{j}" for j in range(40))},
+            ]
+        )
+        out = duplicated_passages(
+            ray_session.data.from_pandas(df), num_partitions=4
+        ).take_all()
+        spans = {(r["doc_id"]): (r["start_tok"], r["end_tok"], r["span_tokens"]) for r in out}
+        n_sh = len(SHARED.split())
+        # only the shared 14 tokens are covered (windows crossing into
+        # noise are unique): one span per doc, exactly the shared region
+        assert spans[0] == (21, 20 + n_sh, n_sh)
+        assert spans[1] == (21, 20 + n_sh, n_sh)
+        assert 2 not in spans
+        assert len(out) == 2
+
+    def test_exact_dup_docs_fully_covered(self, ray_session):
+        from duplicate_finder_ray.stages.textstats import duplicated_passages
+
+        text = " ".join(f"w{j}" for j in range(30))
+        df = pd.DataFrame(
+            [{"doc_id": 0, "text": text}, {"doc_id": 1, "text": text}]
+        )
+        out = duplicated_passages(
+            ray_session.data.from_pandas(df), num_partitions=3
+        ).take_all()
+        for r in out:
+            assert (r["start_tok"], r["end_tok"], r["span_tokens"]) == (1, 30, 30)
+        assert len(out) == 2
