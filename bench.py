@@ -243,6 +243,15 @@ def run_bench() -> dict:
             + QUERIES["purchase_error_overlaps"](SF_DIR).count()
         )
 
+    def dupgrams_sf():
+        # round-4 span-level dedup suite: corpus-duplicated 13-gram
+        # exposure, duplicated-passage spans, unigram-LM cross-entropy
+        return (
+            QUERIES["dup_ngram_stats"](SF_DIR).count()
+            + QUERIES["duplicated_passages"](SF_DIR).count()
+            + QUERIES["unigram_xent"](SF_DIR).count()
+        )
+
     timed("exact_dedup", exact_dedup)
     timed("near_dup", near_dup)
     if not os.environ.get("GRAFT_SCALING_ONLY"):
@@ -258,6 +267,7 @@ def run_bench() -> dict:
         timed("semantic_sfdocs", semantic_sf)
         timed("repostats_sfdocs", repostats_sf)
         timed("events_sfdocs", events_sf)
+        timed("dupgrams_sfdocs", dupgrams_sf)
         timed("order_skew_sfdocs", order_skew_sf)
 
     total = round(sum(queries.values()), 3)
