@@ -1383,11 +1383,45 @@ def dup_ngram_stats(
     partials = hash_exchange(
         rows, part_of, num_partitions, reduce_fn, part_schema.empty_table()
     )
-    out = partials.groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="n_13grams"),
-        Sum("n_dup", alias_name="n_dup_13grams"),
+
+    # doc-keyed final sum ALSO rides the barrier-free exchange: the
+    # sort-based groupby alternative was measured 9x slower at 1M docs
+    # (scripts/bench_dupgrams.py) — ~19 partial rows/doc pay a
+    # sample/sort barrier for an order nothing needs
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_13grams", pa.int64()),
+            ("n_dup_13grams", pa.int64()),
+        ]
     )
-    return out
+
+    def doc_part(tbl: pa.Table, p: int) -> np.ndarray:
+        d = tbl.column("doc_id").to_numpy().astype(np.uint64)
+        return (d % np.uint64(p)).astype(np.int64)
+
+    def doc_sum(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+        d_uniq, d_inv = np.unique(doc, return_inverse=True)
+        ng = np.bincount(
+            d_inv, weights=tbl.column("n_grams").to_numpy()
+        ).astype(np.int64)
+        nd = np.bincount(
+            d_inv, weights=tbl.column("n_dup").to_numpy()
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_uniq, pa.int64()),
+                "n_13grams": pa.array(ng, pa.int64()),
+                "n_dup_13grams": pa.array(nd, pa.int64()),
+            }
+        )
+
+    return hash_exchange(
+        partials, doc_part, num_partitions, doc_sum, out_schema.empty_table()
+    )
 
 
 # -- unigram cross-entropy scoring (perplexity-filter proxy) -----------
@@ -1493,24 +1527,41 @@ def unigram_xent(
     )
     log_nv = float(np.log(stats["sum(part_n)"] + stats["sum(part_v)"]))
 
-    docs = (
-        partials.filter(expr="doc_id >= 0")
-        .groupby("doc_id")
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="n_tokens"))
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("xent", pa.float64()),
+        ]
     )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        s = batch.column("s").to_numpy()
-        n = batch.column("n_tokens").to_numpy().astype(np.float64)
+    def doc_part(tbl: pa.Table, p: int) -> np.ndarray:
+        d = tbl.column("doc_id").to_numpy().astype(np.int64)
+        return (d.astype(np.uint64) % np.uint64(p)).astype(np.int64)
+
+    def doc_finalize(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+        d_uniq, d_inv = np.unique(doc, return_inverse=True)
+        s = np.bincount(d_inv, weights=tbl.column("s").to_numpy())
+        n = np.bincount(d_inv, weights=tbl.column("c").to_numpy())
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+                "doc_id": pa.array(d_uniq, pa.int64()),
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
                 "xent": pa.array(log_nv - s / n, pa.float64()),
             }
         )
 
-    return docs.map_batches(finalize, batch_format="pyarrow")
+    # barrier-free doc-keyed finish (see dup_ngram_stats note)
+    return hash_exchange(
+        partials.filter(expr="doc_id >= 0"),
+        doc_part,
+        num_partitions,
+        doc_finalize,
+        out_schema.empty_table(),
+    )
 
 
 class DupNgramPosStage:
