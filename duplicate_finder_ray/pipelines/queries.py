@@ -9644,6 +9644,122 @@ QUERIES["duplicated_passages"] = q_duplicated_passages
 ORACLE_SQL["duplicated_passages"] = _build_dup_passages_sql(13)
 
 
+
+
+def q_leakage_free_split(sf_dir: str) -> ray.data.Dataset:
+    """Leakage-free train/val/test split: WHOLE near-dup clusters move
+    together (splitting by raw doc id leaks near-duplicates of training
+    docs into eval — the classic contamination bug this operator
+    prevents). Composition: near-dup clustering (auto-banding at
+    τ=0.5, the hash-verified config) → singleton completion via one
+    slim file-keyed exchange (labels ∪ identity, min-priority — NO
+    broadcast of the corpus-sized label set) → md5 split keyed on the
+    CLUSTER id (same cd/e6 cuts as dataset_split). HASH-MATCH oracle:
+    recursive-CTE components + LEFT JOIN + the same md5 CASE."""
+    from duplicate_finder_ray.pipelines.neardup import NearDupPipeline
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+    from duplicate_finder_ray.stages.relational import split_assign
+
+    cfg = PipelineConfig(
+        jaccard_threshold=0.5, lsh_bands=0, band_bucket_cap=5000
+    )
+    code = code_files_from_documents(sf_dir)
+    res = NearDupPipeline(cfg).run_on(code)
+
+    def as_labeled(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "file_id": batch["file_id"],
+                "component": batch["component"],
+                "prio": pa.array(np.zeros(len(batch), np.int64)),
+            }
+        )
+
+    def as_identity(batch: pa.Table) -> pa.Table:
+        fid = batch.column("file_id")
+        return pa.table(
+            {
+                "file_id": fid,
+                "component": fid,
+                "prio": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    from duplicate_finder_ray.stages.derive import add_identity
+
+    both = res.labels.map_batches(as_labeled, batch_format="pyarrow").union(
+        code.map_batches(add_identity, batch_format="pyarrow")
+        .select_columns(["file_id"])
+        .map_batches(as_identity, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [("file_id", pa.string()), ("component", pa.string())]
+    )
+
+    def fid_part(tbl: pa.Table, p: int) -> np.ndarray:
+        from duplicate_finder_ray.functions.hashing import stable_hash_array
+
+        f = tbl.column("file_id").to_numpy(zero_copy_only=False).astype(object)
+        return (stable_hash_array(f) % np.uint64(p)).astype(np.int64)
+
+    def pick_min_prio(p: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        tbl = tbl.sort_by([("file_id", "ascending"), ("prio", "ascending")])
+        f = tbl.column("file_id")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        codes = pc.dictionary_encode(f).indices.to_numpy(zero_copy_only=False)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        return tbl.filter(pa.array(first)).select(["file_id", "component"])
+
+    full = hash_exchange(
+        both, fid_part, 16, pick_min_prio, out_schema.empty_table()
+    )
+    return split_assign(
+        full, "component", [("train", "cd"), ("val", "e6")], "test"
+    )
+
+
+QUERIES["leakage_free_split"] = q_leakage_free_split
+ORACLE_SQL["leakage_free_split"] = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + """,
+    e AS (
+      SELECT a, b FROM inter
+      JOIN n na ON na.doc_key = inter.a
+      JOIN n nb ON nb.doc_key = inter.b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    ),
+    comp AS (
+      SELECT src AS file_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    allf AS (
+      SELECT repo || ':' || path || '@' || "commit" AS file_id
+      FROM code_files
+    ),
+    assigned AS (
+      SELECT allf.file_id, coalesce(comp.component, allf.file_id) AS component
+      FROM allf LEFT JOIN comp ON comp.file_id = allf.file_id
+    )
+    SELECT file_id, component,
+           CASE WHEN substring(md5(component), 1, 2) < 'cd' THEN 'train'
+                WHEN substring(md5(component), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
@@ -9659,6 +9775,7 @@ ORACLE_SQL["duplicated_passages"] = _build_dup_passages_sql(13)
 _DRIVER_PRIORITY = [
     # new hash-match oracles this round
     "dup_ngram_stats", "unigram_xent", "duplicated_passages",
+    "leakage_free_split",
     "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
     "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
     "greedy_pack_documents", "media_features", "media_phash",

@@ -191,3 +191,46 @@ class TestDuplicatedPassages:
         for r in out:
             assert (r["start_tok"], r["end_tok"], r["span_tokens"]) == (1, 30, 30)
         assert len(out) == 2
+
+
+class TestLeakageFreeSplit:
+    def test_clusters_move_together_and_cover_all(self, ray_session, tmp_path):
+        """Every file appears exactly once; all members of a component
+        share one split; singletons get their own component."""
+        import os
+
+        import duckdb
+
+        # synthesize a tiny documents.parquet whose derived code files
+        # contain planted near-dup groups (shared word salad) and
+        # unique docs
+        rng = np.random.default_rng(7)
+        base = " ".join(f"tok{j}" for j in range(60))
+        rows = []
+        for i in range(20):
+            if i % 4 == 0 and i + 1 < 20:
+                rows.append({"doc_id": i, "text": base + f" v{i}"})
+                rows.append({"doc_id": i + 1000, "text": base + f" w{i}"})
+            rows.append(
+                {
+                    "doc_id": i + 2000,
+                    "text": " ".join(
+                        f"u{i}x{j}{rng.integers(99)}" for j in range(40)
+                    ),
+                }
+            )
+        df = pd.DataFrame(rows)
+        df["lang"] = "en"
+        sf = str(tmp_path)
+        df.to_parquet(os.path.join(sf, "documents.parquet"))
+
+        from duplicate_finder_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["leakage_free_split"](sf).to_pandas()
+        assert len(out) == out["file_id"].nunique() == len(df)
+        per_comp = out.groupby("component")["split"].nunique()
+        assert (per_comp == 1).all()
+        # the planted near-dup pairs landed in shared components
+        multi = out.groupby("component").size()
+        assert (multi >= 2).sum() >= 5
+        assert set(out["split"]) <= {"train", "val", "test"}
