@@ -205,10 +205,11 @@ class TestLeakageFreeSplit:
         # contain planted near-dup groups (shared word salad) and
         # unique docs
         rng = np.random.default_rng(7)
-        base = " ".join(f"tok{j}" for j in range(60))
         rows = []
         for i in range(20):
             if i % 4 == 0 and i + 1 < 20:
+                # per-pair base: each pair is ITS OWN near-dup cluster
+                base = " ".join(f"p{i}tok{j}" for j in range(60))
                 rows.append({"doc_id": i, "text": base + f" v{i}"})
                 rows.append({"doc_id": i + 1000, "text": base + f" w{i}"})
             rows.append(
