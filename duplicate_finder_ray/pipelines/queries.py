@@ -9760,6 +9760,82 @@ ORACLE_SQL["leakage_free_split"] = (
 )
 
 
+
+
+def q_corpus_diversity(sf_dir: str) -> "pa.Table":
+    """Distinct-n diversity report (n=1,2,3) — HASH-MATCH oracle: SQL
+    recomputes each order's window hashes (md5 family) and its
+    COUNT/COUNT DISTINCT; the ppm is an exact integer lattice."""
+    from duplicate_finder_ray.stages.textstats import corpus_diversity
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return corpus_diversity(docs, "text")
+
+
+def _build_diversity_sql() -> str:
+    from duplicate_finder_ray.functions.shingles import _MIX
+
+    mix = int(_MIX)
+    mlo, mhi = mix & 0xFFFFFFFF, mix >> 32
+    u64 = 1 << 64
+
+    def umul_mix(x: str) -> str:
+        return (
+            f"CAST((CAST({x} % 4294967296 AS HUGEINT) * {mlo} + "
+            f"((CAST({x} // 4294967296 AS HUGEINT) * {mlo} + "
+            f"CAST({x} % 4294967296 AS HUGEINT) * {mhi}) % 4294967296) "
+            f"* 4294967296) % {u64} AS UBIGINT)"
+        )
+
+    parts = []
+    for n in (1, 2, 3):
+        prev = f"d{n}_s0"
+        chain = [
+            f"{prev} AS (SELECT win.doc_id, win.i, ids.id AS h "
+            f"FROM (SELECT doc_id, unnest(range(1, len(w) - {n - 2})) AS i "
+            f"      FROM tok WHERE len(w) >= {n}) win "
+            f"JOIN ids ON ids.doc_id = win.doc_id AND ids.pos = win.i)"
+        ]
+        for j in range(1, n):
+            cur = f"d{n}_s{j}"
+            chain.append(
+                f"{cur} AS (SELECT s.doc_id, s.i, "
+                f"xor({umul_mix('s.h')}, ids.id) AS h "
+                f"FROM {prev} s JOIN ids ON ids.doc_id = s.doc_id "
+                f"AND ids.pos = s.i + {j})"
+            )
+            prev = cur
+        parts.append((n, ",\n".join(chain), prev))
+    ctes = ",\n".join(c for _, c, _ in parts)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {n} AS n, CAST(count(*) AS BIGINT) AS total_ngrams, "
+        f"CAST(count(DISTINCT h) AS BIGINT) AS distinct_ngrams, "
+        f"CAST(count(DISTINCT h) * 1000000 // count(*) AS BIGINT) AS distinct_ppm "
+        f"FROM {last}"
+        for n, _, last in parts
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w
+  FROM documents
+),
+pos_tbl AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM tok
+),
+ids AS (
+  SELECT doc_id, pos, md5_number_lower(w[pos]) AS id FROM pos_tbl
+),
+{ctes}
+{selects}
+"""
+
+
+QUERIES["corpus_diversity"] = q_corpus_diversity
+ORACLE_SQL["corpus_diversity"] = _build_diversity_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
@@ -9775,7 +9851,7 @@ ORACLE_SQL["leakage_free_split"] = (
 _DRIVER_PRIORITY = [
     # new hash-match oracles this round
     "dup_ngram_stats", "unigram_xent", "duplicated_passages",
-    "leakage_free_split",
+    "leakage_free_split", "corpus_diversity",
     "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
     "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
     "greedy_pack_documents", "media_features", "media_phash",

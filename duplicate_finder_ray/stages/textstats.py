@@ -1692,3 +1692,74 @@ def duplicated_passages(
     return hash_exchange(
         dup_pos, doc_part, num_partitions, merge_spans, out_schema.empty_table()
     )
+
+
+def corpus_diversity(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+    num_partitions: int = 32,
+) -> "pa.Table":
+    """Corpus diversity report (the distinct-n family behind self-BLEU
+    style health checks): per n-gram order, total occurrences, distinct
+    n-grams, and distinct_ppm = distinct·10⁶ // total. Collapsing
+    distinct_ppm signals a templated / over-duplicated corpus.
+
+    Scale shape per order: window-hash rows (md5 family) → ONE
+    gram-keyed exchange; hash-disjoint partitions make partition-local
+    distinct counts globally additive — corpus-wide COUNT DISTINCT with
+    no global dedupe structure. Returns a 3-row Arrow table (driver
+    reads back six integers)."""
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    part_schema = pa.schema([("total", pa.int64()), ("distinct", pa.int64())])
+
+    out_rows = []
+    for n in ns:
+        rows = ds.select_columns(["doc_id", text_col]).map_batches(
+            DupNgramPosStage,
+            fn_constructor_args=(n, text_col),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            num_cpus=1,
+        ).select_columns(["h"])
+
+        def part_of(tbl: pa.Table, p: int) -> np.ndarray:
+            h = tbl.column("h").to_numpy().astype(np.uint64)
+            return (h % np.uint64(p)).astype(np.int64)
+
+        def reduce_fn(p: int, tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return part_schema.empty_table()
+            h = tbl.column("h").to_numpy().astype(np.uint64)
+            return pa.table(
+                {
+                    "total": pa.array([len(h)], pa.int64()),
+                    "distinct": pa.array([len(np.unique(h))], pa.int64()),
+                }
+            )
+
+        agg = hash_exchange(
+            rows, part_of, num_partitions, reduce_fn, part_schema.empty_table()
+        ).sum(["total", "distinct"])
+        total = int(agg["sum(total)"])
+        distinct = int(agg["sum(distinct)"])
+        out_rows.append(
+            {
+                "n": n,
+                "total_ngrams": total,
+                "distinct_ngrams": distinct,
+                "distinct_ppm": (distinct * 1_000_000) // total if total else 0,
+            }
+        )
+    return pa.Table.from_pylist(
+        out_rows,
+        schema=pa.schema(
+            [
+                ("n", pa.int64()),
+                ("total_ngrams", pa.int64()),
+                ("distinct_ngrams", pa.int64()),
+                ("distinct_ppm", pa.int64()),
+            ]
+        ),
+    )

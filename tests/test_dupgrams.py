@@ -235,3 +235,50 @@ class TestLeakageFreeSplit:
         multi = out.groupby("component").size()
         assert (multi >= 2).sum() >= 5
         assert set(out["split"]) <= {"train", "val", "test"}
+
+
+class TestCorpusDiversity:
+    def test_counts_match_python(self, ray_session):
+        from duplicate_finder_ray.functions.shingles import Shingler
+        from duplicate_finder_ray.stages.textstats import corpus_diversity
+
+        texts = [
+            "a b c a b c",            # heavy repetition
+            "d e f g h i j",          # all unique
+            "a b x y z",
+        ]
+        df = pd.DataFrame(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        out = {
+            r["n"]: (r["total_ngrams"], r["distinct_ngrams"], r["distinct_ppm"])
+            for r in corpus_diversity(
+                ray_session.data.from_pandas(df), num_partitions=3
+            ).to_pylist()
+        }
+        for n in (1, 2, 3):
+            sh = Shingler(k=n, token_hash="md5")
+            all_h = []
+            for t in texts:
+                ids = sh._ids(sh.units(t))
+                m = len(ids) - n + 1
+                if m <= 0:
+                    continue
+                import numpy as _np
+
+                h = ids[:m].copy()
+                from duplicate_finder_ray.functions.shingles import _MIX
+
+                with _np.errstate(over="ignore"):
+                    for j in range(1, n):
+                        h = (h * _MIX) ^ ids[j : m + j]
+                all_h.append(h)
+            flat = np.concatenate(all_h)
+            want = (
+                len(flat),
+                len(np.unique(flat)),
+                len(np.unique(flat)) * 1_000_000 // len(flat),
+            )
+            assert out[n] == want
+        # repetition must show: unigram diversity < 1e6 ppm
+        assert out[1][2] < 1_000_000
