@@ -9836,6 +9836,57 @@ QUERIES["corpus_diversity"] = q_corpus_diversity
 ORACLE_SQL["corpus_diversity"] = _build_diversity_sql()
 
 
+
+
+def q_source_mix_sample(sf_dir: str) -> ray.data.Dataset:
+    """Data-mixing rebalance: deterministic md5 downsample so every
+    group contributes (up to rounding) the size of the SMALLEST group —
+    the static equal-share mixing step of corpus assembly. Keyed on
+    ``lang`` (the synthetic table's sources are uniform; lang carries
+    the real ~3x skew, so the threshold branch is exercised). Keep rule
+    is an exact integer lattice: keep doc iff md5_prefix_u64(doc_id) <
+    (min_count << 64) // count(group), so both engines compare the same
+    integers (no float rates). HASH-MATCH oracle recomputes counts and
+    thresholds in SQL."""
+    from duplicate_finder_ray.stages.relational import _md5_prefix_u64
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    counts = {
+        r["lang"]: r["count()"]
+        for r in docs.groupby("lang").count().take_all()
+    }
+    min_cnt = min(counts.values())
+    thr = {
+        s: (min_cnt << 64) // c for s, c in counts.items()
+    }  # == 2^64 when c == min_cnt ⇒ keep all
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _md5_prefix_u64(batch.column("doc_id"))
+        src_col = batch.column("lang").to_numpy(zero_copy_only=False)
+        # factorized threshold probe (python only over distinct sources)
+        uniq, codes = np.unique(src_col, return_inverse=True)
+        t = np.array([min(thr[s], (1 << 64) - 1) for s in uniq], dtype=np.uint64)
+        full = np.array([thr[s] >= (1 << 64) for s in uniq], dtype=bool)
+        mask = (h < t[codes]) | full[codes]
+        return batch.filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["source_mix_sample"] = q_source_mix_sample
+ORACLE_SQL["source_mix_sample"] = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+m AS (SELECT min(cnt) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+      < (CAST(m.mn AS HUGEINT) * 18446744073709551616) // c.cnt
+   OR c.cnt = m.mn
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
@@ -9851,7 +9902,7 @@ ORACLE_SQL["corpus_diversity"] = _build_diversity_sql()
 _DRIVER_PRIORITY = [
     # new hash-match oracles this round
     "dup_ngram_stats", "unigram_xent", "duplicated_passages",
-    "leakage_free_split", "corpus_diversity",
+    "leakage_free_split", "corpus_diversity", "source_mix_sample",
     "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
     "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
     "greedy_pack_documents", "media_features", "media_phash",

@@ -282,3 +282,34 @@ class TestCorpusDiversity:
             assert out[n] == want
         # repetition must show: unigram diversity < 1e6 ppm
         assert out[1][2] < 1_000_000
+
+
+class TestSourceMixSample:
+    def test_equal_share_rebalance(self, ray_session, tmp_path):
+        """Skewed groups downsample toward the smallest group's size;
+        the smallest group is kept whole; keep decisions are
+        deterministic md5 (rerun-identical)."""
+        import os
+
+        rows = []
+        for i in range(300):
+            rows.append({"doc_id": i, "lang": "big", "text": "x"})
+        for i in range(300, 400):
+            rows.append({"doc_id": i, "lang": "mid", "text": "x"})
+        for i in range(400, 440):
+            rows.append({"doc_id": i, "lang": "small", "text": "x"})
+        df = pd.DataFrame(rows)
+        df["source"] = "s"
+        df["n_chars"] = 1
+        sf = str(tmp_path)
+        df.to_parquet(os.path.join(sf, "documents.parquet"))
+
+        from duplicate_finder_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["source_mix_sample"](sf).to_pandas()
+        by = out.groupby("lang").size()
+        assert by["small"] == 40  # smallest group kept whole
+        # md5 rate sampling: expected 40 per group, binomial spread
+        assert 20 <= by["big"] <= 60 and 25 <= by["mid"] <= 58
+        again = QUERIES["source_mix_sample"](sf).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(again["doc_id"])
