@@ -9887,6 +9887,64 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
 """
 
 
+
+
+def q_cosine_threshold_sweep(sf_dir: str) -> ray.data.Dataset:
+    """Embedding near-dup threshold calibration: pair counts at cosine
+    thresholds 0.30..0.80 (step 0.05) from ONE brute-force pass — the
+    sweep an operator uses to pick τ before a dedup run (the Jaccard
+    twin is jaccard_threshold_sweep). Counts compare on the integer
+    ppm lattice of the ROUNDED score, so both engines bucket
+    identically. HASH-MATCH oracle: thresholds VALUES × the pair CTE."""
+    from ray.data.aggregate import Sum
+
+    from duplicate_finder_ray.stages import similarity
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = similarity.cosine_pairs(emb, threshold=0.3)
+    thresholds = np.arange(300_000, 800_001, 50_000, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ppm = np.round(
+            batch.column("score").to_numpy() * 1e6
+        ).astype(np.int64)
+        n = np.array([(ppm >= t).sum() for t in thresholds], dtype=np.int64)
+        return pa.table(
+            {
+                "threshold_ppm": pa.array(thresholds, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("threshold_ppm")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+
+
+QUERIES["cosine_threshold_sweep"] = q_cosine_threshold_sweep
+ORACLE_SQL["cosine_threshold_sweep"] = """
+WITH p AS (
+  SELECT CAST(round(round(list_cosine_similarity(
+             CAST(x.embedding AS DOUBLE[]),
+             CAST(y.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS ppm
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= 0.3
+),
+t(threshold_ppm) AS (
+  SELECT unnest(range(300000, 800001, 50000))
+)
+SELECT t.threshold_ppm,
+       CAST(count(p.ppm) AS BIGINT) AS n_pairs
+FROM t LEFT JOIN p ON p.ppm >= t.threshold_ppm
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
@@ -9903,6 +9961,7 @@ _DRIVER_PRIORITY = [
     # new hash-match oracles this round
     "dup_ngram_stats", "unigram_xent", "duplicated_passages",
     "leakage_free_split", "corpus_diversity", "source_mix_sample",
+    "cosine_threshold_sweep",
     "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
     "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
     "greedy_pack_documents", "media_features", "media_phash",

@@ -313,3 +313,23 @@ class TestSourceMixSample:
         assert 20 <= by["big"] <= 60 and 25 <= by["mid"] <= 58
         again = QUERIES["source_mix_sample"](sf).to_pandas()
         assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+class TestCosineThresholdSweep:
+    def test_monotone_and_consistent_with_pairs(self, ray_session):
+        from duplicate_finder_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        sweep = {
+            r["threshold_ppm"]: r["n_pairs"]
+            for r in QUERIES["cosine_threshold_sweep"](sf).take_all()
+        }
+        ts = sorted(sweep)
+        assert ts[0] == 300_000 and ts[-1] == 800_000 and len(ts) == 11
+        # counts must be non-increasing in the threshold
+        assert all(sweep[a] >= sweep[b] for a, b in zip(ts, ts[1:]))
+        # consistency with the pair query at 0.4
+        n_04 = QUERIES["embedding_cosine_pairs"](sf).count()
+        # embedding_cosine_pairs restricts to vec_id%10==0 endpoints;
+        # the sweep does not — so sweep count at 0.4 must be >= that
+        assert sweep[400_000] >= n_04
