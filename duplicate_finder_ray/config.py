@@ -181,9 +181,19 @@ class PipelineConfig:
     #: two-level coarse-pkey shuffle keeps the 10^12-scale shape.
     band_exchange_broadcast_limit: int = 8_000_000
     simhash_bits: int = 64
-    #: candidate cap per LSH bucket; overflow is sampled + logged, never
-    #: silently dropped (SURVEY.md §7.3 hot-key skew).
-    band_bucket_cap: int = 200
+    #: candidate cap per LSH bucket. None (default) = derive the cap
+    #: per emission task from ``band_pair_budget`` so nothing is
+    #: truncated while the task's total pair volume fits the budget
+    #: (the old fixed default of 200 silently cut flagship recall to
+    #: 0.40 at near-clique density — BASELINE.md sf0.1 density probe).
+    #: A binding cap is LOUD: warnings + logs + true bucket_size on
+    #: every emitted pair (SURVEY.md §7.3 hot-key skew).
+    band_bucket_cap: int | None = None
+    #: per-emission-task candidate-pair budget used when
+    #: band_bucket_cap is None: largest cap with
+    #: Σ C(min(size, cap), 2) ≤ budget. 10M pairs ≈ 240 MB of transient
+    #: (a, b, size) arrays — a worker-heap bound, not a recall knob.
+    band_pair_budget: int = 10_000_000
     cc_max_rounds: int = 50                 # union-find fixpoint guard
     #: edge count below which connected components runs as ONE remote
     #: union-find (single round = exact fixpoint, no iteration barriers);

@@ -248,6 +248,7 @@ class IncrementalNearDup:
                 tbl.column("band_hash").to_numpy().astype(np.uint64),
                 tbl.column("fid").to_numpy().astype(np.uint64),
                 cfg.band_bucket_cap,
+                cfg.band_pair_budget,
             )
             if len(a) == 0:
                 return neardup.CAND_SCHEMA.empty_table()

@@ -181,14 +181,14 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
 #: votes) is uint64-wraparound arithmetic that the generated oracle
 #: replays with HUGEINT limb products, so the driver hash-verifies the
 #: production kernels (batch_minhash/batch_simhash/band_keys —
-#: identical code, parameterized token hash). band_bucket_cap=5000:
-#: caps must not bind at gate scales (see q_near_dup_pairs).
+#: identical code, parameterized token hash). The default
+#: budget-derived bucket cap never binds at gate scales (see
+#: q_near_dup_pairs), so no cap override is needed.
 def _md5_sig_config() -> PipelineConfig:
     return PipelineConfig(
         token_hash="md5",
         minhash_perms=16,
         lsh_bands=4,
-        band_bucket_cap=5000,
     )
 
 
@@ -256,13 +256,11 @@ def q_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
         jaccard_threshold=0.5,
         lsh_bands=0,
         # the word-salad corpus turns near-clique at sf0.1 (~720k
-        # true pairs over 5k docs): the protective default cap
-        # (band_bucket_cap=200) would truncate buckets and cost
-        # recall exactly where the TRUE answer is quadratic. At
-        # these gate scales the cap must not bind; at real scale
-        # the default cap + observable truncation is the intended
-        # trade-off (stages/neardup.py docstring).
-        band_bucket_cap=5000,
+        # true pairs over 5k docs) — the answer is genuinely
+        # quadratic there. The default budget-derived cap
+        # (band_bucket_cap=None + band_pair_budget) truncates
+        # nothing while pair volume fits the per-task budget and
+        # warns loudly if it ever binds, so no override is needed.
     )
     res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
     return res.pairs.select_columns(["a", "b", "n_inter", "n_union"])
@@ -279,13 +277,11 @@ def q_near_dup_clusters(sf_dir: str) -> ray.data.Dataset:
         jaccard_threshold=0.5,
         lsh_bands=0,
         # the word-salad corpus turns near-clique at sf0.1 (~720k
-        # true pairs over 5k docs): the protective default cap
-        # (band_bucket_cap=200) would truncate buckets and cost
-        # recall exactly where the TRUE answer is quadratic. At
-        # these gate scales the cap must not bind; at real scale
-        # the default cap + observable truncation is the intended
-        # trade-off (stages/neardup.py docstring).
-        band_bucket_cap=5000,
+        # true pairs over 5k docs) — the answer is genuinely
+        # quadratic there. The default budget-derived cap
+        # (band_bucket_cap=None + band_pair_budget) truncates
+        # nothing while pair volume fits the per-task budget and
+        # warns loudly if it ever binds, so no override is needed.
     )
     res = NearDupPipeline(cfg).run_on(code_files_from_documents(sf_dir))
     return res.labels
@@ -302,13 +298,11 @@ def q_near_dup_spans(sf_dir: str) -> ray.data.Dataset:
         jaccard_threshold=0.5,
         lsh_bands=0,
         # the word-salad corpus turns near-clique at sf0.1 (~720k
-        # true pairs over 5k docs): the protective default cap
-        # (band_bucket_cap=200) would truncate buckets and cost
-        # recall exactly where the TRUE answer is quadratic. At
-        # these gate scales the cap must not bind; at real scale
-        # the default cap + observable truncation is the intended
-        # trade-off (stages/neardup.py docstring).
-        band_bucket_cap=5000,
+        # true pairs over 5k docs) — the answer is genuinely
+        # quadratic there. The default budget-derived cap
+        # (band_bucket_cap=None + band_pair_budget) truncates
+        # nothing while pair volume fits the per-task budget and
+        # warns loudly if it ever binds, so no override is needed.
     )
     code = code_files_from_documents(sf_dir)
     res = NearDupPipeline(cfg).run_on(code)
@@ -684,13 +678,11 @@ def q_incremental_near_dup(sf_dir: str) -> ray.data.Dataset:
         jaccard_threshold=0.5,
         lsh_bands=0,
         # the word-salad corpus turns near-clique at sf0.1 (~720k
-        # true pairs over 5k docs): the protective default cap
-        # (band_bucket_cap=200) would truncate buckets and cost
-        # recall exactly where the TRUE answer is quadratic. At
-        # these gate scales the cap must not bind; at real scale
-        # the default cap + observable truncation is the intended
-        # trade-off (stages/neardup.py docstring).
-        band_bucket_cap=5000,
+        # true pairs over 5k docs) — the answer is genuinely
+        # quadratic there. The default budget-derived cap
+        # (band_bucket_cap=None + band_pair_budget) truncates
+        # nothing while pair volume fits the per-task budget and
+        # warns loudly if it ever binds, so no override is needed.
     )
     wid = _split_docs_code(sf_dir, increment=False).map_batches(
         add_identity, batch_format="pyarrow"
@@ -927,9 +919,24 @@ def q_doclen_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
+    # Oracle-validity guard: the exact-quantile SQL is only a hash-match
+    # twin while every lang group stays under the k1 no-compaction bound
+    # (delta/pi values). If the gate corpus ever outgrows it, fail HERE
+    # with a clear message instead of surfacing as an oracle mismatch.
+    delta = 2048
+    max_group = max(
+        r["count()"] for r in docs.groupby("lang").count().take_all()
+    )
+    bound = int(delta / np.pi)
+    if max_group > bound:
+        raise AssertionError(
+            f"doclen_quantiles_sketch oracle regime exceeded: largest lang "
+            f"group has {max_group} values > no-compaction bound {bound} "
+            f"(delta={delta}); raise delta or drop the hash-match claim"
+        )
     return grouped_quantiles_sketch(
         docs, "lang", "n_chars", [("p50_x100", 0.5), ("p90_x100", 0.9)],
-        delta=2048,
+        delta=delta,
     )
 
 
@@ -9661,7 +9668,7 @@ def q_leakage_free_split(sf_dir: str) -> ray.data.Dataset:
     from duplicate_finder_ray.stages.relational import split_assign
 
     cfg = PipelineConfig(
-        jaccard_threshold=0.5, lsh_bands=0, band_bucket_cap=5000
+        jaccard_threshold=0.5, lsh_bands=0
     )
     code = code_files_from_documents(sf_dir)
     res = NearDupPipeline(cfg).run_on(code)
@@ -9891,37 +9898,23 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
 
 def q_cosine_threshold_sweep(sf_dir: str) -> ray.data.Dataset:
     """Embedding near-dup threshold calibration: pair counts at cosine
-    thresholds 0.30..0.80 (step 0.05) from ONE brute-force pass — the
-    sweep an operator uses to pick τ before a dedup run (the Jaccard
-    twin is jaccard_threshold_sweep). Counts compare on the integer
-    ppm lattice of the ROUNDED score, so both engines bucket
-    identically. HASH-MATCH oracle: thresholds VALUES × the pair CTE."""
-    from ray.data.aggregate import Sum
-
+    thresholds 0.30..0.80 (step 0.05) — the sweep an operator uses to
+    pick τ before a dedup run (the Jaccard twin is
+    jaccard_threshold_sweep). Counts compare on the integer ppm lattice
+    of the ROUNDED score, so both engines bucket identically.
+    HASH-MATCH oracle: thresholds VALUES × the pair CTE — valid because
+    at gate scale the AUTO stage (stages/similarity.py:
+    cosine_threshold_sweep) takes its EXACT brute-force branch; past
+    ``brute_rows`` vectors it switches to the deterministic-sample
+    estimate (scale probe: scripts/bench_cosine_sweep.py)."""
     from duplicate_finder_ray.stages import similarity
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pairs = similarity.cosine_pairs(emb, threshold=0.3)
     thresholds = np.arange(300_000, 800_001, 50_000, dtype=np.int64)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ppm = np.round(
-            batch.column("score").to_numpy() * 1e6
-        ).astype(np.int64)
-        n = np.array([(ppm >= t).sum() for t in thresholds], dtype=np.int64)
-        return pa.table(
-            {
-                "threshold_ppm": pa.array(thresholds, pa.int64()),
-                "n": pa.array(n, pa.int64()),
-            }
-        )
-
-    return (
-        pairs.map_batches(partial, batch_format="pyarrow")
-        .groupby("threshold_ppm")
-        .aggregate(Sum("n", alias_name="n_pairs"))
+    return similarity.cosine_threshold_sweep(
+        emb, thresholds, threshold_min=0.3
     )
 
 
@@ -9949,50 +9942,77 @@ GROUP BY 1
 # Driver-snapshot ordering: the driver's CORRECTNESS snapshot checks a
 # bounded PREFIX of this registry (~50 entries/round, in insertion
 # order), so the registry is explicitly ordered least-proven-first:
-# (1) queries whose oracles are NEW this round, (2) suites that have
-# never had a driver row (TPC-H, order/skew, graph, semantic, IR),
-# (3) the remaining never-snapshotted queries, (4) queries already
-# hash-verified by a previous round's snapshot (r01–r03). The full
-# 194-query gate still runs locally via scripts/check_oracle.py.
+# (1) queries added in the CURRENT round (prepend to _DRIVER_PRIORITY),
+# (2) the queries that have NEVER received a driver CORRECTNESS row in
+# any round (the r1-r4 snapshot union covers 97 of 201 names; the
+# remaining 104 lead here so rounds 5-6 close the exposure gap), then
+# (3) every query already hash-verified by a driver snapshot in rounds
+# 1-4, parked at the back. The full 200-oracle gate still runs locally
+# via scripts/check_oracle.py regardless of this ordering.
 # ---------------------------------------------------------------------------
 
-#: round-4 window: new oracles + never-snapshotted headline suites
+#: round-5 window: never-driver-snapshotted queries (r1-r4 union excluded)
 _DRIVER_PRIORITY = [
-    # new hash-match oracles this round
-    "dup_ngram_stats", "unigram_xent", "duplicated_passages",
-    "leakage_free_split", "corpus_diversity", "source_mix_sample",
-    "cosine_threshold_sweep",
-    "minhash_signatures", "lsh_candidate_pairs", "simhash_pairs",
-    "doc_fingerprints", "near_dup_spans", "doclen_quantiles_sketch",
-    "greedy_pack_documents", "media_features", "media_phash",
-    # TPC-H relational suite (never snapshotted)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_supplier_volume", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_nation_profit",
-    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_bracket_revenue", "q20_volume_suppliers", "q21_waiting_suppliers",
-    "q22_lapsed_balances",
-    # order/skew suite
-    "code_global_rank", "snm_candidate_pairs", "skew_join_repo_bytes",
-    "zorder_zone_maps", "epoch_shuffle",
-    # graph analytics suite
-    "near_dup_degrees", "near_dup_pagerank", "near_dup_triangles",
-    "near_dup_kcore",
-    # semantic / vector suite
-    "semdedup", "kmeans_clusters", "pq_adc_topk", "ivfpq_adc_topk",
-    # retrieval / sketch suite
-    "bm25_topk", "hybrid_search_rrf", "boolean_search",
-    "cms_point_counts", "bloom_semi_lineitems",
+    "ivfpq_adc_topk", "bm25_topk", "hybrid_search_rrf", "boolean_search",
+    "cms_point_counts", "bloom_semi_lineitems", "rolling_active_users",
+    "fuzzy_clusters", "dedup_aware_sample", "ab_welch_t",
+    "doclen_psi_drift", "lang_source_chi2", "signature_shingle_counts",
+    "normalized_dup_groups", "shuffle_join_revenue", "repetition_stats",
+    "redact_props", "anti_join_lineitems", "events_running_totals",
+    "top_tokens_df", "stratified_sample_docs", "decontaminate_docs",
+    "events_lag_deltas", "distinctive_terms", "chunk_documents",
+    "doc_quartiles", "events_rolling_window", "sample_n_per_lang",
+    "pack_documents", "chunk_share_pairs", "full_join_custorders",
+    "user_event_pivot", "docs_rollup", "curation_pipeline", "event_mode",
+    "user_event_sequences", "user_first_last", "doclen_outliers",
+    "lang_len_token_corr", "docs_cube", "weighted_sample_docs",
+    "rank_docs_per_lang", "edit_distance_pairs", "near_dup_keepers",
+    "label_centroids", "events_windowed_distinct", "value_histogram",
+    "minmax_scale_docs", "top_bigrams", "funnel_signup_purchase",
+    "near_dup_degree_hist", "containment_pairs", "centroid_assign",
+    "paragraph_dedup", "pq_codes", "trending_tokens", "retention_cohorts",
+    "user_revenue_pivot", "dedup_rate_by_lang", "novelty_scores",
+    "session_funnel", "repo_overlap_pairs", "vendored_content",
+    "dup_dir_groups", "boilerplate_lines", "fork_candidates",
+    "dup_rate_by_size", "near_dup_cluster_hist", "repo_skew_report",
+    "code_snapshot_diff", "code_table_fingerprint", "clone_groups_type2",
+    "event_transitions", "fork_families", "dir_rollup", "user_peak_rate",
+    "repo_size_gini", "integrity_audit", "session_cooccurrence",
+    "dedup_summary", "repo_distinct_contents", "doclen_equidepth_hist",
+    "profile_documents", "events_watermark", "curriculum_phases",
+    "repo_pareto", "purchase_error_overlaps", "reassemble_docs",
+    "compression_ratios", "encoding_audit", "pmi_bigrams",
+    "dedup_retry_events", "near_dup_cluster_density", "line_stats",
+    "dedup_keepers_by_depth", "events_hourly_dense",
+    "jaccard_threshold_sweep", "lang_mismatch", "token_freq_spectrum",
+    "events_seasonality", "events_anomalous_hours", "daily_new_users",
+    "inactive_users", "events_hourly_autocorr",
 ]
 
-#: already hash-verified by a driver snapshot in rounds 1–3 — safe to
+#: already hash-verified by a driver snapshot in rounds 1-4 — safe to
 #: park at the back of the registry
-_SNAPSHOTTED_R123 = [
-    "code_files_derive", "incremental_dedup", "incremental_near_dup",
-    "exact_dup_groups", "exact_dup_members", "exact_dup_members_verified",
-    "dedup_keepers", "deletion_tally", "filter_globs", "filter_size_range",
+_SNAPSHOTTED_R1234 = [
+    "dup_ngram_stats", "unigram_xent", "duplicated_passages",
+    "leakage_free_split", "corpus_diversity", "source_mix_sample",
+    "cosine_threshold_sweep", "minhash_signatures", "lsh_candidate_pairs",
+    "simhash_pairs", "doc_fingerprints", "near_dup_spans",
+    "doclen_quantiles_sketch", "greedy_pack_documents", "media_features",
+    "media_phash", "q1_pricing_summary", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_nation_profit", "q10_returned_items", "q11_important_parts",
+    "q12_priority_lines", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_bracket_revenue", "q20_volume_suppliers",
+    "q21_waiting_suppliers", "q22_lapsed_balances", "code_global_rank",
+    "snm_candidate_pairs", "skew_join_repo_bytes", "zorder_zone_maps",
+    "epoch_shuffle", "near_dup_degrees", "near_dup_pagerank",
+    "near_dup_triangles", "near_dup_kcore", "semdedup", "kmeans_clusters",
+    "pq_adc_topk", "distinct_tokens_per_lang", "normalize_text",
+    "quality_prune", "dataset_split", "code_files_derive",
+    "incremental_dedup", "incremental_near_dup", "exact_dup_groups",
+    "exact_dup_members", "exact_dup_members_verified", "dedup_keepers",
+    "deletion_tally", "filter_globs", "filter_size_range",
     "size_prefilter", "group_sort_by_n", "group_sort_by_size",
     "token_counts", "near_dup_pairs", "near_dup_clusters",
     "ngram_jaccard_pairs", "ngram_jaccard_clusters", "ppjoin_pairs",
@@ -10000,17 +10020,18 @@ _SNAPSHOTTED_R123 = [
     "embedding_lsh_pairs", "incremental_embedding_pairs", "events_hourly",
     "events_sessions", "media_meta", "media_frame_sample",
     "quality_scores", "language_id", "token_counts_bpe",
-    "join_segment_revenue", "lineitem_pricing_summary", "asof_last_purchase",
-    "range_join_price_buckets", "events_sliding", "topk_docs_per_lang",
-    "set_intersect_repos", "set_except_repos", "sample_docs_md5",
-    "doclen_quantiles", "top_tokens", "top_tokens_approx",
+    "join_segment_revenue", "lineitem_pricing_summary",
+    "asof_last_purchase", "range_join_price_buckets", "events_sliding",
+    "topk_docs_per_lang", "set_intersect_repos", "set_except_repos",
+    "sample_docs_md5", "doclen_quantiles", "top_tokens",
+    "top_tokens_approx",
 ]
 
 _mid = [
     k for k in QUERIES
-    if k not in _DRIVER_PRIORITY and k not in _SNAPSHOTTED_R123
+    if k not in _DRIVER_PRIORITY and k not in _SNAPSHOTTED_R1234
 ]
 QUERIES = {
     k: QUERIES[k]
-    for k in [*_DRIVER_PRIORITY, *_mid, *_SNAPSHOTTED_R123]
+    for k in [*_DRIVER_PRIORITY, *_mid, *_SNAPSHOTTED_R1234]
 }

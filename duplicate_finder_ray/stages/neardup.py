@@ -18,11 +18,14 @@ Execution shape:
   skewed shuffle of this engine — or, below
   ``band_exchange_broadcast_limit`` band rows, one fused remote lexsort
   task with zero barriers. Hot buckets (license headers, generated
-  code) are CAPPED at ``band_bucket_cap`` members per bucket: pairs are
-  emitted only among the first cap members (by file_id) and every
-  emitted pair carries ``bucket_size`` so truncation is observable,
-  never silent (SURVEY.md §7.3). Multiple bands keep recall up for
-  capped buckets.
+  code) are capped per emission task at the ``band_pair_budget``-derived
+  member cap (``band_bucket_cap=None``, the default — truncates NOTHING
+  while the task's pair volume fits the budget) or at an explicit
+  ``band_bucket_cap``: pairs are emitted only among the first cap
+  members (by file_id), every emitted pair carries the TRUE
+  ``bucket_size``, and a binding cap warns loudly — truncation is
+  observable, never silent (SURVEY.md §7.3). Multiple bands keep recall
+  up for capped buckets.
 * Pair verification re-reads NOTHING: exact mode scores candidate pairs
   against the shingle sets already emitted by the signature pass,
   assembled into CSR buffers in remote tasks (broadcast below
@@ -32,6 +35,9 @@ Execution shape:
 """
 
 from __future__ import annotations
+
+import logging
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -242,15 +248,76 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def derive_bucket_cap(sizes: np.ndarray, budget: int) -> int:
+    """Largest per-bucket member cap such that total emitted pairs
+    Σ C(min(size, cap), 2) stay within ``budget`` — the recall-safe
+    replacement for a fixed member cap: when the task's pair volume
+    fits the budget NOTHING is truncated (cap = max bucket size), and
+    when it doesn't the cap degrades gracefully instead of silently
+    guillotining every near-clique at a magic constant (the failure
+    mode the sf0.1 density probe exposed for the old fixed default).
+    Monotone in cap ⇒ binary search; never below 2 so every overflowed
+    bucket still emits pairs carrying its TRUE size downstream."""
+    if len(sizes) == 0:
+        return 2
+    smax = int(sizes.max())
+    if smax <= 2:
+        return 2
+    sizes = sizes.astype(np.int64)
+
+    def n_pairs(m: int) -> int:
+        c = np.minimum(sizes, m)
+        return int((c * (c - 1) // 2).sum())
+
+    if n_pairs(smax) <= budget:
+        return smax
+    lo, hi = 2, smax
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if n_pairs(mid) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def warn_bucket_overflow(
+    sizes: np.ndarray, cap: int, kind: str = "LSH"
+) -> None:
+    """LOUD recall-risk signal when a cap actually binds: pairs among
+    members beyond the cap are never emitted, so recall can silently
+    drop. Emitted via warnings + logging in whatever process runs the
+    kernel (driver for the fused path, worker for exchange reduces —
+    worker logs stream to the driver in local mode)."""
+    over = sizes > cap
+    n_over = int(over.sum())
+    if n_over == 0:
+        return
+    dropped = int((sizes[over] - cap).sum())
+    msg = (
+        f"{kind} bucket cap {cap} BINDING: {n_over} bucket(s) overflow "
+        f"(max size {int(sizes.max())}), {dropped} member slot(s) "
+        f"truncated — candidate recall may drop; raise band_pair_budget "
+        f"/ band_bucket_cap or check for degenerate content. True "
+        f"bucket_size is recorded on every emitted pair."
+    )
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    logging.getLogger(__name__).warning(msg)
+
+
 def bucket_pairs_arrays(
-    bh: np.ndarray, ids: np.ndarray, cap: int
+    bh: np.ndarray,
+    ids: np.ndarray,
+    cap: int | None,
+    budget: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized pair emission over a band-row array: lexsort by
-    (band_hash, fid), cap each bucket at ``cap`` members, emit all
-    intra-bucket pairs per distinct capped size (np.triu block trick).
-    Returns raw (a, b, true_bucket_size) — NOT yet deduped across
-    bands. Shared by the fused candidate path and the incremental
-    probe."""
+    (band_hash, fid), cap each bucket at ``cap`` members (or, when cap
+    is None, at the pair-budget-derived cap — see derive_bucket_cap),
+    emit all intra-bucket pairs per distinct capped size (np.triu
+    block trick). Returns raw (a, b, true_bucket_size) — NOT yet
+    deduped across bands. Shared by the fused candidate path and the
+    incremental probe. A binding cap warns loudly (never silent)."""
     none = (
         np.empty(0, dtype=np.uint64),
         np.empty(0, dtype=np.uint64),
@@ -265,6 +332,9 @@ def bucket_pairs_arrays(
     np.not_equal(bh[1:], bh[:-1], out=first[1:])
     starts = np.nonzero(first)[0]
     sizes = np.diff(np.append(starts, len(bh)))
+    if cap is None:
+        cap = derive_bucket_cap(sizes, budget or 10_000_000)
+    warn_bucket_overflow(sizes, cap)
     capped = np.minimum(sizes, cap)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
@@ -325,10 +395,14 @@ def candidate_pairs(
     ``groupby(band, band_hash).map_groups`` pays a Python call per
     bucket — ~3 ms × millions of buckets; this pays P calls total.
     band_hash is uniform (mixed uint64), so partitions balance; hot
-    BUCKETS inside a partition are capped at ``band_bucket_cap`` with
-    the true bucket size recorded on every emitted pair (never silent).
+    BUCKETS inside a partition are capped at ``band_bucket_cap`` (or
+    the ``band_pair_budget``-derived cap when it is None — the
+    default, which truncates NOTHING while a task's pair volume fits
+    the budget) with the true bucket size recorded on every emitted
+    pair and a loud warning whenever a cap binds (never silent).
     """
     cap = cfg.band_bucket_cap
+    budget = cfg.band_pair_budget
     num_parts = effective_parallelism(cfg) * 2
 
     # SMALL-INPUT FUSED PATH: below ``band_exchange_broadcast_limit``
@@ -365,6 +439,7 @@ def candidate_pairs(
                 tbl.column("band_hash").to_numpy().astype(np.uint64),
                 tbl.column("fid").to_numpy().astype(np.uint64),
                 cap,
+                budget,
             )
             if len(a) == 0:
                 outs = [empty] * out_parts
@@ -403,6 +478,7 @@ def candidate_pairs(
             tbl.column("band_hash").to_numpy().astype(np.uint64),
             tbl.column("fid").to_numpy().astype(np.uint64),
             cap,
+            budget,
         )
         if len(a) == 0:
             return _EMPTY_PAIRS
@@ -1049,6 +1125,7 @@ def simhash_candidate_pairs(
     groupby, no Python call per bucket (round-2 VERDICT item)."""
     num_blocks = max_hamming + 1
     cap = cfg.band_bucket_cap
+    budget = cfg.band_pair_budget
     _EMPTY_OUT = pa.schema(
         [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int64())]
     ).empty_table()
@@ -1103,7 +1180,11 @@ def simhash_candidate_pairs(
         sizes = part.groupby(["bkey"], sort=False).size().to_numpy()
         starts = np.zeros(len(sizes), dtype=np.int64)
         np.cumsum(sizes[:-1], out=starts[1:])
-        capped = np.minimum(sizes, cap)
+        eff_cap = (
+            derive_bucket_cap(sizes, budget) if cap is None else cap
+        )
+        warn_bucket_overflow(sizes, eff_cap, kind="SimHash")
+        capped = np.minimum(sizes, eff_cap)
         out_a, out_b, out_h = [], [], []
         for m in np.unique(capped):
             if m < 2:

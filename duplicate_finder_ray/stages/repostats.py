@@ -459,8 +459,13 @@ def dup_rate_by_size(
         size = tbl.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
         gsize = np.bincount(sha_c, minlength=int(sha_c.max()) + 1)
         is_dup = gsize[sha_c] >= 2
-        # decimal digit count without str(): size >= 1 always (files)
-        digits = np.floor(np.log10(np.maximum(size, 1))).astype(np.int64) + 1
+        # decimal digit count without str(): size >= 1 always (files).
+        # log10(10**k - 1) rounds UP to k in float64 for k >= 15, so the
+        # naive floor(log10)+1 overcounts there; correct it with an exact
+        # integer compare (digits <= 19 for int64, so 10**(digits-1) fits).
+        s = np.maximum(size, 1)
+        digits = np.floor(np.log10(s)).astype(np.int64) + 1
+        digits -= s < 10 ** np.maximum(digits - 1, 0)
         n_files = np.bincount(digits)
         n_dup = np.bincount(digits, weights=is_dup).astype(np.int64)
         present = n_files > 0

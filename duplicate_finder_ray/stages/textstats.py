@@ -605,6 +605,16 @@ def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
 _PRUNE_SKETCH_ROWS = 2_000_000
 
 
+def _cheap_row_count(ds: ray.data.Dataset) -> int | None:
+    """Row count from metadata only (parquet footers / materialized
+    block metadata) — None when counting would require executing the
+    dataset. Never triggers execution."""
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
 def quality_prune(
     docs: ray.data.Dataset,
     frac: float = 0.5,
@@ -625,9 +635,14 @@ def quality_prune(
     no task ever holds a group's values; cutoff rank error is the
     sketch's tested O(1/delta) bound. Default (None): AUTO — sketch
     above ``_PRUNE_SKETCH_ROWS`` input rows, so a naive caller cannot
-    hit the whole-group-per-task exact path at corpus scale."""
+    hit the whole-group-per-task exact path at corpus scale. AUTO
+    decides from dataset METADATA only (parquet row counts / already
+    materialized blocks); when no cheap count exists it picks the
+    sketch — the safe-at-any-scale side — rather than forcing an extra
+    full execution of a lazy input just to count it."""
     if use_sketch is None:
-        use_sketch = docs.count() > _PRUNE_SKETCH_ROWS
+        n = _cheap_row_count(docs)
+        use_sketch = n is None or n > _PRUNE_SKETCH_ROWS
 
     def score(batch: pa.Table) -> pa.Table:
         qs = quality_scores(batch)
@@ -1455,7 +1470,16 @@ def unigram_xent(
         toks = pc.split_pattern_regex(batch[text_col], TOKEN_SPLIT_REGEX)
         flat = pc.list_flatten(toks)
         reps = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        doc = np.repeat(batch["doc_id"].to_numpy(), reps)
+        doc_ids = batch["doc_id"].to_numpy()
+        if len(doc_ids) and doc_ids.min() < 0:
+            # doc_id == -1 is the in-band partition-stat sentinel in the
+            # reduce stage; negative caller ids would silently fold into
+            # the vocab totals, so reject them loudly up front.
+            raise ValueError(
+                "unigram_xent requires non-negative doc_id values "
+                f"(got min={int(doc_ids.min())})"
+            )
+        doc = np.repeat(doc_ids, reps)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         flat = flat.filter(pa.array(keep))
         doc = doc[keep]

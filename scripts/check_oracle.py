@@ -62,6 +62,38 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
+# -- local-only oracles -----------------------------------------------------
+# The driver's DuckDB runs ``oracle_sql()`` strings verbatim and cannot
+# register Python UDFs, so queries whose twin needs one (deflate has no
+# DuckDB builtin) stay rows-only IN THE DRIVER. This gate registers the
+# UDF locally and hash-checks them anyway, closing the oracle set at
+# 100% for local verification.
+
+
+def _register_local_udfs(con) -> None:
+    import zlib
+
+    def zdeflate_len(s: str) -> int:
+        # exact twin of stages/textstats.py:compression_ratios (level 6)
+        return len(zlib.compress(s.encode(), 6))
+
+    con.create_function("zdeflate_len", zdeflate_len, ["VARCHAR"], "BIGINT")
+
+
+#: oracles usable only by THIS gate (Python-UDF-backed); the driver's
+#: ``oracle_sql()`` intentionally omits these names (rows-only there)
+LOCAL_ORACLES = {
+    "compression_ratios": """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       zdeflate_len(text) AS n_compressed,
+       zdeflate_len(text) * 1000000
+         // greatest(octet_length(encode(text)), 1) AS compress_ppm
+FROM documents
+""",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import ray
@@ -81,6 +113,7 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    _register_local_udfs(con)
 
     only = set(sys.argv[2:])  # optional: check just these query names
     failures = 0
@@ -88,7 +121,7 @@ def main() -> int:
         if only and name not in only:
             continue
         got = to_pandas(fn(sf_dir))
-        sql = e.oracle_sql().get(name)
+        sql = e.oracle_sql().get(name) or LOCAL_ORACLES.get(name)
         if sql is None:
             print(f"  {name:32s} rows={len(got):7d}  (rows-only, no oracle)")
             continue

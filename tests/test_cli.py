@@ -223,3 +223,58 @@ def test_ray_job_entry_in_process(ray_session, corpus_parquet, tmp_path, capsys)
     assert (out_dir / "exact_members").is_dir()
     assert (out_dir / "near_dup_labels").is_dir()
     assert any((tmp_path / "job_ckpt").rglob("_SUCCESS"))
+
+
+def test_streaming_report_byte_identical(ray_session, corpus_parquet, tmp_path):
+    """write_text_report / print_duplicates_stream (the no-driver-
+    materialization path main() uses) must emit byte-identical output
+    to the collected-DataFrame renderers they replace."""
+    import io
+
+    from duplicate_finder_ray.cli import print_duplicates, print_duplicates_stream
+    from duplicate_finder_ray.config import PipelineConfig
+    from duplicate_finder_ray.pipelines.dedup import (
+        DedupPipeline,
+        render_text_report,
+        write_text_report,
+    )
+
+    res = DedupPipeline(PipelineConfig()).run(corpus_parquet)
+    members_df = res.members.to_pandas()
+
+    buf = io.StringIO()
+    write_text_report(res.members, buf)
+    assert buf.getvalue() == render_text_report(members_df)
+
+    con_stream, con_df = io.StringIO(), io.StringIO()
+    print_duplicates_stream(res.members, out=con_stream)
+    print_duplicates(members_df, out=con_df)
+    assert con_stream.getvalue() == con_df.getvalue()
+
+
+def test_streaming_report_empty_corpus(ray_session, tmp_path):
+    import io
+
+    import pandas as pd
+
+    from duplicate_finder_ray.config import PipelineConfig
+    from duplicate_finder_ray.pipelines.dedup import (
+        DedupPipeline,
+        write_text_report,
+    )
+
+    df = pd.DataFrame(
+        {
+            "repo": ["o/r1", "o/r2"],
+            "path": ["a.py", "b.py"],
+            "commit": ["0" * 40, "1" * 40],
+            "lang": ["python", "python"],
+            "content": ["unique one", "unique two"],
+        }
+    )
+    p = tmp_path / "nodups.parquet"
+    df.to_parquet(p, index=False)
+    res = DedupPipeline(PipelineConfig()).run(str(p))
+    buf = io.StringIO()
+    assert write_text_report(res.members, buf) == 0
+    assert buf.getvalue() == "No duplicate files found.\n"

@@ -166,13 +166,15 @@ class TestDecoderSelection:
             assert (meta["width"], meta["height"], meta["n_channels"]) == (20, 10, 3)
             px = dec.pixels32(buf.getvalue())
             assert px.shape == (32, 32) and px.dtype == np.uint8
-        else:  # codec-free container: deterministic stub
-            assert isinstance(dec, DecoderStub)
-            meta = dec.decode_meta("image", b"xyz")
+        else:  # codec-free container: the vendored REAL BMP/PGM decoder
+            from duplicate_finder_ray.stages.multimodal import RawImageDecoder
+
+            assert isinstance(dec, RawImageDecoder)
+            meta = dec.decode_meta("image", b"P5\n2 2\n255\n\x00\x01\x02\x03")
             assert meta == {
-                "width": 16 + 3 % 624,
-                "height": 16 + 21 % 464,
-                "n_channels": 3,
+                "width": 2,
+                "height": 2,
+                "n_channels": 1,
                 "n_frames": 1,
             }
         # audio/video arithmetic is stub-inherited in BOTH branches
@@ -186,3 +188,125 @@ class TestDecoderSelection:
         )
 
         assert isinstance(make_decoder(prefer_real=False), DecoderStub)
+
+
+# -- vendored REAL decoder (BMP/PGM) — runs unconditionally, no PIL ----------
+
+
+def _encode_bmp24(gray: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB bottom-up BMP encoder (test-side twin of
+    the vendored decoder; R=G=B so BT.601 gray roundtrips exactly)."""
+    h, w = gray.shape
+    row_size = ((24 * w + 31) // 32) * 4
+    pad = row_size - w * 3
+    raster = b"".join(
+        bytes(
+            np.repeat(gray[r], 3).astype(np.uint8).tobytes()
+        ) + b"\x00" * pad
+        for r in range(h - 1, -1, -1)  # bottom-up
+    )
+    off = 54
+    size = off + len(raster)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+def _encode_pgm_p5(gray: np.ndarray, maxval: int = 255) -> bytes:
+    h, w = gray.shape
+    return f"P5\n# test\n{w} {h}\n{maxval}\n".encode() + gray.tobytes()
+
+
+@pytest.fixture()
+def gradient_img() -> np.ndarray:
+    r = np.arange(40, dtype=np.int64)[:, None]
+    c = np.arange(48, dtype=np.int64)[None, :]
+    return ((r * 5 + c * 3) % 256).astype(np.uint8)
+
+
+class TestRawImageDecoder:
+    def test_bmp_and_pgm_decode_exact_pixels(self, gradient_img):
+        dec = mm.RawImageDecoder()
+        assert (dec.gray_pixels(_encode_pgm_p5(gradient_img)) == gradient_img).all()
+        assert (dec.gray_pixels(_encode_bmp24(gradient_img)) == gradient_img).all()
+
+    def test_p2_ascii_and_maxval_rescale(self):
+        img = np.array([[0, 7], [15, 3]], dtype=np.uint8)
+        p2 = b"P2\n2 2\n15\n0 7 15 3\n"
+        got = mm.RawImageDecoder().gray_pixels(p2)
+        want = (img.astype(np.int64) * 255) // 15
+        assert (got == want.astype(np.uint8)).all()
+
+    def test_decode_meta_real_dimensions(self, gradient_img):
+        dec = mm.RawImageDecoder()
+        m = dec.decode_meta("image", _encode_bmp24(gradient_img))
+        assert (m["width"], m["height"], m["n_channels"]) == (48, 40, 3)
+        m = dec.decode_meta("image", _encode_pgm_p5(gradient_img))
+        assert (m["width"], m["height"], m["n_channels"]) == (48, 40, 1)
+
+    def test_rejects_unknown_and_truncated(self, gradient_img):
+        dec = mm.RawImageDecoder()
+        with pytest.raises(ValueError, match="supports uncompressed"):
+            dec.gray_pixels(b"\x89PNG\r\n\x1a\n....")
+        with pytest.raises(ValueError, match="truncated BMP"):
+            dec.gray_pixels(_encode_bmp24(gradient_img)[:-10])
+        with pytest.raises(ValueError, match="truncated PGM"):
+            dec.gray_pixels(_encode_pgm_p5(gradient_img)[:-10])
+
+    def test_pixels32_nearest_map(self, gradient_img):
+        px = mm.RawImageDecoder().pixels32(_encode_pgm_p5(gradient_img))
+        assert px.shape == (32, 32) and px.dtype == np.uint8
+        ri = (np.arange(32) * 40) // 32
+        ci = (np.arange(32) * 48) // 32
+        assert (px == gradient_img[np.ix_(ri, ci)]).all()
+
+
+class TestPhashRealPixels:
+    def test_phash_codec_invariant_real_pixels(self, ray_session, gradient_img):
+        """THE real-pixel path, end-to-end through the Ray actor-pool
+        stage: the same image encoded as BMP and as PGM must produce
+        the SAME pHash (codec-invariant dedup — the property the
+        byte-tiling stub cannot have), and a different image a
+        different pHash."""
+        other = (255 - gradient_img.astype(np.int64)).astype(np.uint8).T.copy()
+        df = pd.DataFrame(
+            {
+                "media_id": [0, 1, 2],
+                "media_type": ["image"] * 3,
+                "payload": [
+                    _encode_bmp24(gradient_img),
+                    _encode_pgm_p5(gradient_img),
+                    _encode_pgm_p5(other),
+                ],
+            }
+        )
+        out = mm.media_phash(
+            ray_session.data.from_pandas(df), decoder=mm.RawImageDecoder()
+        ).to_pandas().sort_values("media_id")
+        ph = out["phash"].to_numpy()
+        assert ph[0] == ph[1]  # same pixels, different container
+        assert ph[0] != ph[2]
+        assert "payload" not in out.columns
+
+    def test_make_decoder_falls_back_to_raw(self, monkeypatch):
+        """Without PIL (this sandbox), make_decoder(prefer_real=True)
+        must return the REAL raw decoder, not the stub."""
+        dec = mm.make_decoder(prefer_real=True)
+        try:
+            import PIL  # noqa: F401
+
+            assert isinstance(dec, mm.PilImageDecoder)
+        except ImportError:
+            assert isinstance(dec, mm.RawImageDecoder)

@@ -171,6 +171,85 @@ class TestBucketCap:
         assert len(pairs) == 45
         assert (pairs["bucket_size"] == n).all()
 
+    def test_derive_bucket_cap_budget(self):
+        """Budget-derived cap: max m with Σ C(min(s, m), 2) ≤ budget."""
+        import numpy as np
+
+        sizes = np.array([100, 50, 3, 2, 1])
+        # generous budget → cap = max bucket size (nothing truncated)
+        assert neardup.derive_bucket_cap(sizes, 10_000_000) == 100
+        # exact fit: C(100,2)+C(50,2)+C(3,2)+C(2,2)=4950+1225+3+1=6179
+        assert neardup.derive_bucket_cap(sizes, 6179) == 100
+        assert neardup.derive_bucket_cap(sizes, 6178) == 99
+        # tight budget → small cap, never below 2
+        assert neardup.derive_bucket_cap(sizes, 0) == 2
+        assert neardup.derive_bucket_cap(np.array([], dtype=np.int64), 10) == 2
+        # brute-force cross-check on a random size vector
+        rng = np.random.default_rng(7)
+        sz = rng.integers(1, 40, size=50)
+        for budget in (10, 100, 1000, 5000):
+            got = neardup.derive_bucket_cap(sz, budget)
+            pairs_at = lambda m: int(
+                sum(min(s, m) * (min(s, m) - 1) // 2 for s in sz)
+            )
+            assert pairs_at(got) <= budget or got == 2
+            if got < sz.max():
+                assert pairs_at(got + 1) > budget
+
+    def test_overflow_warning_fires_when_binding(self):
+        """A binding cap (fixed or budget-derived) must warn loudly;
+        a non-binding one must stay silent."""
+        import warnings as _w
+
+        import numpy as np
+
+        bh = np.repeat(np.uint64(12345), 20)
+        ids = np.arange(20, dtype=np.uint64)
+        with pytest.warns(RuntimeWarning, match="BINDING"):
+            neardup.bucket_pairs_arrays(bh, ids, 5)
+        # budget-derived cap that binds: 20-member bucket, budget 10
+        with pytest.warns(RuntimeWarning, match="recall may drop"):
+            a, b, sz = neardup.bucket_pairs_arrays(bh, ids, None, 10)
+        assert (sz == 20).all()  # true size still recorded
+        # budget-derived cap that does NOT bind: silence
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            a, b, sz = neardup.bucket_pairs_arrays(bh, ids, None, 10_000)
+        assert len(a) == 20 * 19 // 2  # complete — nothing truncated
+
+    def test_default_config_truncates_nothing_at_gate_scale(
+        self, ray_session
+    ):
+        """band_bucket_cap=None (default): a 30-member near-clique
+        bucket emits ALL C(30,2) pairs — the old fixed default of 200
+        is gone and the budget cap is non-binding here."""
+        n = 30
+        df = pd.DataFrame(
+            {
+                "repo": [f"o/r{i}" for i in range(n)],
+                "path": [f"f{i}.py" for i in range(n)],
+                "commit": [f"{i:040d}" for i in range(n)],
+                "lang": ["python"] * n,
+                "content": ["identical content words one two three four five"] * n,
+            }
+        )
+        cfg = PipelineConfig(jaccard_threshold=0.8)
+        assert cfg.band_bucket_cap is None
+        ds = ray_session.data.from_pandas(df)
+        with_id = ds.map_batches(
+            __import__(
+                "duplicate_finder_ray.stages.derive", fromlist=["add_identity"]
+            ).add_identity,
+            batch_format="pyarrow",
+        )
+        sigs = neardup.signatures(
+            with_id.select_columns(["file_id", "content"]), cfg
+        )
+        bands = neardup.explode_bands(sigs, cfg)
+        pairs = neardup.candidate_pairs(bands, cfg).to_pandas()
+        assert len(pairs) == n * (n - 1) // 2
+        assert (pairs["bucket_size"] == n).all()
+
 
 class TestConnectedComponents:
     def test_chain_converges_to_one_component(self, ray_session):
