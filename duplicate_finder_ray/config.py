@@ -195,6 +195,18 @@ class PipelineConfig:
     #: (a, b, size) arrays — a worker-heap bound, not a recall knob.
     band_pair_budget: int = 10_000_000
     cc_max_rounds: int = 50                 # union-find fixpoint guard
+    #: start the exact-verify shard SPLIT (the payload partition of the
+    #: signature table by fid % n_shards) as soon as signatures
+    #: materialize, overlapping it under candidate generation instead
+    #: of serializing it after (round-4 VERDICT item 2: the split wave
+    #: was a measured ~1.8 s critical-path term at 32 CPUs). The
+    #: prestarted split is UNFILTERED (endpoints are unknown until
+    #: candidates finish), so it partitions the full signature payload
+    #: rather than the endpoint subset — CSR builds still filter to
+    #: endpoints, so verify memory is unchanged; only the transient
+    #: split sub-blocks cover the full corpus. Net win whenever dup
+    #: density is substantial; set False for very sparse corpora.
+    verify_prestart_shards: bool = True
     #: edge count below which connected components runs as ONE remote
     #: union-find (single round = exact fixpoint, no iteration barriers);
     #: above it, the iterated bucketed contraction is the scale shape.

@@ -742,10 +742,61 @@ class ShingleSetStage:
         )
 
 
+def prestart_verify_split(
+    code_with_id: ray.data.Dataset, cfg: PipelineConfig
+) -> dict:
+    """Launch the exact-verify shard SPLIT (payload partition of the
+    materialized signature table by ``fid % n_shards``) NOW, so it
+    overlaps candidate generation instead of serializing after it
+    (round-4 VERDICT item 2 — the split wave was a measured ~1.8 s
+    critical-path term at 32 CPUs on the 2.4 M scaling corpus).
+
+    The prestarted split is UNFILTERED: pair endpoints are unknown
+    until candidates finish, so the full signature payload is
+    partitioned and the CSR build (which runs after endpoints exist)
+    applies the endpoint semi-join instead — verify's built-CSR memory
+    is unchanged; only the transient split sub-blocks cover the whole
+    corpus. Returns an opaque handle for ``verify_pairs_exact``'s
+    ``prestarted=`` parameter; the handle is only honored when the
+    sharded path is actually taken and shard counts match."""
+    n_shards = max(4, effective_parallelism(cfg))
+    sets_blocks = code_with_id.materialize().to_arrow_refs()
+
+    @ray.remote
+    def split_plain(block: pa.Table):
+        cols = ["fid", "file_id", "shingles"]
+        if "fid" not in block.column_names or len(block) == 0:
+            empty = pa.table(
+                {
+                    "fid": pa.array([], pa.uint64()),
+                    "file_id": pa.array([], pa.string()),
+                    "shingles": pa.array([], pa.large_binary()),
+                }
+            )
+            parts = [empty] * n_shards
+        else:
+            block = block.select(cols)
+            fid = block.column("fid").to_numpy().astype(np.uint64)
+            shard = (fid % np.uint64(n_shards)).astype(np.int64)
+            parts = [
+                block.filter(pa.array(shard == s)) for s in range(n_shards)
+            ]
+        return parts[0] if n_shards == 1 else tuple(parts)
+
+    split_refs = [
+        split_plain.options(num_returns=n_shards).remote(r)
+        for r in sets_blocks
+    ]
+    if n_shards == 1:
+        split_refs = [[r] for r in split_refs]
+    return {"n_shards": n_shards, "split_refs": split_refs}
+
+
 def verify_pairs_exact(
     pairs: ray.data.Dataset,
     code_with_id: ray.data.Dataset,
     cfg: PipelineConfig,
+    prestarted: dict | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification: keep pairs with true shingle Jaccard
     ≥ τ. Pairs arrive as uint64 fids; output is (a, b, n_bands,
@@ -845,7 +896,9 @@ def verify_pairs_exact(
         sets_blocks = shingle_sets.materialize()
         refs = sets_blocks.to_arrow_refs()
         sets_ref = (
-            _build_csr_task.remote(None, 0, *refs) if refs else ray.put(_EMPTY_CSR)
+            _build_csr_task.remote(None, 0, None, *refs)
+            if refs
+            else ray.put(_EMPTY_CSR)
         )
 
         def score_broadcast(batch: pa.Table) -> pa.Table:
@@ -888,7 +941,17 @@ def verify_pairs_exact(
     # map_batches + materialize re-wrote the endpoint slice of the
     # multi-GB signature table through the object store once more for
     # no structural gain (round-3 fixed-term trim on the verify stage).
-    if has_shingles:
+    prestarted_used = (
+        prestarted is not None
+        and has_shingles
+        and prestarted.get("n_shards") == max(4, effective_parallelism(cfg))
+    )
+    if prestarted_used:
+        # split wave already ran, overlapped under candidate
+        # generation; builds below apply the endpoint filter instead
+        sets_blocks = None
+        fuse_probe = False
+    elif has_shingles:
         # callers pass the already-materialized signature table; the
         # column projection happens inside the split task (zero-copy
         # Arrow select), so NO new materialization of the payload at all
@@ -921,15 +984,23 @@ def verify_pairs_exact(
             ]
         return parts[0] if n_shards == 1 else tuple(parts)
 
-    split_refs = [
-        split_block.options(num_returns=n_shards).remote(r)
-        for r in sets_blocks
-    ]
-    if n_shards == 1:
-        split_refs = [[r] for r in split_refs]
+    if prestarted_used:
+        split_refs = prestarted["split_refs"]
+    else:
+        split_refs = [
+            split_block.options(num_returns=n_shards).remote(r)
+            for r in sets_blocks
+        ]
+        if n_shards == 1:
+            split_refs = [[r] for r in split_refs]
     empty_ref = ray.put(_EMPTY_CSR)
+    # fused-probe split already endpoint-filtered; prestarted split did
+    # not (endpoints were unknown at split time), so its builds filter
+    build_ep = endpoints_ref if prestarted_used else None
     shard_refs = {
-        s: _build_csr_task.remote(s, n_shards, *[row[s] for row in split_refs])
+        s: _build_csr_task.remote(
+            s, n_shards, build_ep, *[row[s] for row in split_refs]
+        )
         for s in range(n_shards)
     }
 
@@ -1009,7 +1080,9 @@ def _csr_views(col: pa.Array) -> tuple:
 
 
 @ray.remote
-def _build_csr_task(shard, n_shards: int, *blocks: pa.Table) -> tuple:
+def _build_csr_task(
+    shard, n_shards: int, endpoints, *blocks: pa.Table
+) -> tuple:
     """fid-keyed CSR over (a shard of) the endpoint shingle table.
 
     NO payload sort and NO numpy copy of the values: only the 8-byte
@@ -1023,7 +1096,12 @@ def _build_csr_task(shard, n_shards: int, *blocks: pa.Table) -> tuple:
 
     ``shard``: None builds over all rows (broadcast path); an int keeps
     only rows with ``fid % n_shards == shard`` (sharded path — blocks
-    arrive group-aligned, so the filter is usually a no-op)."""
+    arrive group-aligned, so the filter is usually a no-op).
+    ``endpoints``: optional sorted uint64 array — rows whose fid is not
+    in it are dropped BEFORE the argsort (the prestarted-split path
+    partitions the full signature payload because endpoints are
+    unknown at split time; this filter keeps the built CSR
+    endpoint-sized either way)."""
     blocks = tuple(b for b in blocks if "fid" in b.column_names and len(b))
     if not blocks:
         return _EMPTY_CSR
@@ -1031,6 +1109,17 @@ def _build_csr_task(shard, n_shards: int, *blocks: pa.Table) -> tuple:
         [b.select(["fid", "file_id", "shingles"]) for b in blocks]
     )
     fids = tbl.column("fid").to_numpy().astype(np.uint64)
+    if endpoints is not None and len(fids):
+        if len(endpoints):
+            pos = np.minimum(
+                np.searchsorted(endpoints, fids), len(endpoints) - 1
+            )
+            keep = endpoints[pos] == fids
+        else:
+            keep = np.zeros(len(fids), dtype=bool)
+        if not keep.all():
+            tbl = tbl.filter(pa.array(keep))
+            fids = fids[keep]
     if shard is not None:
         mask = (fids % np.uint64(n_shards)).astype(np.int64) == shard
         if not mask.all():

@@ -64,6 +64,34 @@ class TestNearDupPipeline:
         k2 = set(map(tuple, np.sort(p2[["a", "b"]].to_numpy(), axis=1)))
         assert k1 == k2
 
+    def test_prestarted_split_matches_inline_split(self, corpus, corpus_ds):
+        """The overlapped (prestarted, unfiltered-split +
+        endpoint-filtering-build) verify path must produce identical
+        pairs and jaccard scores to the inline fused-probe split path.
+        broadcast_verify_limit=0 forces the sharded path; the
+        prestart flag selects which split feeds it."""
+        on = PipelineConfig(
+            jaccard_threshold=0.8,
+            broadcast_verify_limit=0,
+            verify_prestart_shards=True,
+        )
+        off = PipelineConfig(
+            jaccard_threshold=0.8,
+            broadcast_verify_limit=0,
+            verify_prestart_shards=False,
+        )
+        p1 = NearDupPipeline(on).run_on(corpus_ds).pairs.to_pandas()
+        p2 = NearDupPipeline(off).run_on(corpus_ds).pairs.to_pandas()
+        k1 = {
+            (*sorted((r.a, r.b)), round(r.jaccard, 9))
+            for r in p1.itertuples()
+        }
+        k2 = {
+            (*sorted((r.a, r.b)), round(r.jaccard, 9))
+            for r in p2.itertuples()
+        }
+        assert k1 == k2 and len(k1) > 0
+
     def test_shuffle_pair_dedupe_matches_remote_task_path(self, corpus, corpus_ds):
         """The distributed (sort-shuffle) cross-band pair dedupe must
         produce the same pairs AND n_bands counts as the small-side
