@@ -142,22 +142,16 @@ def duplicate_members(
     verify = cfg.verify_content
 
     if not verify:
-        # fast path: ONE coarse shuffle on pkey = siphash(sha256) % P,
-        # then fully vectorized pandas group kernels inside each
-        # partition — a naive groupby(size, sha).map_groups pays a
-        # Python call per GROUP (milliseconds × thousands of groups);
-        # this pays P calls.
+        # fast path: ONE coarse barrier-free hash exchange on
+        # siphash(sha256) % P (stages/exchange.py), then fully
+        # vectorized pandas group kernels inside each partition — a
+        # naive groupby(size, sha).map_groups pays a Python call per
+        # GROUP (milliseconds × thousands of groups), and Ray Data's
+        # sort-based groupby("pkey") paid a sample barrier + full sort
+        # of the slim digest table for an order nothing needs (the same
+        # fixed scaling term the verify shard exchange eliminated —
+        # measured 9.2× on slim doc-keyed finishes).
         num_parts = max(8, cfg.parallelism)
-
-        def add_pkey(batch: pa.Table) -> pa.Table:
-            # vectorized fixed-key siphash — never per-row crc32 Python
-            # loops on a shuffle-key path, never salted builtin hash()
-            h = stable_hash_array(
-                batch.column("sha256").to_numpy(zero_copy_only=False)
-            )
-            return batch.append_column(
-                "pkey", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
-            )
 
         def emit_partition(part: pd.DataFrame) -> pa.Table:
             # rank on the (repo, path, commit) TUPLE, not the joined
@@ -185,11 +179,20 @@ def duplicate_members(
                 preserve_index=False,
             )
 
-        return (
-            ds.map_batches(add_pkey, batch_format="pyarrow")
-            .groupby("pkey")
-            .map_groups(emit_partition, batch_format="pandas")
-        )
+        from duplicate_finder_ray.stages.exchange import hash_exchange
+
+        def part_of(tbl: pa.Table, n: int) -> np.ndarray:
+            # vectorized fixed-key siphash — never per-row crc32 Python
+            # loops on a shuffle-key path, never salted builtin hash()
+            h = stable_hash_array(
+                tbl.column("sha256").to_numpy(zero_copy_only=False)
+            )
+            return (h % np.uint64(n)).astype(np.int64)
+
+        def reduce_fn(p: int, tbl: pa.Table) -> pa.Table:
+            return emit_partition(tbl.to_pandas())
+
+        return hash_exchange(ds, part_of, num_parts, reduce_fn, _EMPTY_MEMBERS)
 
     def finalize(sub: pd.DataFrame, group_id: str) -> pd.DataFrame:
         sub = sub.copy()
