@@ -1004,49 +1004,57 @@ def verify_pairs_exact(
         for s in range(n_shards)
     }
 
-    def add_spair(batch: pa.Table) -> pa.Table:
-        if "a" not in batch.column_names or len(batch) == 0:
-            return pa.table(
+    # Route pairs to scoring tasks by the A-SIDE shard via the
+    # barrier-free hash exchange (one reduce task per sa); each reduce
+    # sub-groups its rows by the b-side shard and scores group-at-a-time
+    # against (csr_a, csr_b). Ray Data's sort-based groupby("spair")
+    # previously paid a sample barrier + a full sort of the slim pair
+    # table for an order nothing needs — the same fixed term the band
+    # and members exchanges already eliminated. Zero-copy plasma reads
+    # mean touching up to n_shards CSR objects per task costs mmaps,
+    # not copies.
+    from duplicate_finder_ray.stages.exchange import hash_exchange
+
+    def sa_part(tbl: pa.Table, n: int) -> np.ndarray:
+        return (
+            tbl.column("a").to_numpy().astype(np.uint64) % np.uint64(n)
+        ).astype(np.int64)
+
+    def score_reduce(sa: int, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return VERIFIED_SCHEMA.empty_table()
+        a = tbl.column("a").to_numpy().astype(np.uint64)
+        b = tbl.column("b").to_numpy().astype(np.uint64)
+        nb = tbl.column("n_bands").to_numpy().astype(np.int64)
+        sb_all = (b % np.uint64(n_shards)).astype(np.int64)
+        csr_a = ray.get(shard_refs.get(sa, empty_ref))
+        outs = []
+        for sb in np.unique(sb_all):
+            sel = sb_all == sb
+            ref_b = shard_refs.get(int(sb), empty_ref)
+            csr_b = (
+                csr_a if int(sb) == sa else ray.get(ref_b)
+            )
+            batch = pa.table(
                 {
-                    "a": pa.array([], pa.uint64()),
-                    "b": pa.array([], pa.uint64()),
-                    "n_bands": pa.array([], pa.int64()),
-                    "spair": pa.array([], pa.int32()),
+                    "a": pa.array(a[sel], pa.uint64()),
+                    "b": pa.array(b[sel], pa.uint64()),
+                    "n_bands": pa.array(nb[sel], pa.int64()),
                 }
             )
-        a = batch.column("a").to_numpy().astype(np.uint64)
-        b = batch.column("b").to_numpy().astype(np.uint64)
-        spair = (a % np.uint64(n_shards)) * np.uint64(n_shards) + (
-            b % np.uint64(n_shards)
-        )
-        return batch.append_column(
-            "spair", pa.array(spair.astype(np.int32), pa.int32())
-        )
-
-    def score_group(part: pd.DataFrame) -> pa.Table:
-        if len(part) == 0:
+            out = _score_pairs_two_csr(batch, csr_a, csr_b, threshold)
+            if len(out):
+                outs.append(out)
+        if not outs:
             return VERIFIED_SCHEMA.empty_table()
-        sp = int(part["spair"].iloc[0])
-        sa, sb = sp // n_shards, sp % n_shards
-        ref_a = shard_refs.get(sa, empty_ref)
-        ref_b = shard_refs.get(sb, empty_ref)
-        csr_a = ray.get(ref_a)
-        csr_b = csr_a if ref_b is ref_a else ray.get(ref_b)
-        batch = pa.table(
-            {
-                "a": pa.array(part["a"].to_numpy().astype(np.uint64), pa.uint64()),
-                "b": pa.array(part["b"].to_numpy().astype(np.uint64), pa.uint64()),
-                "n_bands": pa.array(
-                    part["n_bands"].to_numpy().astype(np.int64), pa.int64()
-                ),
-            }
-        )
-        return _score_pairs_two_csr(batch, csr_a, csr_b, threshold)
+        return pa.concat_tables(outs)
 
-    return (
-        pairs.map_batches(add_spair, batch_format="pyarrow")
-        .groupby("spair")
-        .map_groups(score_group, batch_format="pandas")
+    return hash_exchange(
+        pairs.select_columns(["a", "b", "n_bands"]),
+        sa_part,
+        n_shards,
+        score_reduce,
+        VERIFIED_SCHEMA.empty_table(),
     )
 
 
