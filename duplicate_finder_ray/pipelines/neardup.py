@@ -73,7 +73,10 @@ class NearDupPipeline:
         ):
             prestarted = neardup.prestart_verify_split(sigs, cfg)
         band_rows = neardup.explode_bands(sigs, cfg)
-        candidates = neardup.candidate_pairs(band_rows, cfg)
+        # sigs_source lets candidate_pairs fuse the band explosion into
+        # the exchange split tasks at scale (band_rows stays lazy and
+        # is never materialized as an intermediate on that path)
+        candidates = neardup.candidate_pairs(band_rows, cfg, sigs_source=sigs)
         if cfg.verify_mode == "exact":
             verified = neardup.verify_pairs_exact(
                 candidates.materialize(), sigs, cfg, prestarted=prestarted

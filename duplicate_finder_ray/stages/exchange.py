@@ -36,18 +36,29 @@ def hash_exchange(
     n_parts: int,
     reduce_fn: Callable[[int, pa.Table], pa.Table],
     empty: pa.Table,
+    premap: Callable[[pa.Table], pa.Table] | None = None,
 ) -> ray.data.Dataset:
     """Partition ``source`` by ``part_of(table, n_parts)`` (an int
     array in [0, n_parts)) and apply ``reduce_fn(part_idx, rows)`` to
     each partition's concatenated rows. Returns a Dataset of the reduce
     outputs (one block per partition). ``empty`` supplies the output
-    schema for empty partitions."""
+    schema for empty partitions.
+
+    ``premap``: optional per-block transform applied INSIDE the split
+    task before partitioning — fuses a row-expanding map (e.g. LSH band
+    explosion) into the exchange so its output never materializes as an
+    intermediate dataset: the expanded rows are born and partitioned in
+    the same task, saving one full object-store write + read of the
+    expanded table. ``part_of`` sees the premapped rows. An empty
+    premap output must still carry the premapped schema."""
     blocks = source.materialize().to_arrow_refs()
     if not blocks:
         return ray.data.from_arrow(empty)
 
     @ray.remote
     def split(block: pa.Table):
+        if premap is not None:
+            block = premap(block)
         if len(block) == 0 or block.num_columns == 0:
             parts = [block.slice(0, 0)] * n_parts
         else:

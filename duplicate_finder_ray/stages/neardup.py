@@ -224,10 +224,22 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
     into the hash itself, and the file identity travels as the compact
     fid surrogate, not the file_id string — the skewed exchange moves
     bands × corpus rows, so every byte here is multiplied by both."""
+    return ds.map_batches(
+        make_band_explode(cfg), batch_format="pyarrow"
+    )
+
+
+def make_band_explode(cfg: PipelineConfig):
+    """The (fid, minhash, n_shingles) → (band_hash, fid) × bands kernel,
+    shared by ``explode_bands`` (standalone map_batches) and the fused
+    band exchange (``hash_exchange`` premap — the exploded rows are
+    born inside the split task and never materialize as an
+    intermediate dataset)."""
     num_bands = cfg.resolved_lsh_bands
 
     def explode(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
+        if "n_shingles" in batch.column_names:
+            batch = batch.filter(pa.compute.greater(batch["n_shingles"], 0))
         if len(batch) == 0:
             return pa.table(
                 {
@@ -245,7 +257,7 @@ def explode_bands(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
             }
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return explode
 
 
 def derive_bucket_cap(sizes: np.ndarray, budget: int) -> int:
@@ -383,7 +395,9 @@ def dedupe_pair_arrays(
 
 
 def candidate_pairs(
-    band_rows: ray.data.Dataset, cfg: PipelineConfig
+    band_rows: ray.data.Dataset,
+    cfg: PipelineConfig,
+    sigs_source: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Band buckets → unordered candidate pairs (a < b, uint64 fids),
     deduped across bands with a band-collision count (``n_bands`` — a
@@ -404,6 +418,68 @@ def candidate_pairs(
     cap = cfg.band_bucket_cap
     budget = cfg.band_pair_budget
     num_parts = effective_parallelism(cfg) * 2
+
+    # FUSED-EXPLODE EXCHANGE: when the caller hands the MATERIALIZED
+    # signature table and its band-row volume is certain to exceed the
+    # fused-lexsort limit, run the band exchange directly over the
+    # signature blocks with the explode kernel as the split-side premap
+    # — the exploded (band_hash, fid) table is born inside the split
+    # tasks and never materializes as an intermediate dataset (saves a
+    # full object-store write + read of bands × corpus rows).
+    if sigs_source is not None:
+        try:
+            n_docs = sigs_source.count()  # metadata on materialized ds
+        except Exception:
+            n_docs = None
+        if (
+            n_docs is not None
+            and n_docs * cfg.resolved_lsh_bands
+            > cfg.band_exchange_broadcast_limit
+        ):
+            from duplicate_finder_ray.stages.exchange import hash_exchange
+
+            explode_fn = make_band_explode(cfg)
+
+            def premap(block: pa.Table) -> pa.Table:
+                cols = [
+                    c
+                    for c in ("fid", "minhash", "n_shingles")
+                    if c in block.column_names
+                ]
+                return explode_fn(block.select(cols))
+
+            def band_part_f(tbl: pa.Table, n: int) -> np.ndarray:
+                return (
+                    tbl.column("band_hash").to_numpy().astype(np.uint64)
+                    % np.uint64(n)
+                ).astype(np.int64)
+
+            def emit_reduce_f(p: int, tbl: pa.Table) -> pa.Table:
+                a, b, sz = bucket_pairs_arrays(
+                    tbl.column("band_hash").to_numpy().astype(np.uint64),
+                    tbl.column("fid").to_numpy().astype(np.uint64),
+                    cap,
+                    budget,
+                )
+                if len(a) == 0:
+                    return _EMPTY_PAIRS
+                return pa.table(
+                    {
+                        "a": pa.array(a, pa.uint64()),
+                        "b": pa.array(b, pa.uint64()),
+                        "bucket_size": pa.array(sz.astype(np.int64)),
+                    }
+                )
+
+            pairs = hash_exchange(
+                sigs_source,
+                band_part_f,
+                num_parts,
+                emit_reduce_f,
+                _EMPTY_PAIRS,
+                premap=premap,
+            )
+            return _dedupe_candidates(pairs, cfg, num_parts)
 
     # SMALL-INPUT FUSED PATH: below ``band_exchange_broadcast_limit``
     # band rows (2 uint64 cols — 16 B/row), ONE remote task lexsorts the
@@ -493,7 +569,14 @@ def candidate_pairs(
     pairs = hash_exchange(
         band_rows, band_part, num_parts, emit_reduce, _EMPTY_PAIRS
     )
+    return _dedupe_candidates(pairs, cfg, num_parts)
 
+
+def _dedupe_candidates(
+    pairs: ray.data.Dataset, cfg: PipelineConfig, num_parts: int
+) -> ray.data.Dataset:
+    """Cross-band pair dedupe shared by the band-row exchange path and
+    the fused-explode exchange path (identical semantics)."""
     # dedupe pairs across bands. The raw (pre-dedupe) pair table is
     # orders of magnitude smaller than the band exchange, so up to
     # ``pair_dedupe_broadcast_limit`` rows ONE remote task lexsorts the

@@ -92,6 +92,37 @@ class TestNearDupPipeline:
         }
         assert k1 == k2 and len(k1) > 0
 
+    def test_fused_explode_exchange_matches_band_rows_path(
+        self, corpus, corpus_ds
+    ):
+        """candidate_pairs with sigs_source (explode fused into the
+        exchange split tasks) must produce identical deduped candidate
+        pairs to the band-rows path. band_exchange_broadcast_limit=0
+        forces the exchange on both sides."""
+        from duplicate_finder_ray.stages.derive import add_identity
+
+        cfg = PipelineConfig(
+            jaccard_threshold=0.8, band_exchange_broadcast_limit=0
+        )
+        with_id = corpus_ds.map_batches(add_identity, batch_format="pyarrow")
+        sigs = neardup.signatures(
+            with_id.select_columns(["file_id", "content"]), cfg
+        ).materialize()
+        bands = neardup.explode_bands(sigs, cfg)
+        p1 = neardup.candidate_pairs(bands, cfg).to_pandas()
+        p2 = neardup.candidate_pairs(
+            bands, cfg, sigs_source=sigs
+        ).to_pandas()
+        k1 = {
+            (min(r.a, r.b), max(r.a, r.b), r.n_bands, r.bucket_size)
+            for r in p1.itertuples()
+        }
+        k2 = {
+            (min(r.a, r.b), max(r.a, r.b), r.n_bands, r.bucket_size)
+            for r in p2.itertuples()
+        }
+        assert k1 == k2 and len(k1) > 0
+
     def test_shuffle_pair_dedupe_matches_remote_task_path(self, corpus, corpus_ds):
         """The distributed (sort-shuffle) cross-band pair dedupe must
         produce the same pairs AND n_bands counts as the small-side
